@@ -1,0 +1,240 @@
+package graft
+
+/** DuckDB oracle SQL for SparkEntry.queries (driver contract: same column
+  * names, same value semantics; see SURVEY.md §5 item 1).
+  *
+  * Parity conventions (mirrored in the Scala operators):
+  *  - additive aggregates: SUM(CAST(x AS DECIMAL(38,6))) cast back to DOUBLE —
+  *    exact arithmetic, association-independent, bit-identical across engines;
+  *  - ordered first/last: DuckDB `first(x ORDER BY k…)` ↔ Spark
+  *    `min_by(x, struct(k…))` with a unique key;
+  *  - 4dp half-even rounding: DuckDB `round_even` ↔ Spark `bround`;
+  *  - every integral output column is BIGINT on both sides.
+  */
+object Oracles {
+
+  /** events recast as a trade stream (same as Tables.trades). */
+  val tradesCte: String =
+    """trades AS (
+      |  SELECT event_id AS trade_id, ts AS "timestamp", event_type AS instrument_name,
+      |         value AS price, CAST(user_id % 7 + 1 AS DOUBLE) AS amount
+      |  FROM events)""".stripMargin
+
+  /** A1 hourly OHLC over the trade stream. */
+  val hourlyCte: String =
+    """hourly AS (
+      |  SELECT date_trunc('hour', "timestamp") AS hour_ts, instrument_name,
+      |    first(price ORDER BY "timestamp", trade_id) AS open_price,
+      |    max(price) AS high_price,
+      |    min(price) AS low_price,
+      |    last(price ORDER BY "timestamp", trade_id) AS close_price,
+      |    CAST(sum(CAST(price * amount AS DECIMAL(38,6))) AS DOUBLE)
+      |      / nullif(CAST(sum(CAST(amount AS DECIMAL(38,6))) AS DOUBLE), 0) AS vwap,
+      |    CAST(sum(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+      |    count(*) AS trade_count,
+      |    string_agg(CAST(trade_id AS VARCHAR), ',' ORDER BY "timestamp", trade_id) AS trade_ids
+      |  FROM trades GROUP BY 1, 2)""".stripMargin
+
+  val barsCte: String =
+    """bars AS (
+      |  SELECT hour_ts AS t, instrument_name AS instrument, open_price AS "open",
+      |         high_price AS high, low_price AS low, close_price AS "close"
+      |  FROM hourly)""".stripMargin
+
+  /** DuckDB session-start expressions over a timestamp column `t`.
+    * dayofweek(): Sunday=0..Saturday=6, Friday=5 → step back (dow+2)%7 days.
+    */
+  val dailyStartExpr: String =
+    "CAST(CAST(t - INTERVAL 8 HOURS AS DATE) AS TIMESTAMP) + INTERVAL 8 HOURS"
+
+  val weeklyStartExpr: String =
+    """CAST(CAST(t - INTERVAL 8 HOURS AS DATE)
+      |  - CAST((dayofweek(CAST(t - INTERVAL 8 HOURS AS DATE)) + 2) % 7 AS INTEGER)
+      |  AS TIMESTAMP) + INTERVAL 8 HOURS""".stripMargin
+
+  /** last Friday 08:00 of the month containing date expression `d`. */
+  private def lastFridaySql(d: String): String =
+    s"""CAST(last_day($d) - CAST((dayofweek(last_day($d)) + 2) % 7 AS INTEGER)
+       |  AS TIMESTAMP) + INTERVAL 8 HOURS""".stripMargin
+
+  val monthlyStartExpr: String = {
+    val lfCur = lastFridaySql("CAST(t AS DATE)")
+    val lfPrev = lastFridaySql("CAST(date_trunc('month', CAST(t AS DATE)) AS DATE) - 1")
+    s"CASE WHEN t >= ($lfCur) THEN ($lfCur) ELSE ($lfPrev) END"
+  }
+
+  /** A2 session roll-up over CTE `bars(t, instrument, open, high, low, close)`.
+    * Produces CTE `sessions` with the full reference column set.
+    */
+  def sessionCtes(startExpr: String, minRows: Int, src: String = "bars",
+                  p: String = ""): String =
+    s"""${p}indexed AS (
+       |  SELECT *, $startExpr AS session_start FROM $src),
+       |${p}indexed2 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY instrument, session_start ORDER BY t) - 1 AS rn
+       |  FROM ${p}indexed),
+       |${p}agged AS (
+       |  SELECT instrument, session_start,
+       |    first("open" ORDER BY t) AS "open",
+       |    last("close" ORDER BY t) AS "close",
+       |    max(high) AS high, min(low) AS low,
+       |    first(rn ORDER BY high DESC, rn) AS chhightime,
+       |    first(rn ORDER BY low, rn) AS chlowtime,
+       |    count(*) AS n_rows
+       |  FROM ${p}indexed2 GROUP BY 1, 2
+       |  HAVING count(*) >= $minRows),
+       |${p}pct AS (
+       |  SELECT *, high - low AS move,
+       |    CASE WHEN "open" = 0 THEN 0.0 ELSE round_even((high - "open") / "open" * 100, 4) END AS chhigh,
+       |    CASE WHEN "open" = 0 THEN 0.0 ELSE round_even((low - "open") / "open" * 100, 4) END AS chlow,
+       |    CASE WHEN "open" = 0 THEN 0.0 ELSE round_even(("close" - "open") / "open" * 100, 4) END AS chclose
+       |  FROM ${p}agged),
+       |${p}sessions AS (
+       |  SELECT session_start AS datetime, 'events' AS source, instrument,
+       |    "open", high, low, "close", move, chhigh, chlow, chclose,
+       |    CASE WHEN abs(chhigh) > abs(chlow) THEN chhigh ELSE chlow END AS chmax,
+       |    chhightime, chlowtime,
+       |    CASE WHEN chhightime < chlowtime THEN 'HIGH'
+       |         WHEN chlowtime < chhightime THEN 'LOW'
+       |         WHEN abs(chhigh) >= abs(chlow) THEN 'HIGH' ELSE 'LOW' END AS firstextremumtype
+       |  FROM ${p}pct)""".stripMargin
+
+  private val sessionOutCols =
+    """datetime, source, instrument, "open", high, low, "close", move,
+      |chhigh, chlow, chclose, chmax, chhightime, chlowtime, firstextremumtype""".stripMargin
+
+  val hourlyOhlcSql: String =
+    s"WITH $tradesCte,\n$hourlyCte\nSELECT * FROM hourly"
+
+  val dailySessionsSql: String =
+    s"""WITH $tradesCte,
+       |$hourlyCte,
+       |$barsCte,
+       |${sessionCtes(dailyStartExpr, 20)}
+       |SELECT $sessionOutCols, CAST(24 AS BIGINT) AS session_hours FROM sessions""".stripMargin
+
+  /** Daily sessions re-exposed as bars for the weekly/monthly layers. */
+  private val dailyToBarsCtes: String =
+    s"""$tradesCte,
+       |$hourlyCte,
+       |$barsCte,
+       |${sessionCtes(dailyStartExpr, 20)},
+       |bars2 AS (
+       |  SELECT datetime AS t, instrument, "open", high, low, "close" FROM sessions)""".stripMargin
+
+  def weeklySessionsSql: String =
+    s"""WITH $dailyToBarsCtes,
+       |${sessionCtes(weeklyStartExpr, 5, src = "bars2", p = "w_")}
+       |SELECT $sessionOutCols, CAST(168 AS BIGINT) AS session_hours FROM w_sessions""".stripMargin
+
+  def monthlySessionsSql: String = {
+    val lfNext = lastFridaySql("CAST(CAST(datetime AS DATE) + INTERVAL 1 MONTH AS DATE)")
+    s"""WITH $dailyToBarsCtes,
+       |${sessionCtes(monthlyStartExpr, 20, src = "bars2", p = "m_")},
+       |ext AS (
+       |  SELECT *, ($lfNext) AS session_end FROM m_sessions)
+       |SELECT $sessionOutCols,
+       |  CAST((epoch(session_end) - epoch(datetime)) / 3600 AS BIGINT) AS counthours,
+       |  CAST((epoch(session_end) - epoch(datetime)) / 86400 AS BIGINT) AS countdays,
+       |  session_end,
+       |  CAST(year(datetime) AS BIGINT) AS year, CAST(month(datetime) AS BIGINT) AS month
+       |FROM ext""".stripMargin
+  }
+
+  /** A3 top-2 extremums by |pct change| per daily session (no min-row guard —
+    * `find_extremums` is guard-free in the reference).
+    */
+  val top2ExtremumsSql: String =
+    s"""WITH $tradesCte,
+       |$hourlyCte,
+       |$barsCte,
+       |indexed AS (
+       |  SELECT *, $dailyStartExpr AS session_start FROM bars),
+       |indexed2 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY instrument, session_start ORDER BY t) - 1 AS rn,
+       |    CASE WHEN "open" = 0 THEN 0.0 ELSE round_even((high - "open") / "open" * 100, 4) END AS chhigh,
+       |    CASE WHEN "open" = 0 THEN 0.0 ELSE round_even((low - "open") / "open" * 100, 4) END AS chlow
+       |  FROM indexed),
+       |expl AS (
+       |  SELECT instrument, session_start, rn, chhigh AS value, 'HIGH' AS type,
+       |    CASE WHEN abs(chhigh) > abs(chlow) THEN 0 ELSE 1 END AS seq
+       |  FROM indexed2
+       |  UNION ALL
+       |  SELECT instrument, session_start, rn, chlow AS value, 'LOW' AS type,
+       |    CASE WHEN abs(chhigh) > abs(chlow) THEN 1 ELSE 0 END AS seq
+       |  FROM indexed2 WHERE chlow <> 0),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY instrument, session_start
+       |                               ORDER BY abs(value) DESC, rn, seq) AS rank
+       |  FROM expl)
+       |SELECT instrument, session_start, rank, value, type, rn AS time
+       |FROM ranked WHERE rank <= 2""".stripMargin
+
+  /** A4 stats over the hourly layer. */
+  val statsSql: String =
+    s"""WITH $tradesCte,
+       |$hourlyCte
+       |SELECT count(*) AS total_records,
+       |  count(DISTINCT instrument_name) AS unique_instruments,
+       |  max(hour_ts) AS latest_hour
+       |FROM hourly""".stripMargin
+
+  // ---- relational (star schema) ----
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val filterProjectSql: String =
+    """SELECT event_id, ts, user_id, value FROM events
+      |WHERE event_type = 'purchase' AND value > 100""".stripMargin
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  val ordersByPrioritySql: String =
+    """SELECT o_orderpriority, date_trunc('month', o_orderdate) AS order_month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+      |  count(DISTINCT o_custkey) AS n_customers
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  val topCustomersSql: String =
+    """SELECT c_custkey, c_name, revenue, n_orders FROM (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey) agg
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin
+
+  val runningOrderTotalSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+      |FROM orders""".stripMargin
+
+  val setOpsSql: String =
+    """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000),
+      |active AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+      |SELECT c_custkey, 'both' AS set_kind FROM (SELECT * FROM rich INTERSECT SELECT * FROM active)
+      |UNION ALL
+      |SELECT c_custkey, 'rich_only' AS set_kind FROM (SELECT * FROM rich EXCEPT SELECT * FROM active)""".stripMargin
+}

@@ -1,13 +1,65 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TimeExprs
+import graft.operators.{Ohlc, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 appears as a named query; each query with
+  * ANSI-SQL-expressible semantics has a DuckDB oracle in [[oracleSql]] with
+  * identical column names and value semantics (see [[Oracles]] for the parity
+  * conventions).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Ohlc.hourlyOhlc(Tables.trades(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 flagship: trades → hourly OHLC (option_ohlc.py:58-93)
+    "q_hourly_ohlc" -> ((s, dir) => Ohlc.hourlyOhlc(Tables.trades(s, dir))),
+    // A2 session layers (base.py:87-153 + {daily,weekly,monthly}_sessions.py)
+    "q_daily_sessions" -> ((s, dir) =>
+      Ohlc.dailySessions(Ohlc.hourlyBars(Tables.trades(s, dir)))),
+    "q_weekly_sessions" -> ((s, dir) =>
+      Ohlc.weeklySessions(Ohlc.dailySessions(Ohlc.hourlyBars(Tables.trades(s, dir))))),
+    "q_monthly_sessions" -> ((s, dir) =>
+      Ohlc.monthlySessions(Ohlc.dailySessions(Ohlc.hourlyBars(Tables.trades(s, dir))))),
+    // A3 top-2 extremums (base.py:48-85)
+    "q_top2_extremums" -> ((s, dir) =>
+      Ohlc.top2Extremums(Ohlc.hourlyBars(Tables.trades(s, dir)), TimeExprs.dailySessionStart)),
+    // A4 stats (option_ohlc.py:125-142)
+    "q_stats" -> ((s, dir) => Ohlc.stats(Ohlc.hourlyOhlc(Tables.trades(s, dir)))),
+    // Relational surface (SURVEY §7 step 4)
+    "q_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q_filter_project" -> ((s, dir) => Relational.filterProject(s, dir)),
+    "q_revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    "q_orders_by_priority" -> ((s, dir) => Relational.ordersByPriority(s, dir)),
+    "q_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
+    "q_running_order_total" -> ((s, dir) => Relational.runningOrderTotal(s, dir)),
+    "q_set_ops" -> ((s, dir) => Relational.setOps(s, dir))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_hourly_ohlc" -> Oracles.hourlyOhlcSql,
+    "q_daily_sessions" -> Oracles.dailySessionsSql,
+    "q_weekly_sessions" -> Oracles.weeklySessionsSql,
+    "q_monthly_sessions" -> Oracles.monthlySessionsSql,
+    "q_top2_extremums" -> Oracles.top2ExtremumsSql,
+    "q_stats" -> Oracles.statsSql,
+    "q_pricing_summary" -> Oracles.pricingSummarySql,
+    "q_filter_project" -> Oracles.filterProjectSql,
+    "q_revenue_by_nation" -> Oracles.revenueByNationSql,
+    "q_orders_by_priority" -> Oracles.ordersByPrioritySql,
+    "q_top_customers" -> Oracles.topCustomersSql,
+    "q_running_order_total" -> Oracles.runningOrderTotalSql,
+    "q_set_ops" -> Oracles.setOpsSql
+  )
 }

@@ -11,12 +11,25 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // µs parquet timestamps (not INT96) so the driver's pyarrow/duckdb
+      // readers see the same logical type as the DuckDB oracle output.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // DuckDB writes naive (NTZ) timestamps; Spark writes UTC-adjusted ones.
+    // Cast to NTZ (session tz is UTC → same wall-clock value) so the driver's
+    // column dtype comparison sees identical logical types.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampType
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(df.schema.fields.map { f =>
+        if (f.dataType == TimestampType) col(f.name).cast("timestamp_ntz").as(f.name)
+        else col(f.name)
+      }.toSeq: _*)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Generic relational capability on the star schema (SURVEY.md §7 step 4).
+  * The reference has no joins (SURVEY §2.3) — these queries establish the
+  * table-stakes relational surface: pushdown-friendly scans, broadcast dim
+  * joins, partial-agg groupBys, deterministic top-k, frame windows.
+  */
+object Relational {
+
+  private val DEC = "decimal(38,6)"
+  private def dsum(c: Column): Column = sum(c.cast(DEC)).cast("double")
+
+  /** TPC-H Q1-style pricing summary: single hash-agg with partial aggregation;
+    * the shipdate filter is pushed to the parquet scan.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  /** Filter + projection — both must reach the parquet scan (PushedFilters /
+    * pruned ReadSchema in the physical plan).
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 100)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+
+  /** Revenue by region/nation: lineitem⋈orders (large-large, left to AQE) with
+    * customer/nation/region broadcast — at 100 TB the dims stay broadcast-able
+    * while the fact join shuffles on the join key only.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Grouped agg over orders by priority × month. */
+  def ordersByPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        date_trunc("MONTH", col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+
+  /** Deterministic top-k: revenue per customer, ordered by (revenue desc, key)
+    * so ties cannot make the LIMIT ambiguous. At scale this is a partial
+    * agg + single reduce of k rows (TakeOrderedAndProject), not a full sort.
+    */
+  def topCustomers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Frame-spec window: per-customer running order total in date order.
+    * Decimal accumulation keeps the running sum association-independent for
+    * exact oracle parity.
+    */
+  def runningOrderTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        sum(col("o_totalprice").cast(DEC)).over(w).cast("double").as("running_total"),
+        row_number().over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey")))
+          .cast("long").as("order_seq"))
+  }
+
+  /** Set operations: customers in the top decile by account balance vs
+    * customers holding open orders — union/intersect/except in one result.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val rich = c.filter(col("c_acctbal") > 8000).select(col("c_custkey"))
+    val active = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O").select(col("o_custkey").as("c_custkey"))
+    rich.intersect(active).withColumn("set_kind", lit("both"))
+      .union(rich.except(active).withColumn("set_kind", lit("rich_only")))
+  }
+}
