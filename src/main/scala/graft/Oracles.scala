@@ -231,6 +231,155 @@ object Oracles {
       |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
       |FROM orders""".stripMargin
 
+  // ---- maintenance / completeness (SURVEY §7 step 3) ----
+
+  /** Per-instrument distinct minute grid (the `*_ohlc_1m` timeline stand-in). */
+  val minutesCte: String =
+    """minutes AS (
+      |  SELECT DISTINCT event_type AS instrument, date_trunc('minute', ts) AS m
+      |  FROM events)""".stripMargin
+
+  private def gapsCte(threshold: Int): String =
+    s"""lagged AS (
+       |  SELECT instrument, m, lag(m) OVER (PARTITION BY instrument ORDER BY m) AS prev_m
+       |  FROM minutes),
+       |gaps AS (
+       |  SELECT instrument, prev_m AS gap_start, m AS gap_end,
+       |    CAST((epoch(m) - epoch(prev_m)) / 60 AS BIGINT) AS gap_minutes
+       |  FROM lagged
+       |  WHERE prev_m IS NOT NULL AND (epoch(m) - epoch(prev_m)) / 60 > $threshold)""".stripMargin
+
+  val gapDetectSql: String =
+    s"""WITH $minutesCte,
+       |${gapsCte(5)}
+       |SELECT instrument, gap_start, gap_end, gap_minutes,
+       |  gap_minutes - 1 AS missing_minutes
+       |FROM gaps""".stripMargin
+
+  val gapSummarySql: String =
+    s"""WITH $minutesCte,
+       |${gapsCte(1)},
+       |anch AS (
+       |  SELECT *, max(gap_end) OVER () AS now, gap_minutes - 1 AS missing_minutes
+       |  FROM gaps)
+       |SELECT instrument,
+       |  count(*) FILTER (WHERE gap_end > now - INTERVAL 7 DAYS) AS n_gaps_7d,
+       |  CAST(coalesce(sum(missing_minutes) FILTER (WHERE gap_end > now - INTERVAL 7 DAYS), 0) AS BIGINT) AS missing_minutes_7d,
+       |  count(*) FILTER (WHERE gap_minutes >= 60) AS n_large_gaps
+       |FROM anch GROUP BY 1""".stripMargin
+
+  val missingTimelineSql: String =
+    s"""WITH $minutesCte,
+       |bounds AS (
+       |  SELECT instrument, min(m) AS mn, max(m) AS mx FROM minutes GROUP BY 1),
+       |expected AS (
+       |  SELECT instrument, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS m
+       |  FROM bounds)
+       |SELECT e.instrument, e.m AS missing_minute
+       |FROM expected e LEFT JOIN minutes p
+       |  ON e.instrument = p.instrument AND e.m = p.m
+       |WHERE p.m IS NULL""".stripMargin
+
+  val dedupLastWriteWinsSql: String =
+    """SELECT instrument, m, event_id, value FROM (
+      |  SELECT event_type AS instrument, date_trunc('minute', ts) AS m,
+      |    event_id, value,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  val dedupFirstWinsSql: String =
+    """SELECT instrument, m, event_id, value FROM (
+      |  SELECT event_type AS instrument, date_trunc('minute', ts) AS m,
+      |    event_id, value,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+      |                       ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  val watermarkSql: String =
+    """SELECT event_type AS instrument, max(ts) AS watermark, count(*) AS n_rows
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---- synthesized option-trade stream (Tables.optionTrades) ----
+
+  // NB: no CTE line may have content starting with `|` (e.g. a leading `||`
+  // concat) — CTEs are interpolated into outer stripMargin strings and get
+  // re-stripped, which would eat one pipe.
+  val optionTradesCte: String =
+    """otrades AS (
+      |  SELECT event_id AS trade_id, ts AS "timestamp",
+      |    CASE WHEN event_id % 10 = 0 THEN 'MALFORMED-' || event_id
+      |         ELSE 'BTC-' || upper(strftime(CAST(ts AS DATE) + CAST(user_id % 30 + 1 AS INT), '%-d%b%y')) ||
+      |              '-' || CAST(user_id % 20 * 500 + 10000 AS INT) ||
+      |              '-' || (CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END)
+      |    END AS instrument_name,
+      |    CAST(ts AS DATE) + CAST(user_id % 30 + 1 AS INT) AS expiry_date,
+      |    CAST(user_id % 20 * 500 + 10000 AS INT) AS strike,
+      |    CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END AS option_type,
+      |    value AS price,
+      |    CAST(user_id % 7 + 1 AS DOUBLE) AS amount,
+      |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value / 2 END AS iv,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value * 1.01 END AS mark_price,
+      |    value * 10 + 5 AS index_price
+      |  FROM events)""".stripMargin
+
+  private val parsePat = """^(\w+)-(\d{1,2})([A-Z]{3})(\d{2})-(\d+)-([CP])$"""
+
+  val parseInstrumentSql: String = {
+    def g(i: Int) = s"regexp_extract(instrument_name, '$parsePat', $i)"
+    val month = "CASE " + Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN", "JUL",
+      "AUG", "SEP", "OCT", "NOV", "DEC").zipWithIndex
+      .map { case (m, i) => s"WHEN ${g(3)} = '$m' THEN ${i + 1}" }
+      .mkString(" ") + " END"
+    s"""WITH $optionTradesCte,
+       |names AS (SELECT DISTINCT instrument_name FROM otrades)
+       |SELECT instrument_name,
+       |  ${g(1)} AS underlying,
+       |  make_date(2000 + CAST(${g(4)} AS INT), $month, CAST(${g(2)} AS INT)) AS expiry_date,
+       |  CAST(${g(5)} AS INT) AS strike,
+       |  ${g(6)} AS option_type
+       |FROM names
+       |WHERE regexp_matches(instrument_name, '$parsePat')""".stripMargin
+  }
+
+  /** Full 24-column option OHLC (`aggregators/option_ohlc.py:49-123`). */
+  val optionOhlcFullSql: String = {
+    val key = """"timestamp", trade_id"""
+    s"""WITH $optionTradesCte,
+       |ohlc AS (
+       |  SELECT date_trunc('hour', "timestamp") AS hour_timestamp,
+       |    instrument_name, expiry_date, strike, option_type,
+       |    first(price ORDER BY $key) AS open_price,
+       |    max(price) AS high_price,
+       |    min(price) AS low_price,
+       |    last(price ORDER BY $key) AS close_price,
+       |    first(iv ORDER BY $key) FILTER (WHERE iv IS NOT NULL) AS open_iv,
+       |    max(iv) AS high_iv,
+       |    min(iv) AS low_iv,
+       |    last(iv ORDER BY $key) FILTER (WHERE iv IS NOT NULL) AS close_iv,
+       |    first(mark_price ORDER BY $key) FILTER (WHERE mark_price IS NOT NULL) AS mark_price_open,
+       |    max(mark_price) AS mark_price_high,
+       |    min(mark_price) AS mark_price_low,
+       |    last(mark_price ORDER BY $key) FILTER (WHERE mark_price IS NOT NULL) AS mark_price_close,
+       |    CAST(sum(CAST(price * amount AS DECIMAL(38,6))) AS DOUBLE)
+       |      / nullif(CAST(sum(CAST(amount AS DECIMAL(38,6))) AS DOUBLE), 0) AS vwap,
+       |    CAST(sum(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+       |    count(*) AS trade_count,
+       |    string_agg(CAST(trade_id AS VARCHAR), ',' ORDER BY $key) AS trade_ids,
+       |    first(index_price ORDER BY $key) AS index_price
+       |  FROM otrades GROUP BY 1, 2, 3, 4, 5)
+       |SELECT *,
+       |  greatest(CAST(1 AS BIGINT),
+       |    CAST(floor((epoch(CAST(expiry_date AS TIMESTAMP) + INTERVAL 8 HOURS)
+       |                - epoch(hour_timestamp)) / 3600) AS BIGINT)) AS hours_to_expiry,
+       |  CASE WHEN option_type = 'C'
+       |         THEN (nullif(index_price, 0) - strike) / nullif(index_price, 0) * 100
+       |       WHEN option_type = 'P'
+       |         THEN (strike - nullif(index_price, 0)) / nullif(index_price, 0) * 100
+       |  END AS distance
+       |FROM ohlc""".stripMargin
+  }
+
   val setOpsSql: String =
     """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000),
       |active AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TimeExprs
-import graft.operators.{Ohlc, Relational}
+import graft.operators.{Maintenance, Ohlc, Options, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,7 +41,18 @@ object SparkEntry {
     "q_orders_by_priority" -> ((s, dir) => Relational.ordersByPriority(s, dir)),
     "q_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
     "q_running_order_total" -> ((s, dir) => Relational.runningOrderTotal(s, dir)),
-    "q_set_ops" -> ((s, dir) => Relational.setOps(s, dir))
+    "q_set_ops" -> ((s, dir) => Relational.setOps(s, dir)),
+    // Maintenance / completeness (SURVEY §7 step 3)
+    "q_gap_detect" -> ((s, dir) => Maintenance.gapDetect(Tables.events(s, dir))),
+    "q_gap_summary" -> ((s, dir) => Maintenance.gapSummary(Tables.events(s, dir))),
+    "q_missing_timeline" -> ((s, dir) => Maintenance.missingTimeline(Tables.events(s, dir))),
+    "q_dedup_last_write_wins" -> ((s, dir) => Maintenance.dedupLastWriteWins(Tables.events(s, dir))),
+    "q_dedup_first_wins" -> ((s, dir) => Maintenance.dedupFirstWins(Tables.events(s, dir))),
+    "q_watermark" -> ((s, dir) => Maintenance.watermark(Tables.events(s, dir))),
+    // P6 parse + full 24-col option OHLC (A1 with P5/P8/P9)
+    "q_parse_instrument" -> ((s, dir) =>
+      Maintenance.parseInstrument(Tables.optionTrades(s, dir).select("instrument_name").distinct())),
+    "q_option_ohlc_full" -> ((s, dir) => Options.hourlyOptionOhlc(Tables.optionTrades(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,6 +71,14 @@ object SparkEntry {
     "q_orders_by_priority" -> Oracles.ordersByPrioritySql,
     "q_top_customers" -> Oracles.topCustomersSql,
     "q_running_order_total" -> Oracles.runningOrderTotalSql,
-    "q_set_ops" -> Oracles.setOpsSql
+    "q_set_ops" -> Oracles.setOpsSql,
+    "q_gap_detect" -> Oracles.gapDetectSql,
+    "q_gap_summary" -> Oracles.gapSummarySql,
+    "q_missing_timeline" -> Oracles.missingTimelineSql,
+    "q_dedup_last_write_wins" -> Oracles.dedupLastWriteWinsSql,
+    "q_dedup_first_wins" -> Oracles.dedupFirstWinsSql,
+    "q_watermark" -> Oracles.watermarkSql,
+    "q_parse_instrument" -> Oracles.parseInstrumentSql,
+    "q_option_ohlc_full" -> Oracles.optionOhlcFullSql
   )
 }

@@ -59,4 +59,39 @@ object Tables {
     """SELECT event_id AS trade_id, ts AS "timestamp", event_type AS instrument_name,
       |       value AS price, CAST(user_id % 7 + 1 AS DOUBLE) AS amount
       |FROM events""".stripMargin
+
+  /** events recast as a Deribit-like option-trade stream
+    * (`collectors/deribit.py:120-131`): deterministic synthesized expiry /
+    * strike / option_type / iv / mark_price / index_price, plus the Deribit
+    * instrument-name string (`BTC-4JAN19-3500-P` format) — 10% of rows get a
+    * malformed name to exercise the parse-and-drop path
+    * (`collectors/deribit.py:49-51,90-92`). Every derivation is a pure
+    * IEEE-double / integer expression so the DuckDB oracle CTE
+    * ([[graft.Oracles.optionTradesCte]]) is bit-identical.
+    */
+  def optionTrades(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val expiry = date_add(to_date(col("ts")), (col("user_id") % 30 + 1).cast("int"))
+    val strike = (col("user_id") % 20 * 500 + 10000).cast("int")
+    val optionType = when(col("event_id") % 2 === 0, "C").otherwise("P")
+    val name = when(col("event_id") % 10 === 0,
+        concat(lit("MALFORMED-"), col("event_id")))
+      .otherwise(concat(
+        lit("BTC-"),
+        date_format(expiry, "d"), upper(date_format(expiry, "MMM")),
+        date_format(expiry, "yy"),
+        lit("-"), strike, lit("-"), optionType))
+    e.select(
+      col("event_id").as("trade_id"),
+      col("ts").as("timestamp"),
+      name.as("instrument_name"),
+      expiry.as("expiry_date"),
+      strike.as("strike"),
+      optionType.as("option_type"),
+      col("value").as("price"),
+      (col("user_id") % 7 + 1).cast("double").as("amount"),
+      when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value") / 2).as("iv"),
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value") * 1.01).as("mark_price"),
+      (col("value") * 10 + 5).as("index_price"))
+  }
 }
