@@ -1,0 +1,248 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+
+/** DuckDB oracle SQL for the training-data-pipeline operators (text
+  * analysis, dedup, similarity search). Conventions on top of [[Oracles]]:
+  *
+  *  - portable hashing: md5 hex strings; lexicographic MIN of the fixed-width
+  *    hex == numeric min, so MinHash needs no shared integer hash;
+  *  - hex-digit value: Spark `conv(c,16,10)` ↔ DuckDB `strpos('0123…f',c)-1`;
+  *  - regexp_replace needs the 'g' flag in DuckDB to match Spark;
+  *  - vector math: element-wise cast to double + explicit left-to-right
+  *    folds (`list_reduce` ↔ Spark `aggregate` with 0.0 init — identical
+  *    IEEE sequence, bit-exact comparison).
+  */
+object OraclesML {
+
+  // ---- text ----
+
+  private val W = """string_split_regex(text, '\s+')"""
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($W) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.tokenPattern}')) AS BIGINT) AS n_re_tokens
+       |FROM documents""".stripMargin
+
+  private val stopList = TextOps.stopwords.map(s => s"'$s'").mkString(", ")
+
+  val textQualitySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    CAST(len($W) AS BIGINT) AS n_words,
+       |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+       |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+       |    CAST(len(list_filter($W, x -> x IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_chars, n_words,
+       |  round_even(CAST(nonspace AS DOUBLE) / n_words, 4) AS mean_word_len,
+       |  round_even(CAST(alpha AS DOUBLE) / n, 4) AS alpha_ratio,
+       |  round_even(CAST(punct AS DOUBLE) / n, 4) AS punct_ratio,
+       |  round_even(CAST(n_stop AS DOUBLE) / n_words, 4) AS stopword_ratio,
+       |  round_even(round_even(CAST(alpha AS DOUBLE) / n, 4) * 0.4
+       |    + (1.0 - round_even(CAST(punct AS DOUBLE) / n, 4)) * 0.3
+       |    + round_even(CAST(n_stop AS DOUBLE) / n_words, 4) * 0.2
+       |    + least(1.0, CAST(n_words AS DOUBLE) / 100) * 0.1, 4) AS quality_score
+       |FROM m""".stripMargin
+
+  val langIdSql: String = {
+    val scoreDefs = TextOps.langMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter($W, x -> x IN ($list))) AS BIGINT) AS score_$lang"
+    }.mkString(",\n    ")
+    val scoreCols = TextOps.langMarkers.map { case (l, _) => s"score_$l" }
+    val cases = TextOps.langMarkers.map { case (l, _) =>
+      s"WHEN score_$l = m AND m > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    $scoreDefs
+       |  FROM documents),
+       |g AS (SELECT *, greatest(${scoreCols.mkString(", ")}) AS m FROM s)
+       |SELECT doc_id, ${scoreCols.mkString(", ")},
+       |  CASE $cases ELSE 'und' END AS predicted_lang
+       |FROM g""".stripMargin
+  }
+
+  /** 3-word shingles of the token array (matches Shingles.shingles(w, 3)). */
+  private val shinglesCte: String =
+    s"""shingled AS (
+       |  SELECT doc_id, text,
+       |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS s
+       |  FROM (SELECT doc_id, text, $W AS w FROM documents))""".stripMargin
+
+  val fingerprintSql: String =
+    s"""WITH $shinglesCte
+       |SELECT doc_id, md5(text) AS content_hash,
+       |  list_min([md5(x) for x in s]) AS min_shingle_hash,
+       |  CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct_shingles
+       |FROM shingled""".stripMargin
+
+  // ---- dedup ----
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  private val distinctShinglesCte: String =
+    s"""dsh AS (
+       |  SELECT doc_id, list_distinct(s) AS s FROM shingled)""".stripMargin
+
+  private def sigExpr(j: Int) = s"list_min([md5('$j:' || x) for x in s])"
+
+  private val sigsCte: String = {
+    val sigs = (0 until Dedup.NumHashes)
+      .map(j => s"${sigExpr(j)} AS sig_$j").mkString(",\n    ")
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM dsh)""".stripMargin
+  }
+
+  private def bandExpr(b: Int): String = {
+    val rows = Dedup.NumHashes / Dedup.NumBands
+    val parts = (b * rows until (b + 1) * rows).map(j => s"sig_$j")
+    "md5(" + parts.mkString(" || '|' || ") + ")"
+  }
+
+  val minhashSignaturesSql: String = {
+    val bands = (0 until Dedup.NumBands)
+      .map(b => s"${bandExpr(b)} AS band_$b").mkString(",\n  ")
+    s"""WITH $shinglesCte,
+       |$distinctShinglesCte,
+       |$sigsCte
+       |SELECT *,
+       |  $bands
+       |FROM sigs""".stripMargin
+  }
+
+  private val jaccardVerify: String =
+    """SELECT p.doc_a, p.doc_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+      |  CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(a.s || b.s)) AS jaccard
+      |FROM pairs p
+      |JOIN dsh a ON p.doc_a = a.doc_id
+      |JOIN dsh b ON p.doc_b = b.doc_id""".stripMargin
+
+  val minhashLshPairsSql: String = {
+    val bandRows = (0 until Dedup.NumBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandExpr(b)} AS band_hash FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesCte,
+       |$distinctShinglesCte,
+       |$sigsCte,
+       |bands AS (
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |       AND a.doc_id < b.doc_id)
+       |SELECT * FROM ($jaccardVerify) WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  val ngramJaccardPairsSql: String =
+    s"""WITH $shinglesCte,
+       |$distinctShinglesCte,
+       |blk AS (
+       |  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blk a JOIN blk b
+       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       |       AND a.doc_id < b.doc_id)
+       |SELECT * FROM ($jaccardVerify) WHERE jaccard >= 0.3""".stripMargin
+
+  val simhashSql: String = {
+    val sums = (0 until 64).map { b =>
+      val p = b / 4
+      val j = 3 - b % 4
+      val d = s"CAST(strpos('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1 AS INT)"
+      s"sum(CASE WHEN ($d >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b"
+    }.mkString(",\n    ")
+    val bits = (0 until 64)
+      .map(b => s"(CASE WHEN s_$b > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct($W)) AS tok FROM documents),
+       |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash_bits FROM bitsums""".stripMargin
+  }
+
+  // ---- similarity ----
+
+  /** Left-to-right fold matching Spark aggregate(zip_with(a,b,*), 0.0, +). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce([$a[i] * $b[i] for i in range(1, 65)], (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val evecCte: String =
+    "e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)"
+
+  val annBruteForceSql: String =
+    s"""WITH $evecCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT query_id, vec_id AS neighbor_id, ${cosineSql("qv", "v")} AS cosine
+       |  FROM e CROSS JOIN q WHERE vec_id != query_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  val ivfAssignSql: String =
+    s"""WITH $evecCte,
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT vec_id, centroid_id, ${cosineSql("cv", "v")} AS cos_c
+       |  FROM e CROSS JOIN c),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cos_c DESC, centroid_id) AS rn
+       |  FROM scored)
+       |SELECT vec_id, centroid_id, cos_c AS centroid_cosine FROM r WHERE rn = 1""".stripMargin
+
+  val annIvfSql: String =
+    s"""WITH $evecCte,
+       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+       |ascored AS (
+       |  SELECT vec_id, centroid_id, ${cosineSql("cv", "v")} AS cos_c
+       |  FROM e CROSS JOIN c),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cos_c DESC, centroid_id) AS rn
+       |    FROM ascored) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id, ${cosineSql("qv", "v")} AS cosine
+       |  FROM e JOIN assign USING (vec_id)
+       |  JOIN q ON assign.centroid_id = q.query_id
+       |  WHERE e.vec_id != query_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  val embeddingNearDupsSql: String =
+    s"""WITH $evecCte,
+       |b AS (SELECT vec_id AS vec_b, v AS vb FROM e)
+       |SELECT vec_id AS vec_a, vec_b, ${cosineSql("v", "vb")} AS cosine
+       |FROM e JOIN b ON vec_id < vec_b
+       |WHERE ${cosineSql("v", "vb")} >= 0.4""".stripMargin
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TimeExprs
-import graft.operators.{Maintenance, Ohlc, Options, Relational}
+import graft.operators.{Dedup, Maintenance, Ohlc, Options, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,7 +52,23 @@ object SparkEntry {
     // P6 parse + full 24-col option OHLC (A1 with P5/P8/P9)
     "q_parse_instrument" -> ((s, dir) =>
       Maintenance.parseInstrument(Tables.optionTrades(s, dir).select("instrument_name").distinct())),
-    "q_option_ohlc_full" -> ((s, dir) => Options.hourlyOptionOhlc(Tables.optionTrades(s, dir)))
+    "q_option_ohlc_full" -> ((s, dir) => Options.hourlyOptionOhlc(Tables.optionTrades(s, dir))),
+    // Training-data pipeline: text analysis
+    "q_token_count" -> ((s, dir) => TextOps.tokenCount(Tables.documents(s, dir))),
+    "q_text_quality" -> ((s, dir) => TextOps.textQuality(Tables.documents(s, dir))),
+    "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    // Training-data pipeline: dedup
+    "q_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "q_minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
+    "q_minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir))),
+    "q_ngram_jaccard_pairs" -> ((s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
+    "q_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
+    // Training-data pipeline: similarity search
+    "q_ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
+    "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(Tables.embeddings(s, dir))),
+    "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
+    "q_embedding_neardups" -> ((s, dir) => Similarity.embeddingNearDups(Tables.embeddings(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,6 +95,19 @@ object SparkEntry {
     "q_dedup_first_wins" -> Oracles.dedupFirstWinsSql,
     "q_watermark" -> Oracles.watermarkSql,
     "q_parse_instrument" -> Oracles.parseInstrumentSql,
-    "q_option_ohlc_full" -> Oracles.optionOhlcFullSql
+    "q_option_ohlc_full" -> Oracles.optionOhlcFullSql,
+    "q_token_count" -> OraclesML.tokenCountSql,
+    "q_text_quality" -> OraclesML.textQualitySql,
+    "q_lang_id" -> OraclesML.langIdSql,
+    "q_doc_fingerprint" -> OraclesML.fingerprintSql,
+    "q_exact_dedup" -> OraclesML.exactDedupSql,
+    "q_minhash_signatures" -> OraclesML.minhashSignaturesSql,
+    "q_minhash_lsh_pairs" -> OraclesML.minhashLshPairsSql,
+    "q_ngram_jaccard_pairs" -> OraclesML.ngramJaccardPairsSql,
+    "q_simhash" -> OraclesML.simhashSql,
+    "q_ann_bruteforce" -> OraclesML.annBruteForceSql,
+    "q_ivf_assign" -> OraclesML.ivfAssignSql,
+    "q_ann_ivf" -> OraclesML.annIvfSql,
+    "q_embedding_neardups" -> OraclesML.embeddingNearDupsSql
   )
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash groupBy), MinHash+LSH banding, n-gram Jaccard on blocked
+  * candidate pairs, and SimHash signatures.
+  *
+  * Cross-engine hash convention: md5 hex strings. Both Spark and DuckDB ship
+  * md5; the hex string is fixed-width, so LEXICOGRAPHIC min == numeric min of
+  * the 128-bit value — which makes MinHash signatures oracle-checkable
+  * without a shared integer-hash function. Seeded hash j of shingle s is
+  * `md5(j || ':' || s)`.
+  *
+  * Scale design: signatures are map-side per-document expressions; the only
+  * shuffles are the LSH bucket self-join (keyed by (band_id, band_hash), so
+  * co-bucketed docs land in one partition — the classic band-join) and the
+  * pair verification join. Brute-force all-pairs never happens: candidates
+  * come from band buckets or cheap blocking keys.
+  */
+object Dedup {
+
+  val ShingleK = 3
+  val NumHashes = 16
+  val NumBands = 4 // 4 rows/band → LSH threshold ≈ (1/4)^(1/4) ≈ 0.71
+
+  /** Exact dedup: group identical texts by md5, keep the lowest doc_id
+    * (deterministic survivor), report group size.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(Shingles.shingles(TextOps.tokens(col("text")), ShingleK))
+        .as("shingles"))
+
+  /** MinHash signatures: NumHashes seeded-md5 minima per document, plus the
+    * NumBands banded bucket hashes for LSH. Entirely map-side.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sigs = (0 until NumHashes).map { j =>
+      array_min(transform(col("shingles"),
+        s => md5(concat(lit(j.toString), lit(":"), s)))).as(s"sig_$j")
+    }
+    val withSigs = docShingles(docs).select(col("doc_id") +: sigs: _*)
+    val bands = (0 until NumBands).map { b =>
+      val rows = NumHashes / NumBands
+      md5(concat_ws("|",
+        (b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*))
+        .as(s"band_$b")
+    }
+    withSigs.select(col("doc_id") +:
+      (0 until NumHashes).map(j => col(s"sig_$j")) ++: bands: _*)
+  }
+
+  /** MinHash LSH candidate pairs + exact-Jaccard verification: docs sharing
+    * any band bucket are candidates; candidates are verified against the true
+    * shingle-set Jaccard and kept when ≥ `threshold`.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until NumBands).map(b =>
+      struct(lit(b).as("band_id"), col(s"band_$b").as("band_hash")))
+    val buckets = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(pairs, docShingles(docs), threshold)
+  }
+
+  /** n-gram Jaccard dedup with cheap blocking (lang, length bucket) instead
+    * of LSH: exercises the same verification kernel on a different candidate
+    * generator.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val blocked = docs.select(col("doc_id"),
+      struct(col("lang"), floor(col("n_chars") / 50).as("len_bucket")).as("blk"))
+    val pairs = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    verifyJaccard(pairs, docShingles(docs), threshold)
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs: two joins against the
+    * per-doc shingle arrays, then set arithmetic — integer counts, one double
+    * division at the end (bit-stable cross-engine).
+    */
+  private def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sa = shingleSets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val sb = shingleSets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over distinct whitespace tokens, emitted as a 64-char
+    * '0'/'1' string (portable across engines — no integer hash needed). Bit b
+    * (hex digit p = b/4, bit j = 3-b%4 of that digit) is 1 when the sum of
+    * ±1 token contributions is positive.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      val p = b / 4
+      val j = 3 - b % 4
+      val d = conv(substring(col("h"), p + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(d, j).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(b =>
+          when(col(s"s_$b") > 0, "1").otherwise("0")): _*).as("simhash_bits"))
+  }
+}

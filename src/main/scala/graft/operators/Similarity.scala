@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` vectors):
+  * brute-force cosine top-k as the correctness baseline, and an IVF
+  * (inverted-file) variant as the scale path — assign every vector to its
+  * nearest centroid, then search only the query's cluster.
+  *
+  * Numeric parity: embeddings are cast element-wise to double, dot products
+  * and norms are explicit LEFT-TO-RIGHT folds (`aggregate` with 0.0 init ↔
+  * DuckDB `list_reduce`), so both engines run the identical IEEE-754
+  * operation sequence and results compare bit-exact.
+  *
+  * Scale design: queries (and centroids) are tiny → broadcast; the big side
+  * streams through map-side cosine scoring, and per-query top-k is a
+  * window over (query, cosine desc) — with k small this is a partial top-k
+  * per partition under AQE, never a global sort of the corpus. IVF cuts the
+  * scored candidates by the cluster fan-out (here 8 clusters → 8× fewer
+  * score evaluations at the same recall trade-off as any IVF index).
+  */
+object Similarity {
+
+  /** Element-wise double vector from the float embedding. */
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Left-to-right dot product fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def vectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
+
+  /** Brute-force cosine top-k: every query (vec_id < nQueries) scored against
+    * the full corpus. The baseline every ANN variant is measured against.
+    */
+  def annBruteForce(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = vectors(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF cluster assignment: nearest (max-cosine) of the first `nCentroids`
+    * vectors, ties broken by centroid id. Output: vec_id → centroid_id.
+    */
+  def ivfAssign(emb: DataFrame, nCentroids: Int = 8): DataFrame = {
+    val e = vectors(emb)
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("centroid_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", cosine(col("cv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("cos_c").as("centroid_cosine"))
+  }
+
+  /** IVF top-k: queries are the centroids themselves (their cluster is their
+    * own id), searched only within their cluster's vectors.
+    */
+  def annIvf(emb: DataFrame, nCentroids: Int = 8, k: Int = 5): DataFrame = {
+    val e = vectors(emb)
+    val assigned = ivfAssign(emb, nCentroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val members = e.join(assigned, "vec_id")
+    val q = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    members.join(broadcast(q), col("centroid_id") === col("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
+    * Local baseline is the quadratic join; at scale the same verification
+    * kernel runs on LSH/IVF candidate buckets instead (see annIvf).
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = vectors(emb)
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    e.join(b, col("vec_id") < col("vec_b"))
+      .withColumn("cosine", cosine(col("v"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("vec_b"), col("cosine"))
+  }
+}

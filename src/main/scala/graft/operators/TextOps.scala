@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID (stopword
+  * heuristic), and document fingerprinting. The reference has no text surface
+  * — these are the pipeline-completeness operators the builder prompt
+  * requires, designed map-side only (no shuffle: every metric is a per-row
+  * expression, so they scale linearly with input splits).
+  *
+  * Parity notes (mirrored in [[graft.Oracles]]): DuckDB `regexp_replace`
+  * needs the `'g'` flag to match Spark's replace-all; 4-dp rounding is
+  * half-even on both sides (`bround` / `round_even`).
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text`. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
+  val tokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Token counting: whitespace tokens + regex (BPE-ish) tokens. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0)))
+        .cast("long").as("n_re_tokens"))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "is", "in", "to", "it", "that")
+
+  /** Quality scoring: length, word stats, punctuation / alpha / stopword
+    * ratios, and a composite score — all 4-dp half-even.
+    */
+  def textQuality(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val n = length(t)
+    val w = tokens(t)
+    val nWords = size(w).cast("long")
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", ""))
+    val punct = length(regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    val nonSpace = length(regexp_replace(t, "\\s", ""))
+    val nStop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
+    val alphaRatio = bround(alpha.cast("double") / n, 4)
+    val punctRatio = bround(punct.cast("double") / n, 4)
+    val stopRatio = bround(nStop.cast("double") / nWords, 4)
+    docs.select(
+      col("doc_id"),
+      n.cast("long").as("n_chars"),
+      nWords.as("n_words"),
+      bround(nonSpace.cast("double") / nWords, 4).as("mean_word_len"),
+      alphaRatio.as("alpha_ratio"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      bround(
+        alphaRatio * 0.4 + (lit(1.0) - punctRatio) * 0.3
+          + stopRatio * 0.2
+          + least(lit(1.0), nWords.cast("double") / 100) * 0.1, 4)
+        .as("quality_score"))
+  }
+
+  /** Per-language marker stopwords for the n-gram/stopword language-ID
+    * heuristic. Priority order (ties / all-zero → earlier wins, 'und' if no
+    * marker hits at all).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Language ID: argmax of marker-stopword hit counts, first-listed language
+    * wins ties, 'und' when nothing matches.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(w, x => x.isInCollection(markers))).cast("long")
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val predicted = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight + when-chain → first language in priority order that attains
+    // the max wins (en > de > fr > es), mirroring the oracle's CASE order.
+    docs.select(
+      (col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }
+        :+ predicted.as("predicted_lang")): _*)
+  }
+
+  /** Document fingerprinting: full-content md5 plus the minimum 3-word
+    * shingle hash (a 1-hash winnowing fingerprint — robust to doc reordering
+    * at the granularity of shingles).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val sh = Shingles.shingles(tokens(col("text")), 3)
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("content_hash"),
+      array_min(transform(sh, s => md5(s))).as("min_shingle_hash"),
+      size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
+  }
+}
+
+/** Shared shingle machinery (used by TextOps + Dedup). */
+object Shingles {
+  /** Overlapping k-word shingles of a token array (1-based slice, matches the
+    * DuckDB list-comprehension form in the oracles).
+    */
+  def shingles(words: Column, k: Int): Column =
+    // guard: sequence(1, 0) in Spark is DESCENDING [1, 0], not empty
+    when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - (k - 1)),
+        i => concat_ws(" ", slice(words, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+}
