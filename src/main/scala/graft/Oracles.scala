@@ -339,7 +339,9 @@ object Oracles {
        |  CAST(${g(5)} AS INT) AS strike,
        |  ${g(6)} AS option_type
        |FROM names
-       |WHERE regexp_matches(instrument_name, '$parsePat')""".stripMargin
+       |WHERE regexp_matches(instrument_name, '$parsePat')
+       |  AND CAST(${g(2)} AS INT) <=
+       |      day(last_day(make_date(2000 + CAST(${g(4)} AS INT), $month, 1)))""".stripMargin
   }
 
   /** Full 24-column option OHLC (`aggregators/option_ohlc.py:49-123`). */

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TimeExprs
-import graft.operators.{Dedup, Maintenance, Ohlc, Options, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, Maintenance, Multimodal, Ohlc, Options, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,7 +68,9 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
     "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
-    "q_embedding_neardups" -> ((s, dir) => Similarity.embeddingNearDups(Tables.embeddings(s, dir)))
+    "q_embedding_neardups" -> ((s, dir) => Similarity.embeddingNearDups(Tables.embeddings(s, dir))),
+    // Multimodal plumbing (decode stubbed — no oracle, rows-only check)
+    "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

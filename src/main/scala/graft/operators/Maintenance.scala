@@ -123,16 +123,18 @@ object Maintenance {
       .foldLeft(lit(null).cast("int")) { case (acc, (m, n)) =>
         when(mon === m, lit(n)).otherwise(acc)
       }
+    val year = regexp_extract(col("instrument_name"), pat, 4).cast("int") + 2000
+    val day = regexp_extract(col("instrument_name"), pat, 2).cast("int")
     names
       .filter(col("instrument_name").rlike(pat))
       .filter(monthNum.isNotNull)
+      // impossible dates (31FEB…) → dropped, like the reference's None path
+      // (`deribit.py:47-50`); ANSI make_date would otherwise throw.
+      .filter(day <= dayofmonth(last_day(make_date(year, monthNum, lit(1)))))
       .select(
         col("instrument_name"),
         regexp_extract(col("instrument_name"), pat, 1).as("underlying"),
-        make_date(
-          regexp_extract(col("instrument_name"), pat, 4).cast("int") + 2000,
-          monthNum,
-          regexp_extract(col("instrument_name"), pat, 2).cast("int")).as("expiry_date"),
+        make_date(year, monthNum, day).as("expiry_date"),
         regexp_extract(col("instrument_name"), pat, 5).cast("int").as("strike"),
         regexp_extract(col("instrument_name"), pat, 6).as("option_type"))
   }

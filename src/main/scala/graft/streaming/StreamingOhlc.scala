@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's micro-batch
+  * incremental layer (SURVEY.md §2.9): the reference simulates streaming with
+  * 5-second/5-minute cron ticks + trailing-overlap re-reads + upserts
+  * (`flows/main.py:48-122`, `collectors/binance.py:152-153`); here the same
+  * semantics are native:
+  *
+  *  - trailing-overlap re-read + last-write-wins upsert ⟶ event-time
+  *    watermark + update-mode windowed aggregation (late rows within the
+  *    watermark update their hour bucket in place);
+  *  - `MAX(ts)` resume point ⟶ checkpointed source offsets;
+  *  - idempotent ON CONFLICT writes ⟶ [[foreachBatchUpsert]] (dedup-by-key
+  *    merge per micro-batch).
+  *
+  * Works on any streaming DataFrame with (timestamp, instrument_name, price,
+  * amount, trade_id) — file source, Kafka, or MemoryStream in tests.
+  */
+object StreamingOhlc {
+
+  /** Streaming trades → hourly OHLC with a 2-hour watermark (the reference's
+    * 2h/3h trailing overlap, `collectors/binance.py:152-153`,
+    * `aggregators/option_ohlc.py:37-39`). min_by/max_by are commutative and
+    * so valid partial aggregates in update mode.
+    */
+  def hourlyOhlc(trades: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val key = struct(col("timestamp"), col("trade_id"))
+    trades
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), "1 hour").as("w"), col("instrument_name"))
+      .agg(
+        min_by(col("price"), key).as("open_price"),
+        max(col("price")).as("high_price"),
+        min(col("price")).as("low_price"),
+        max_by(col("price"), key).as("close_price"),
+        sum(col("amount")).as("volume"),
+        count(lit(1)).as("trade_count"))
+      .select(col("w.start").as("hour_ts"), col("instrument_name"),
+        col("open_price"), col("high_price"), col("low_price"),
+        col("close_price"), col("volume"), col("trade_count"))
+  }
+
+  case class TradeEvent(timestamp: java.sql.Timestamp, instrument_name: String,
+                        price: Double, amount: Double, trade_id: Long)
+
+  case class RunningOhlc(instrument_name: String, open: Double, high: Double,
+                         low: Double, close: Double, volume: Double, n: Long)
+
+  /** Custom per-instrument running state via mapGroupsWithState — the typed
+    * stateful path for semantics windowed aggs can't express (running
+    * all-time OHLC per instrument, emitted on every update).
+    */
+  def runningOhlcState(trades: Dataset[TradeEvent]): Dataset[RunningOhlc] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades.groupByKey(_.instrument_name)
+      .mapGroupsWithState[RunningOhlc, RunningOhlc](GroupStateTimeout.NoTimeout) {
+        (inst, events, state: GroupState[RunningOhlc]) =>
+          val sorted = events.toSeq.sortBy(e => (e.timestamp.getTime, e.trade_id))
+          val init = state.getOption
+          val out = sorted.foldLeft(init) { (acc, e) =>
+            acc match {
+              case None => Some(RunningOhlc(inst, e.price, e.price, e.price, e.price, e.amount, 1L))
+              case Some(s) => Some(s.copy(
+                high = math.max(s.high, e.price),
+                low = math.min(s.low, e.price),
+                close = e.price,
+                volume = s.volume + e.amount,
+                n = s.n + 1))
+            }
+          }.get
+          state.update(out)
+          out
+      }
+  }
+
+  /** Micro-batch upsert sink: per batch, last-write-wins dedup on `keyCols`
+    * then append — the ON CONFLICT DO UPDATE analog for object storage
+    * (`collectors/binance.py:76-125`). Use from
+    * `stream.writeStream.foreachBatch(foreachBatchUpsert(path, Seq("k")))`.
+    */
+  def foreachBatchUpsert(path: String, keyCols: Seq[String])
+                        (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("timestamp").desc)
+    batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Output-mode helper: hourly OHLC is meant for update mode (late data
+    * within the watermark overwrites its bucket, mirroring upserts).
+    */
+  val updateMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Shingles, TextOps}
+
+/** Dedup + text-analysis semantics on hand-built documents. */
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exactDedup keeps min doc_id per identical text") {
+    val d = docs((5L, "a b c"), (2L, "a b c"), (9L, "x y z"))
+    val r = Dedup.exactDedup(d).orderBy("keep_id").collect()
+    assert(r.map(x => (x.getAs[Long]("keep_id"), x.getAs[Long]("n_dups"))).toSeq
+      == Seq((2L, 2L), (9L, 1L)))
+  }
+
+  test("shingles: k=3 over tokens; fewer than k tokens → empty") {
+    val sh = Seq("a b c d", "a b").toDF("text")
+      .select(Shingles.shingles(TextOps.tokens(col("text")), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq.empty)
+  }
+
+  test("minhash LSH finds a true near-duplicate pair") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val pairs = Dedup.minhashLshPairs(docs((1L, base), (2L, nearDup), (3L, other)))
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 1L)
+    assert(pairs.head.getAs[Long]("doc_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("identical docs get identical minhash signatures and simhash bits") {
+    val d = docs((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa"))
+    val sigs = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until Dedup.NumHashes).map(j => r.getAs[String](s"sig_$j")))
+      .toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val sh = Dedup.simhash(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash_bits")).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L).length == 64)
+    assert(sh(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val r = TextOps.tokenCount(docs((1L, "ab cd, ef 12!"))).collect().head
+    assert(r.getAs[Long]("n_ws_tokens") == 4L)
+    // [ab][cd][,][ef][12][!]
+    assert(r.getAs[Long]("n_re_tokens") == 6L)
+  }
+
+  test("quality metrics are ratios in [0,1] and stopwords counted") {
+    val r = TextOps.textQuality(docs((1L, "the cat sat on the mat"))).collect().head
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Double]("stopword_ratio") == bround2(2.0 / 6.0))
+    assert(r.getAs[Double]("alpha_ratio") <= 1.0)
+    assert(r.getAs[Double]("quality_score") >= 0.0)
+  }
+
+  private def bround2(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  test("langId picks marker-language, priority order on ties, und on none") {
+    val d = docs(
+      (1L, "the house of cards"), // en markers: the, of
+      (2L, "der hund und die katze"), // de
+      (3L, "qqq www eee")) // none
+    val r = TextOps.langId(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("predicted_lang")).toMap
+    assert(r(1L) == "en")
+    assert(r(2L) == "de")
+    assert(r(3L) == "und")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(vs: (Long, Seq[Float])*) =
+    vs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical vectors → 1.0, orthogonal → 0.0") {
+    val df = emb(0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
+    val c = Similarity.embeddingNearDups(df, threshold = -2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    assert(c((0L, 1L)) == 1.0)
+    assert(c((0L, 2L)) == 0.0)
+  }
+
+  test("annBruteForce ranks by cosine desc with id tiebreak, excludes self") {
+    val df = emb(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f),
+      2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(1f, 0.01f, 0f))
+    val r = Similarity.annBruteForce(df, nQueries = 1, k = 3).collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L, 2L))
+    assert(r.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    assert(!r.exists(_.getAs[Long]("neighbor_id") == 0L))
+  }
+
+  test("annIvf returns the brute-force answer when neighbors share the query cluster") {
+    val df = emb(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), // centroids
+      10L -> Seq(0.95f, 0.05f), 11L -> Seq(0.9f, 0.1f), // cluster 0
+      20L -> Seq(0.05f, 0.95f)) // cluster 1
+    val ivf = Similarity.annIvf(df, nCentroids = 2, k = 2).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(ivf(0L).map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 11L))
+    assert(ivf(1L).map(_.getAs[Long]("neighbor_id")).toSeq == Seq(20L))
+  }
+
+  test("ivfAssign sends every vector to its max-cosine centroid") {
+    val df = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), 5L -> Seq(0.2f, 0.8f))
+    val a = Similarity.ivfAssign(df, nCentroids = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    assert(a(5L) == 1L)
+    assert(a(0L) == 0L && a(1L) == 1L)
+  }
+}
