@@ -184,11 +184,17 @@ object OraclesML {
   private def dotSql(a: String, b: String): String =
     s"list_reduce([$a[i] * $b[i] for i in range(1, 65)], (x, y) -> x + y)"
 
-  private def cosineSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  /** Vectors are pre-normalized in the CTE (normalize-then-dot, matching
+    * Similarity.vectors), so pairwise cosine is a single dot product.
+    */
+  private def cosineSql(a: String, b: String): String = dotSql(a, b)
 
   private val evecCte: String =
-    "e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)"
+    s"""e AS (
+       |  SELECT vec_id, [x / n for x in v] AS v FROM (
+       |    SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS n FROM (
+       |      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+       |      FROM embeddings)))""".stripMargin
 
   val annBruteForceSql: String =
     s"""WITH $evecCte,

@@ -17,7 +17,14 @@ object Tables {
     // Spark rejects by default; read it as a long and convert below. Session
     // conf, so it works under any driver-created SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The testdata files are single-row-group parquet → 1 scan partition →
+    // every downstream map-side expression runs single-threaded. Spread
+    // under-split scans across the cluster; on real multi-split inputs
+    // (100 TB = thousands of row groups) this never triggers, so no extra
+    // shuffle is paid at scale.
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
   }
 
   /** events with `ts` normalized to TimestampType (µs). The ns→µs truncation
@@ -74,12 +81,17 @@ object Tables {
     val expiry = date_add(to_date(col("ts")), (col("user_id") % 30 + 1).cast("int"))
     val strike = (col("user_id") % 20 * 500 + 10000).cast("int")
     val optionType = when(col("event_id") % 2 === 0, "C").otherwise("P")
+    // dd/MON/yy built arithmetically (dayofmonth / map / lpad) rather than
+    // with date_format: identical output, no per-row DateTimeFormatter work,
+    // and small enough to stay inside whole-stage codegen when filters get
+    // pushed into it.
+    val monAbbrev = typedLit(operators.Maintenance.monthNumbers.map(_.swap))
     val name = when(col("event_id") % 10 === 0,
         concat(lit("MALFORMED-"), col("event_id")))
       .otherwise(concat(
         lit("BTC-"),
-        date_format(expiry, "d"), upper(date_format(expiry, "MMM")),
-        date_format(expiry, "yy"),
+        dayofmonth(expiry).cast("string"), element_at(monAbbrev, month(expiry)),
+        lpad((year(expiry) % 100).cast("string"), 2, "0"),
         lit("-"), strike, lit("-"), optionType))
     e.select(
       col("event_id").as("trade_id"),

@@ -47,7 +47,10 @@ object Maintenance {
     */
   def gapSummary(events: DataFrame): DataFrame = {
     val gaps = gapDetect(events, thresholdMin = 1)
-    val anchored = gaps.withColumn("now", max(col("gap_end")).over(Window.partitionBy()))
+    // scalar "now" via agg + broadcast cross join — a partitionBy() window
+    // would funnel every gap row through ONE partition at scale
+    val now = gaps.agg(max(col("gap_end")).as("now"))
+    val anchored = gaps.crossJoin(broadcast(now))
     anchored
       .groupBy(col("instrument"))
       .agg(
@@ -64,11 +67,21 @@ object Maintenance {
     */
   def missingTimeline(events: DataFrame): DataFrame = {
     val grid = minuteGrid(events)
+    // two-level explode (days, then 1440 minutes within each day) keeps every
+    // generated array bounded — a single min→max minute sequence would build
+    // one multi-million-element array row per instrument on years of data
     val expected = grid
       .groupBy(col("instrument"))
       .agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
-      .select(col("instrument"),
-        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 MINUTE"))).as("m"))
+      .select(col("instrument"), col("mn"), col("mx"),
+        explode(sequence(to_date(col("mn")), to_date(col("mx")),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .select(col("instrument"), col("mn"), col("mx"),
+        explode(sequence(col("day").cast("timestamp"),
+          col("day").cast("timestamp") + expr("INTERVAL 1439 MINUTES"),
+          expr("INTERVAL 1 MINUTE"))).as("m"))
+      .filter(col("m") >= col("mn") && col("m") <= col("mx"))
+      .select(col("instrument"), col("m"))
     expected.join(grid, Seq("instrument", "m"), "left_anti")
       .select(col("instrument"), col("m").as("missing_minute"))
   }
@@ -114,28 +127,32 @@ object Maintenance {
     * (`collectors/deribit.py:29-51,90-92`). Pure codegen'd built-ins:
     * regexp_extract ×5 + month `when` chain + make_date.
     */
+  val monthNumbers: Map[String, Int] = Map(
+    "JAN" -> 1, "FEB" -> 2, "MAR" -> 3, "APR" -> 4, "MAY" -> 5, "JUN" -> 6,
+    "JUL" -> 7, "AUG" -> 8, "SEP" -> 9, "OCT" -> 10, "NOV" -> 11, "DEC" -> 12)
+
   def parseInstrument(names: DataFrame): DataFrame = {
     val pat = "^(\\w+)-(\\d{1,2})([A-Z]{3})(\\d{2})-(\\d+)-([CP])$"
-    val mon = regexp_extract(col("instrument_name"), pat, 3)
-    val monthNum = Seq("JAN" -> 1, "FEB" -> 2, "MAR" -> 3, "APR" -> 4,
-      "MAY" -> 5, "JUN" -> 6, "JUL" -> 7, "AUG" -> 8, "SEP" -> 9,
-      "OCT" -> 10, "NOV" -> 11, "DEC" -> 12)
-      .foldLeft(lit(null).cast("int")) { case (acc, (m, n)) =>
-        when(mon === m, lit(n)).otherwise(acc)
-      }
-    val year = regexp_extract(col("instrument_name"), pat, 4).cast("int") + 2000
-    val day = regexp_extract(col("instrument_name"), pat, 2).cast("int")
+    // Month via a single map lookup, NOT a 12-branch when-chain: predicate
+    // pushdown substitutes filter conditions below projections, and a chain
+    // referencing the regex 12× would balloon the pushed condition past the
+    // codegen method limit (interpreted fallback, no subexpression
+    // elimination — observed 10× slowdown). try_element_at: ANSI element_at
+    // throws on a missing key.
+    val monthMap = typedLit(monthNumbers)
+    def g(i: Int) = regexp_extract(col("instrument_name"), pat, i)
     names
       .filter(col("instrument_name").rlike(pat))
-      .filter(monthNum.isNotNull)
+      .select(col("instrument_name"), g(1).as("underlying"),
+        g(2).cast("int").as("dd"), try_element_at(monthMap, g(3)).as("mm"),
+        (g(4).cast("int") + 2000).as("yy"),
+        g(5).cast("int").as("strike"), g(6).as("option_type"))
       // impossible dates (31FEB…) → dropped, like the reference's None path
       // (`deribit.py:47-50`); ANSI make_date would otherwise throw.
-      .filter(day <= dayofmonth(last_day(make_date(year, monthNum, lit(1)))))
-      .select(
-        col("instrument_name"),
-        regexp_extract(col("instrument_name"), pat, 1).as("underlying"),
-        make_date(year, monthNum, day).as("expiry_date"),
-        regexp_extract(col("instrument_name"), pat, 5).cast("int").as("strike"),
-        regexp_extract(col("instrument_name"), pat, 6).as("option_type"))
+      .filter(col("mm").isNotNull &&
+        col("dd") <= dayofmonth(last_day(make_date(col("yy"), col("mm"), lit(1)))))
+      .select(col("instrument_name"), col("underlying"),
+        make_date(col("yy"), col("mm"), col("dd")).as("expiry_date"),
+        col("strike"), col("option_type"))
   }
 }

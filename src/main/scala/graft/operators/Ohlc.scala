@@ -163,18 +163,24 @@ object Ohlc {
 
     // Append order within a row (`base.py:71-79`): |ch_high|>|ch_low| → HIGH
     // first, else LOW (if nonzero) then HIGH; ch_low==0 rows emit only HIGH.
-    val keyCols = Seq(col("instrument"), col("session_start"), col("rn"))
-    val highs = indexed.select(keyCols ++ Seq(
-      col("chhigh").as("value"), lit("HIGH").as("type"),
-      when(abs(col("chhigh")) > abs(col("chlow")), lit(0L)).otherwise(lit(1L)).as("seq")): _*)
-    val lows = indexed.filter(col("chlow") =!= 0).select(keyCols ++ Seq(
-      col("chlow").as("value"), lit("LOW").as("type"),
-      when(abs(col("chhigh")) > abs(col("chlow")), lit(1L)).otherwise(lit(0L)).as("seq")): _*)
+    // Candidates as one explode (a union of two projections would evaluate
+    // the row_number window twice).
+    val highFirst = abs(col("chhigh")) > abs(col("chlow"))
+    val highCand = struct(col("chhigh").as("value"), lit("HIGH").as("type"),
+      when(highFirst, lit(0L)).otherwise(lit(1L)).as("seq"))
+    val lowCand = struct(col("chlow").as("value"), lit("LOW").as("type"),
+      when(highFirst, lit(1L)).otherwise(lit(0L)).as("seq"))
+    val cands = when(col("chlow") =!= 0, array(highCand, lowCand))
+      .otherwise(array(highCand))
 
     // Python list.sort is stable: order by |value| desc, insertion order (rn, seq) asc.
     val rankW = Window.partitionBy(col("instrument"), col("session_start"))
       .orderBy(abs(col("value")).desc, col("rn"), col("seq"))
-    highs.union(lows)
+    indexed
+      .select(col("instrument"), col("session_start"), col("rn"),
+        explode(cands).as("cand"))
+      .select(col("instrument"), col("session_start"), col("rn"),
+        col("cand.value"), col("cand.type"), col("cand.seq"))
       .withColumn("rank", row_number().over(rankW).cast("long"))
       .filter(col("rank") <= 2)
       .select(col("instrument"), col("session_start"), col("rank"),

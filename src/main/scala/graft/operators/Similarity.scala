@@ -32,10 +32,18 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine of two pre-normalized (unit) vectors: a single fold per pair. */
+  def cosine(ua: Column, ub: Column): Column = dot(ua, ub)
 
+  /** Unit vectors, normalized ONCE per vector — every pairwise cosine is then
+    * one dot product instead of three (the norms would otherwise be re-folded
+    * for each of the O(n²) pairs). The oracle mirrors the same
+    * normalize-then-dot sequence for bit parity.
+    */
   private def vectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("v"))
 
   /** Brute-force cosine top-k: every query (vec_id < nQueries) scored against
     * the full corpus. The baseline every ANN variant is measured against.
