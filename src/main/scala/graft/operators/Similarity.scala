@@ -26,9 +26,11 @@ object Similarity {
   /** Element-wise double vector from the float embedding. */
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Left-to-right dot product fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Left-to-right dot product: the codegen'd [[graft.functions.DotProduct]]
+    * kernel (same IEEE fold order as the declarative
+    * `aggregate(zip_with(...))` form, ~10× faster on O(n²) scoring).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -38,12 +40,15 @@ object Similarity {
   /** Unit vectors, normalized ONCE per vector — every pairwise cosine is then
     * one dot product instead of three (the norms would otherwise be re-folded
     * for each of the O(n²) pairs). The oracle mirrors the same
-    * normalize-then-dot sequence for bit parity.
+    * normalize-then-dot sequence for bit parity. Registers the native kernel
+    * on the input's session (idempotent).
     */
-  private def vectors(emb: DataFrame): DataFrame =
+  private def vectors(emb: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
     emb.select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
       .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("v"))
+  }
 
   /** Brute-force cosine top-k: every query (vec_id < nQueries) scored against
     * the full corpus. The baseline every ANN variant is measured against.

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Incremental
+
+/** Watermark resume + trailing-overlap re-read + LWW upsert (SURVEY §3.2):
+  * two ticks with overlapping, revised rows must converge to last-write-wins
+  * of the union; replaying a tick is a no-op.
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(data: (Long, String, Double, String)*) =
+    data.map { case (id, ts, v, b) => (id, sqlTs(ts), v, b) }
+      .toDF("key", "ts", "value", "batch")
+
+  test("two overlapping ticks converge to last-write-wins; replay is idempotent") {
+    val sink = Files.createTempDirectory("graft_sink").toString + "/t"
+    val batch1 = rows(
+      (1L, "2024-01-01 10:00:00", 100.0, "b1"),
+      (2L, "2024-01-01 11:00:00", 200.0, "b1"),
+      (3L, "2024-01-02 09:00:00", 300.0, "b1"))
+    Incremental.syncTick(batch1, sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+
+    // batch2 revises key 3 (inside the 2h overlap of max ts) and adds key 4
+    val batch2 = rows(
+      (3L, "2024-01-02 09:00:00", 333.0, "b2"),
+      (4L, "2024-01-02 10:00:00", 400.0, "b2"))
+    Incremental.syncTick(batch2, sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+
+    val after2 = spark.read.parquet(sink)
+      .select("key", "value", "batch").orderBy("key")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(after2 == Seq((1L, 100.0, "b1"), (2L, 200.0, "b1"),
+      (3L, 333.0, "b2"), (4L, 400.0, "b2")))
+
+    // replay batch2 → unchanged
+    Incremental.syncTick(batch2, sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    val after3 = spark.read.parquet(sink)
+      .select("key", "value", "batch").orderBy("key")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(after3 == after2)
+
+    // watermark reflects max ts
+    assert(Incremental.sinkWatermark(spark, sink, "ts").get ==
+      sqlTs("2024-01-02 10:00:00"))
+    // untouched partition (2024-01-01) was not rewritten away
+    assert(spark.read.parquet(sink).filter(col("key") === 1L).count() == 1L)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeExprs
+import graft.operators.Ohlc
+
+/** Property-style invariants (SURVEY §5 item 3) checked over randomized data
+  * (fixed seed) in single Spark passes.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2000 random timestamps across 3 years, second precision, seed 42
+  private lazy val randomTs = {
+    val rnd = new scala.util.Random(42)
+    val base = sqlTs("2023-01-01 00:00:00").getTime
+    (1 to 2000).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + math.abs(rnd.nextLong() % (3L * 365 * 86400 * 1000))))
+    }.toDF("id", "ts")
+  }
+
+  test("every ts falls in exactly one session: start <= ts < end, aligned boundaries") {
+    val checked = randomTs.select(
+      col("ts"),
+      TimeExprs.dailySessionStart(col("ts")).as("d"),
+      TimeExprs.weeklySessionStart(col("ts")).as("w"),
+      TimeExprs.monthlySessionStart(col("ts")).as("m"))
+      .withColumn("m_end", TimeExprs.monthlySessionEnd(col("m")))
+    val bad = checked.filter(
+      // containment (half-open)
+      col("d") > col("ts") || col("ts") >= col("d") + expr("INTERVAL 24 HOURS") ||
+        col("w") > col("ts") || col("ts") >= col("w") + expr("INTERVAL 7 DAYS") ||
+        col("m") > col("ts") || col("ts") >= col("m_end") ||
+        // boundary alignment: all sessions start 08:00; weekly+monthly on Friday
+        hour(col("d")) =!= 8 || hour(col("w")) =!= 8 || hour(col("m")) =!= 8 ||
+        dayofweek(col("w")) =!= 6 || dayofweek(col("m")) =!= 6 ||
+        // monthly end is also a Friday 08:00 and strictly after start
+        dayofweek(col("m_end")) =!= 6 || col("m_end") <= col("m"))
+    assert(bad.count() == 0)
+  }
+
+  test("monthly session start is the last Friday of ITS month") {
+    // a Friday 7 days later would land in the next month
+    val bad = randomTs
+      .select(TimeExprs.monthlySessionStart(col("ts")).as("m"))
+      .filter(month(date_add(to_date(col("m")), 7)) === month(col("m")))
+    assert(bad.count() == 0)
+  }
+
+  test("OHLC re-aggregation associativity: weekly-from-daily == weekly-from-hourly") {
+    val bars = Ohlc.hourlyBars(Tables.trades(spark, "/root/testdata/sf0.001"))
+    val daily = Ohlc.sessionRollup(bars, TimeExprs.dailySessionStart, minRows = 1)
+      .select(col("session_start").as("t"), col("instrument"),
+        col("open"), col("high"), col("low"), col("close"))
+    val weeklyFromDaily = Ohlc.sessionRollup(daily, TimeExprs.weeklySessionStart, minRows = 1)
+      .select(col("instrument"), col("session_start"),
+        col("open"), col("high"), col("low"), col("close"))
+    val weeklyFromHourly = Ohlc.sessionRollup(bars, TimeExprs.weeklySessionStart, minRows = 1)
+      .select(col("instrument"), col("session_start"),
+        col("open"), col("high"), col("low"), col("close"))
+    assert(weeklyFromDaily.exceptAll(weeklyFromHourly).isEmpty)
+    assert(weeklyFromHourly.exceptAll(weeklyFromDaily).isEmpty)
+    assert(weeklyFromDaily.count() > 0)
+  }
+
+  test("gap detection finds exactly randomly excised minutes") {
+    val rnd = new scala.util.Random(7)
+    val all = (0 until 600).map(i => i -> f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00")
+    val excised = rnd.shuffle(all.map(_._1).toList).take(60).toSet
+    val df = all.filterNot { case (i, _) => excised.contains(i) }
+      .map { case (i, ts) => (i.toLong, sqlTs(ts), 1L, "x", 1.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val found = operators.Maintenance.missingTimeline(df)
+      .select(col("missing_minute").cast("string")).as[String].collect()
+      .map(_.substring(0, 16)).toSet
+    // exactly the excised minutes inside the surviving [min, max] range are
+    // reported (excisions at the edges clip the range instead)
+    val survivingIdx = all.map(_._1).filterNot(excised.contains)
+    val (lo, hi) = (survivingIdx.min, survivingIdx.max)
+    val expectedInRange = all
+      .filter { case (i, _) => excised.contains(i) && i > lo && i < hi }
+      .map(_._2.substring(0, 16)).toSet
+    assert(found == expectedInRange)
+  }
+}
