@@ -245,6 +245,38 @@ object OraclesML {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
        |FROM r WHERE rank <= 5""".stripMargin
 
+  val jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(sum(CAST(props::JSON->>'k' AS BIGINT)) AS DOUBLE) / count(*) AS mean_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Literal hyperplane arrays — the same Scala-side constants as
+    * Similarity.hyperplanes, round-tripped through Double.toString.
+    */
+  private def planeLit(w: Seq[Double]): String =
+    w.map(_.toString).mkString("[", ", ", "]")
+
+  val lshBucketsSql: String = {
+    val bits = graft.operators.Similarity.hyperplanes.map { w =>
+      s"(CASE WHEN ${dotSql("v", s"(${planeLit(w)})")} > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH $evecCte
+       |SELECT vec_id, $bits AS bucket FROM e""".stripMargin
+  }
+
+  val lshNearDupsSql: String = {
+    val bits = graft.operators.Similarity.hyperplanes.map { w =>
+      s"(CASE WHEN ${dotSql("v", s"(${planeLit(w)})")} > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""WITH $evecCte,
+       |bk AS (SELECT vec_id, v, $bits AS bucket FROM e),
+       |b AS (SELECT bucket, vec_id AS vec_b, v AS vb FROM bk)
+       |SELECT a.vec_id AS vec_a, b.vec_b, a.bucket, ${dotSql("a.v", "b.vb")} AS cosine
+       |FROM bk a JOIN b ON a.bucket = b.bucket AND a.vec_id < b.vec_b
+       |WHERE ${dotSql("a.v", "b.vb")} >= 0.4""".stripMargin
+  }
+
   val embeddingNearDupsSql: String =
     s"""WITH $evecCte,
        |b AS (SELECT vec_id AS vec_b, v AS vb FROM e)

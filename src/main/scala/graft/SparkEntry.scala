@@ -69,6 +69,10 @@ object SparkEntry {
     "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
     "q_embedding_neardups" -> ((s, dir) => Similarity.embeddingNearDups(Tables.embeddings(s, dir))),
+    "q_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir))),
+    "q_lsh_neardups" -> ((s, dir) => Similarity.lshNearDups(Tables.embeddings(s, dir))),
+    // Semi-structured extraction (props JSON)
+    "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
     // Multimodal plumbing (decode stubbed — no oracle, rows-only check)
     "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir))
   )
@@ -110,6 +114,9 @@ object SparkEntry {
     "q_ann_bruteforce" -> OraclesML.annBruteForceSql,
     "q_ivf_assign" -> OraclesML.ivfAssignSql,
     "q_ann_ivf" -> OraclesML.annIvfSql,
-    "q_embedding_neardups" -> OraclesML.embeddingNearDupsSql
+    "q_embedding_neardups" -> OraclesML.embeddingNearDupsSql,
+    "q_lsh_buckets" -> OraclesML.lshBucketsSql,
+    "q_lsh_neardups" -> OraclesML.lshNearDupsSql,
+    "q_json_props" -> OraclesML.jsonPropsSql
   )
 }

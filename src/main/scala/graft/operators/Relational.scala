@@ -100,6 +100,18 @@ object Relational {
           .cast("long").as("order_seq"))
   }
 
+  /** Semi-structured extraction: the events `props` JSON field
+    * (`get_json_object`, SURVEY §2.8 note) aggregated per instrument.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("mean_k"))
+  }
+
   /** Set operations: customers in the top decile by account balance vs
     * customers holding open orders — union/intersect/except in one result.
     */

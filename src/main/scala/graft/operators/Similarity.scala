@@ -105,7 +105,7 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
     * Local baseline is the quadratic join; at scale the same verification
-    * kernel runs on LSH/IVF candidate buckets instead (see annIvf).
+    * kernel runs on LSH/IVF candidate buckets instead (see [[lshNearDups]]).
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
     val e = vectors(emb)
@@ -114,5 +114,48 @@ object Similarity {
       .withColumn("cosine", cosine(col("v"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_id").as("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH: component (j, i) is an
+    * md5-derived value in [-1, 1) — reproducible in SQL text form, so the
+    * DuckDB oracle uses the IDENTICAL constants.
+    */
+  val NumPlanes = 12
+  val Dim = 64
+  lazy val hyperplanes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { j =>
+      (0 until Dim).map { i =>
+        val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0 * 2 - 1
+      }
+    }
+  }
+
+  /** Sign-LSH bucket of every vector: bit j = (v · w_j) > 0, as a
+    * NumPlanes-char '0'/'1' string. Map-side only.
+    */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val e = vectors(emb)
+    val bits = hyperplanes.map { w =>
+      val wCol = array(w.map(lit): _*)
+      when(dot(col("v"), wCol) > 0, "1").otherwise("0")
+    }
+    e.select(col("vec_id"), concat(bits: _*).as("bucket"))
+  }
+
+  /** LSH-bucketed near-dup pairs — the 100 TB path: candidates share a
+    * bucket (shuffle keyed on the bucket, no quadratic join), then the exact
+    * cosine verifies. Recall trades off against NumPlanes like any sign-LSH.
+    */
+  def lshNearDups(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = vectors(emb).join(lshBuckets(emb), "vec_id")
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    e.join(b, Seq("bucket"))
+      .filter(col("vec_id") < col("vec_b"))
+      .withColumn("cosine", cosine(col("v"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
   }
 }

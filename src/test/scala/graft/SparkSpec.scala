@@ -18,6 +18,10 @@ object SparkSpec {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // fresh warehouse per test JVM — saveAsTable locations from a previous
+    // run would otherwise collide (in-memory catalog, persistent files)
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
