@@ -99,7 +99,13 @@ object Dedup {
                             threshold: Double): DataFrame = {
     val sa = shingleSets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
     val sb = shingleSets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
-    pairs.join(sa, "doc_a").join(sb, "doc_b")
+    // explicit spread: the pair set is tiny in BYTES but heavy in CPU
+    // (array_intersect over ~300-string arrays per pair) — AQE would
+    // coalesce it to 1-2 partitions on size alone and serialize the work
+    val spread = pairs.repartition(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      col("doc_a"), col("doc_b"))
+    spread.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("n_union", size(array_union(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
