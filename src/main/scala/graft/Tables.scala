@@ -27,27 +27,31 @@ object Tables {
     if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
   }
 
+  private def loadValidated(spark: SparkSession, dir: String, name: String): DataFrame =
+    Schemas.validate(name, load(spark, dir, name))
+
   /** events with `ts` normalized to TimestampType (µs). The ns→µs truncation
     * (floor) matches what DuckDB does when it reads the same parquet.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    raw.schema("ts").dataType match {
+    val normalized = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer `div`, not `/`: ns-epoch values (~1.7e18) don't fit a double
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
+    Schemas.validate("events", normalized)
   }
-  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
-  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
-  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
-  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
-  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
-  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "embeddings")
 
   /** events recast as an option-trade-like stream. `amount` is a deterministic
     * positive function of user_id (the testdata has no native quantity column).
