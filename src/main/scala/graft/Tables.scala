@@ -65,6 +65,19 @@ object Tables {
       (col("user_id") % 7 + 1).cast("double").as("amount")
     )
 
+  /** Register every testdata table (plus the derived trades view) as temp
+    * views so the engine's full surface is reachable from `spark.sql`.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Schemas.all.keys.foreach { name =>
+      loadOrEvents(spark, dir, name).createOrReplaceTempView(name)
+    }
+    trades(spark, dir).createOrReplaceTempView("trades")
+  }
+
+  private def loadOrEvents(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else loadValidated(spark, dir, name)
+
   /** Same derivation as SQL text, for oracle CTEs. */
   val tradesSql: String =
     """SELECT event_id AS trade_id, ts AS "timestamp", event_type AS instrument_name,

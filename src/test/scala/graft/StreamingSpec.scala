@@ -46,6 +46,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file source → AvailableNow → foreachBatch LWW sink, end to end") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val sinkDir = Files.createTempDirectory("graft_stream_sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    // batch 1 lands as a file; includes a key that batch 2 revises
+    Seq(trade("2024-01-01 10:00:00", 100.0, 1), trade("2024-01-01 10:05:00", 101.0, 2))
+      .toDS().write.mode("overwrite").parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(
+        Seq.empty[TradeEvent].toDS().schema).parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch(StreamingOhlc.foreachBatchUpsert(sinkDir,
+          Seq("instrument_name", "trade_id")) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(sinkDir).count() == 2)
+
+    // a second file arrives; checkpoint resumes past the first
+    Seq(trade("2024-01-01 10:05:00", 999.0, 2), trade("2024-01-01 10:10:00", 102.0, 3))
+      .toDS().write.mode("append").parquet(srcDir)
+    runOnce()
+    val rows = spark.read.parquet(sinkDir)
+    // trade 2 appears twice across batch files (append sink); latest batch wins
+    val t2 = rows.filter(org.apache.spark.sql.functions.col("trade_id") === 2L)
+      .orderBy(org.apache.spark.sql.functions.col("__batch_id").desc)
+      .collect()
+    assert(t2.head.getAs[Double]("price") == 999.0)
+    assert(rows.select("trade_id").distinct().count() == 3)
+  }
+
   test("mapGroupsWithState keeps running OHLC per instrument across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TradeEvent]
