@@ -170,6 +170,18 @@ object Oracles {
        |SELECT instrument, session_start, rank, value, type, rn AS time
        |FROM ranked WHERE rank <= 2""".stripMargin
 
+  /** As-of join: each trade ↔ latest hourly bar at or before it (DuckDB has
+    * native ASOF JOIN — the Spark side composes it from a union + window).
+    */
+  val asofBarSql: String =
+    s"""WITH $tradesCte,
+       |$hourlyCte,
+       |$barsCte
+       |SELECT l.instrument_name AS instrument, l."timestamp", l.trade_id, l.price,
+       |  r.t AS asof_t, r."open" AS asof_open, r."close" AS asof_close
+       |FROM trades l ASOF LEFT JOIN bars r
+       |  ON l.instrument_name = r.instrument AND l."timestamp" >= r.t""".stripMargin
+
   /** A4 stats over the hourly layer. */
   val statsSql: String =
     s"""WITH $tradesCte,

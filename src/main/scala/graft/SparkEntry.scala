@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TimeExprs
-import graft.operators.{Dedup, Maintenance, Multimodal, Ohlc, Options, Relational, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Maintenance, Multimodal, Ohlc, Options, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -71,6 +71,9 @@ object SparkEntry {
     "q_embedding_neardups" -> ((s, dir) => Similarity.embeddingNearDups(Tables.embeddings(s, dir))),
     "q_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir))),
     "q_lsh_neardups" -> ((s, dir) => Similarity.lshNearDups(Tables.embeddings(s, dir))),
+    // As-of join: trade → latest hourly bar (composed union+window)
+    "q_asof_bar" -> ((s, dir) => AsOf.tradesWithLatestBar(
+      Tables.trades(s, dir), Ohlc.hourlyBars(Tables.trades(s, dir)))),
     // Semi-structured extraction (props JSON)
     "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
     // Multimodal plumbing (decode stubbed — no oracle, rows-only check)
@@ -117,6 +120,7 @@ object SparkEntry {
     "q_embedding_neardups" -> OraclesML.embeddingNearDupsSql,
     "q_lsh_buckets" -> OraclesML.lshBucketsSql,
     "q_lsh_neardups" -> OraclesML.lshNearDupsSql,
-    "q_json_props" -> OraclesML.jsonPropsSql
+    "q_json_props" -> OraclesML.jsonPropsSql,
+    "q_asof_bar" -> Oracles.asofBarSql
   )
 }
