@@ -338,6 +338,8 @@ object Oracles {
   private val parsePat = """^(\w+)-(\d{1,2})([A-Z]{3})(\d{2})-(\d+)-([CP])$"""
 
   val parseInstrumentSql: String = {
+    // TRY_CAST: DuckDB does not short-circuit AND conjuncts, so the day/year
+    // casts can be evaluated on rows regexp_matches rejects ('' extracts).
     def g(i: Int) = s"regexp_extract(instrument_name, '$parsePat', $i)"
     val month = "CASE " + Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN", "JUL",
       "AUG", "SEP", "OCT", "NOV", "DEC").zipWithIndex
@@ -347,13 +349,13 @@ object Oracles {
        |names AS (SELECT DISTINCT instrument_name FROM otrades)
        |SELECT instrument_name,
        |  ${g(1)} AS underlying,
-       |  make_date(2000 + CAST(${g(4)} AS INT), $month, CAST(${g(2)} AS INT)) AS expiry_date,
-       |  CAST(${g(5)} AS INT) AS strike,
+       |  make_date(2000 + TRY_CAST(${g(4)} AS INT), $month, TRY_CAST(${g(2)} AS INT)) AS expiry_date,
+       |  TRY_CAST(${g(5)} AS INT) AS strike,
        |  ${g(6)} AS option_type
        |FROM names
        |WHERE regexp_matches(instrument_name, '$parsePat')
-       |  AND CAST(${g(2)} AS INT) <=
-       |      day(last_day(make_date(2000 + CAST(${g(4)} AS INT), $month, 1)))""".stripMargin
+       |  AND TRY_CAST(${g(2)} AS INT) <=
+       |      day(last_day(make_date(2000 + TRY_CAST(${g(4)} AS INT), $month, 1)))""".stripMargin
   }
 
   /** Full 24-column option OHLC (`aggregators/option_ohlc.py:49-123`). */
