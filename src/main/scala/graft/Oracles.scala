@@ -170,6 +170,18 @@ object Oracles {
        |SELECT instrument, session_start, rank, value, type, rn AS time
        |FROM ranked WHERE rank <= 2""".stripMargin
 
+  /** S2: trades → 1-minute OHLCV. */
+  val minuteOhlcSql: String =
+    s"""WITH $tradesCte
+       |SELECT date_trunc('minute', "timestamp") AS minute_ts, instrument_name,
+       |  first(price ORDER BY "timestamp", trade_id) AS "open",
+       |  max(price) AS high,
+       |  min(price) AS low,
+       |  last(price ORDER BY "timestamp", trade_id) AS "close",
+       |  CAST(sum(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+       |  count(*) AS n_trades
+       |FROM trades GROUP BY 1, 2""".stripMargin
+
   /** As-of join: each trade ↔ latest hourly bar at or before it (DuckDB has
     * native ASOF JOIN — the Spark side composes it from a union + window).
     */

@@ -22,6 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1 flagship: trades → hourly OHLC (option_ohlc.py:58-93)
     "q_hourly_ohlc" -> ((s, dir) => Ohlc.hourlyOhlc(Tables.trades(s, dir))),
+    // S2: 1-minute OHLCV layer (binance_1m.py:121-135)
+    "q_minute_ohlc" -> ((s, dir) => Ohlc.minuteOhlc(Tables.trades(s, dir))),
     // A2 session layers (base.py:87-153 + {daily,weekly,monthly}_sessions.py)
     "q_daily_sessions" -> ((s, dir) =>
       Ohlc.dailySessions(Ohlc.hourlyBars(Tables.trades(s, dir)))),
@@ -85,6 +87,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q_hourly_ohlc" -> Oracles.hourlyOhlcSql,
+    "q_minute_ohlc" -> Oracles.minuteOhlcSql,
     "q_daily_sessions" -> Oracles.dailySessionsSql,
     "q_weekly_sessions" -> Oracles.weeklySessionsSql,
     "q_monthly_sessions" -> Oracles.monthlySessionsSql,

@@ -48,6 +48,25 @@ object Ohlc {
             x => x.getField("trade_id").cast("string"))).as("trade_ids"))
   }
 
+  /** Trades → 1-minute OHLCV (the `{btc,eth,sol}_ohlc_1m` layer,
+    * `collectors/binance_1m.py:121-135` — same shape as hourly plus volume,
+    * at minute granularity). Same single-shuffle hash aggregate.
+    */
+  def minuteOhlc(trades: DataFrame): DataFrame = {
+    val key = struct(col("timestamp"), col("trade_id"))
+    trades
+      .groupBy(
+        date_trunc("MINUTE", col("timestamp")).as("minute_ts"),
+        col("instrument_name"))
+      .agg(
+        min_by(col("price"), key).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), key).as("close"),
+        dsum(col("amount")).as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
+
   /** Hourly OHLC restricted to the columns the session layer consumes
     * (`aggregators/daily_sessions.py:88-94`).
     */
