@@ -80,6 +80,29 @@ object OraclesML {
        |  CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct_shingles
        |FROM shingled""".stripMargin
 
+  val lengthPercentilesSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round_even(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+      |  round_even(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val deterministicSampleSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE md5(CAST(doc_id AS VARCHAR)) < '4'""".stripMargin
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t WHERE rn <= 20""".stripMargin
+
+  val rollupStatsSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY ROLLUP(o_orderpriority)""".stripMargin
+
   // ---- dedup ----
 
   val exactDedupSql: String =

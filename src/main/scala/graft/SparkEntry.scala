@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TimeExprs
-import graft.operators.{AsOf, Dedup, Maintenance, Multimodal, Ohlc, Options, Relational, Similarity, TextOps}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{AsOf, Dedup, Maintenance, Multimodal, Ohlc, Options, Relational, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,6 +80,15 @@ object SparkEntry {
       Tables.trades(s, dir), Ohlc.hourlyBars(Tables.trades(s, dir)))),
     // Semi-structured extraction (props JSON)
     "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
+    // Percentiles, deterministic sampling, rollup
+    "q_length_percentiles" -> ((s, dir) => TextOps.lengthPercentiles(Tables.documents(s, dir))),
+    "q_deterministic_sample" -> ((s, dir) => Sampling.deterministicSample(
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+      col("doc_id"), "4")),
+    "q_stratified_sample" -> ((s, dir) => Sampling.stratifiedSample(
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+      col("lang"), col("doc_id"), n = 20)),
+    "q_rollup_stats" -> ((s, dir) => Relational.rollupStats(s, dir)),
     // Multimodal plumbing (decode stubbed — no oracle, rows-only check)
     "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir))
   )
@@ -124,6 +135,10 @@ object SparkEntry {
     "q_lsh_buckets" -> OraclesML.lshBucketsSql,
     "q_lsh_neardups" -> OraclesML.lshNearDupsSql,
     "q_json_props" -> OraclesML.jsonPropsSql,
-    "q_asof_bar" -> Oracles.asofBarSql
+    "q_asof_bar" -> Oracles.asofBarSql,
+    "q_length_percentiles" -> OraclesML.lengthPercentilesSql,
+    "q_deterministic_sample" -> OraclesML.deterministicSampleSql,
+    "q_stratified_sample" -> OraclesML.stratifiedSampleSql,
+    "q_rollup_stats" -> OraclesML.rollupStatsSql
   )
 }

@@ -100,6 +100,17 @@ object Relational {
           .cast("long").as("order_seq"))
   }
 
+  /** ROLLUP grouping-set aggregation: per-priority totals plus the grand
+    * total in one pass (capability beyond the reference, SURVEY §2.4 notes
+    * it has none).
+    */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total_price"))
+
   /** Semi-structured extraction: the events `props` JSON field
     * (`get_json_object`, SURVEY §2.8 note) aggregated per instrument.
     */

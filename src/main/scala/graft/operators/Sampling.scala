@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation. `sample()`'s RNG is
+  * seed- and partitioning-dependent; these are pure functions of the row key
+  * — stable across reruns, engines, and cluster layouts, so a sample drawn
+  * at 100 TB is reproducible row-for-row.
+  *
+  * Trick: a row's md5 hex string compared lexicographically against a hex
+  * prefix selects an exact fraction of the hash space (`md5(k) < '4'` ⇔
+  * first nibble ∈ 0-3 ⇔ 25%), with no integer-hash parity issues.
+  */
+object Sampling {
+
+  /** Keep the fraction of rows whose key-hash falls below `hexThreshold`
+    * (e.g. "4" → 25%, "1" → 6.25%, "8" → 50%).
+    */
+  def deterministicSample(df: DataFrame, key: Column, hexThreshold: String): DataFrame =
+    df.filter(md5(key.cast("string")) < hexThreshold)
+
+  /** Exactly `n` rows per stratum, chosen by key-hash order (a deterministic
+    * per-group reservoir): shuffle keyed on the stratum, window top-n.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

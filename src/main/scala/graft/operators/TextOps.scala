@@ -92,6 +92,17 @@ object TextOps {
         :+ predicted.as("predicted_lang")): _*)
   }
 
+  /** Percentile length statistics per language (exact interpolated
+    * percentiles, 4-dp rounded — the two engines' interpolation formulas can
+    * differ in the last float bits).
+    */
+  def lengthPercentiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        bround(percentile(col("n_chars"), lit(0.5)), 4).as("p50_chars"),
+        bround(percentile(col("n_chars"), lit(0.9)), 4).as("p90_chars"))
+
   /** Document fingerprinting: full-content md5 plus the minimum 3-word
     * shingle hash (a 1-hash winnowing fingerprint — robust to doc reordering
     * at the granularity of shingles).
