@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 4000L).map(i => (i, s"lang_${i % 4}"))
+    .toDF("doc_id", "lang")
+
+  test("hex-threshold sampling selects ~the nominal fraction, deterministically") {
+    val s1 = Sampling.deterministicSample(docs, col("doc_id"), "4")
+    val n = s1.count().toDouble
+    assert(math.abs(n / 4000 - 0.25) < 0.05) // 25% ± noise
+    val s2 = Sampling.deterministicSample(docs, col("doc_id"), "4")
+    assert(s1.exceptAll(s2).isEmpty) // pure function of the key
+    // threshold monotonicity: '2' ⊂ '4'
+    val smaller = Sampling.deterministicSample(docs, col("doc_id"), "2")
+    assert(smaller.exceptAll(s1).isEmpty)
+  }
+
+  test("stratified sampling returns exactly n per stratum, stable") {
+    val s = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), n = 7)
+    val perStratum = s.groupBy("lang").count().collect()
+    assert(perStratum.length == 4 && perStratum.forall(_.getAs[Long]("count") == 7L))
+    val again = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), n = 7)
+    assert(s.exceptAll(again).isEmpty)
+  }
+}
