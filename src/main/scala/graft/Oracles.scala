@@ -13,12 +13,10 @@ package graft
   */
 object Oracles {
 
-  /** events recast as a trade stream (same as Tables.trades). */
-  val tradesCte: String =
-    """trades AS (
-      |  SELECT event_id AS trade_id, ts AS "timestamp", event_type AS instrument_name,
-      |         value AS price, CAST(user_id % 7 + 1 AS DOUBLE) AS amount
-      |  FROM events)""".stripMargin
+  /** events recast as a trade stream — single source of truth is
+    * [[Tables.tradesSql]] (kept in lockstep with Tables.trades).
+    */
+  val tradesCte: String = s"trades AS (\n${Tables.tradesSql})"
 
   /** A1 hourly OHLC over the trade stream. */
   val hourlyCte: String =

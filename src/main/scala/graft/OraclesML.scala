@@ -38,11 +38,11 @@ object OraclesML {
        |  FROM documents)
        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars, n_words,
        |  round_even(CAST(nonspace AS DOUBLE) / n_words, 4) AS mean_word_len,
-       |  round_even(CAST(alpha AS DOUBLE) / n, 4) AS alpha_ratio,
-       |  round_even(CAST(punct AS DOUBLE) / n, 4) AS punct_ratio,
+       |  CASE WHEN n > 0 THEN round_even(CAST(alpha AS DOUBLE) / n, 4) END AS alpha_ratio,
+       |  CASE WHEN n > 0 THEN round_even(CAST(punct AS DOUBLE) / n, 4) END AS punct_ratio,
        |  round_even(CAST(n_stop AS DOUBLE) / n_words, 4) AS stopword_ratio,
-       |  round_even(round_even(CAST(alpha AS DOUBLE) / n, 4) * 0.4
-       |    + (1.0 - round_even(CAST(punct AS DOUBLE) / n, 4)) * 0.3
+       |  round_even((CASE WHEN n > 0 THEN round_even(CAST(alpha AS DOUBLE) / n, 4) END) * 0.4
+       |    + (1.0 - (CASE WHEN n > 0 THEN round_even(CAST(punct AS DOUBLE) / n, 4) END)) * 0.3
        |    + round_even(CAST(n_stop AS DOUBLE) / n_words, 4) * 0.2
        |    + least(1.0, CAST(n_words AS DOUBLE) / 100) * 0.1, 4) AS quality_score
        |FROM m""".stripMargin
@@ -145,8 +145,9 @@ object OraclesML {
     """SELECT p.doc_a, p.doc_b,
       |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
       |  CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union,
-      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |    / len(list_distinct(a.s || b.s)) AS jaccard
+      |  CASE WHEN len(list_distinct(a.s || b.s)) > 0
+      |       THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |            / len(list_distinct(a.s || b.s)) END AS jaccard
       |FROM pairs p
       |JOIN dsh a ON p.doc_a = a.doc_id
       |JOIN dsh b ON p.doc_b = b.doc_id""".stripMargin
@@ -165,7 +166,7 @@ object OraclesML {
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        |       AND a.doc_id < b.doc_id)
-       |SELECT * FROM ($jaccardVerify) WHERE jaccard >= 0.5""".stripMargin
+       |SELECT * FROM ($jaccardVerify) WHERE n_union > 0 AND jaccard >= 0.5""".stripMargin
   }
 
   val ngramJaccardPairsSql: String =
@@ -179,7 +180,7 @@ object OraclesML {
        |  FROM blk a JOIN blk b
        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
        |       AND a.doc_id < b.doc_id)
-       |SELECT * FROM ($jaccardVerify) WHERE jaccard >= 0.3""".stripMargin
+       |SELECT * FROM ($jaccardVerify) WHERE n_union > 0 AND jaccard >= 0.3""".stripMargin
 
   val simhashSql: String = {
     val sums = (0 until 64).map { b =>

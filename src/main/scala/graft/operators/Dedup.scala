@@ -48,8 +48,11 @@ object Dedup {
     val withSigs = docShingles(docs).select(col("doc_id") +: sigs: _*)
     val bands = (0 until NumBands).map { b =>
       val rows = NumHashes / NumBands
-      md5(concat_ws("|",
-        (b * rows until (b + 1) * rows).map(j => col(s"sig_$j")): _*))
+      // concat (NOT concat_ws): null sigs — a doc with < ShingleK tokens —
+      // must propagate to a null band like the oracle's `||`, so shingle-less
+      // docs never co-bucket (concat_ws would give them all md5(""))
+      val parts = (b * rows until (b + 1) * rows).map(j => col(s"sig_$j"))
+      md5(concat(parts.flatMap(c => Seq(c, lit("|"))).dropRight(1): _*))
         .as(s"band_$b")
     }
     withSigs.select(col("doc_id") +:
@@ -108,8 +111,12 @@ object Dedup {
     spread.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("n_union", size(array_union(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
-      .filter(col("jaccard") >= threshold)
+      // n_union=0 (two shingle-less docs): guard the division (ANSI would
+      // throw) and drop the pair on both engines (oracle has the same
+      // n_union > 0 condition — DuckDB's 0.0/0 is NaN, which its >= keeps!)
+      .withColumn("jaccard",
+        when(col("n_union") > 0, col("n_common").cast("double") / col("n_union")))
+      .filter(col("n_union") > 0 && col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"), col("jaccard"))
   }
 

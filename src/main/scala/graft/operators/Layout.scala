@@ -25,7 +25,11 @@ object Layout {
     * were written with the same bucket count.
     */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-                   leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+                   leftKey: String, rightKey: String): DataFrame = {
+    // bind both sides once: fresh spark.table() instances in the condition
+    // give ambiguous references for self-joins
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -21,7 +21,9 @@ object Relational {
     */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      // to_timestamp honors spark.sql.session.timeZone; a java.sql.Timestamp
+      // literal would parse in the JVM default zone and shift the boundary
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),

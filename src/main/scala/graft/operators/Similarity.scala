@@ -70,8 +70,10 @@ object Similarity {
   /** IVF cluster assignment: nearest (max-cosine) of the first `nCentroids`
     * vectors, ties broken by centroid id. Output: vec_id → centroid_id.
     */
-  def ivfAssign(emb: DataFrame, nCentroids: Int = 8): DataFrame = {
-    val e = vectors(emb)
+  def ivfAssign(emb: DataFrame, nCentroids: Int = 8): DataFrame =
+    ivfAssignFrom(vectors(emb), nCentroids)
+
+  private def ivfAssignFrom(e: DataFrame, nCentroids: Int): DataFrame = {
     val cents = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
     val w = Window.partitionBy(col("vec_id"))
@@ -84,11 +86,12 @@ object Similarity {
   }
 
   /** IVF top-k: queries are the centroids themselves (their cluster is their
-    * own id), searched only within their cluster's vectors.
+    * own id), searched only within their cluster's vectors. One shared
+    * normalized frame feeds assignment, membership, and queries.
     */
   def annIvf(emb: DataFrame, nCentroids: Int = 8, k: Int = 5): DataFrame = {
     val e = vectors(emb)
-    val assigned = ivfAssign(emb, nCentroids)
+    val assigned = ivfAssignFrom(e, nCentroids)
       .select(col("vec_id"), col("centroid_id"))
     val members = e.join(assigned, "vec_id")
     val q = e.filter(col("vec_id") < nCentroids)
@@ -133,24 +136,26 @@ object Similarity {
     }
   }
 
-  /** Sign-LSH bucket of every vector: bit j = (v · w_j) > 0, as a
-    * NumPlanes-char '0'/'1' string. Map-side only.
+  /** Sign-LSH bucket expression over a normalized-vector column: bit j =
+    * (v · w_j) > 0, as a NumPlanes-char '0'/'1' string.
     */
-  def lshBuckets(emb: DataFrame): DataFrame = {
-    val e = vectors(emb)
-    val bits = hyperplanes.map { w =>
-      val wCol = array(w.map(lit): _*)
-      when(dot(col("v"), wCol) > 0, "1").otherwise("0")
-    }
-    e.select(col("vec_id"), concat(bits: _*).as("bucket"))
-  }
+  private def bucketExpr(v: Column): Column =
+    concat(hyperplanes.map { w =>
+      when(dot(v, array(w.map(lit): _*)) > 0, "1").otherwise("0")
+    }: _*)
+
+  /** Sign-LSH bucket of every vector. Map-side only. */
+  def lshBuckets(emb: DataFrame): DataFrame =
+    vectors(emb).select(col("vec_id"), bucketExpr(col("v")).as("bucket"))
 
   /** LSH-bucketed near-dup pairs — the 100 TB path: candidates share a
     * bucket (shuffle keyed on the bucket, no quadratic join), then the exact
     * cosine verifies. Recall trades off against NumPlanes like any sign-LSH.
+    * Buckets derive from the SAME normalized frame (one scan, one
+    * normalization pass — a separate lshBuckets join would scan twice).
     */
   def lshNearDups(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val e = vectors(emb).join(lshBuckets(emb), "vec_id")
+    val e = vectors(emb).withColumn("bucket", bucketExpr(col("v")))
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
     e.join(b, Seq("bucket"))
       .filter(col("vec_id") < col("vec_b"))

@@ -45,8 +45,12 @@ object TextOps {
     val punct = length(regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
     val nonSpace = length(regexp_replace(t, "\\s", ""))
     val nStop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
-    val alphaRatio = bround(alpha.cast("double") / n, 4)
-    val punctRatio = bround(punct.cast("double") / n, 4)
+    // zero-length guard: ANSI division would throw; ratios (and the score,
+    // via null propagation) are NULL for empty texts on both engines
+    def ratio(num: Column): Column =
+      when(n > 0, bround(num.cast("double") / n, 4))
+    val alphaRatio = ratio(alpha)
+    val punctRatio = ratio(punct)
     val stopRatio = bround(nStop.cast("double") / nWords, 4)
     docs.select(
       col("doc_id"),

@@ -83,11 +83,14 @@ object StreamingOhlc {
     * (`collectors/binance.py:76-125`). Use from
     * `stream.writeStream.foreachBatch(foreachBatchUpsert(path, Seq("k")))`.
     */
-  def foreachBatchUpsert(path: String, keyCols: Seq[String])
+  def foreachBatchUpsert(path: String, keyCols: Seq[String],
+                         seqCols: Seq[String] = Seq("timestamp", "trade_id"))
                         (batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
+    // seqCols must totally order arrivals — a bare timestamp would make the
+    // surviving row nondeterministic on ties, breaking replay idempotence
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("timestamp").desc)
+      .orderBy(seqCols.map(c => col(c).desc): _*)
     batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -72,6 +72,26 @@ class DedupTextSpec extends SparkSpec {
   private def bround2(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
 
+  test("shingle-less docs: null bands (no co-bucketing), degenerate pairs dropped") {
+    // doc 1 and 2 have < 3 tokens → empty shingle sets; same block
+    val d = docs((1L, "ab cd"), (2L, "xy zz"), (3L, "a b c d e f g h"))
+    val sigs = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("band_0")).toMap
+    assert(sigs(1L) == null && sigs(2L) == null && sigs(3L) != null)
+    // null bands never join → no spurious LSH pairs
+    assert(Dedup.minhashLshPairs(d).collect().isEmpty)
+    // blocked jaccard: the (1,2) pair has n_union=0 → dropped, no ANSI error
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.0)
+      .filter(col("doc_a") === 1L && col("doc_b") === 2L).collect().isEmpty)
+  }
+
+  test("textQuality on empty text: null ratios, no division error") {
+    val r = TextOps.textQuality(docs((1L, ""))).collect().head
+    assert(r.getAs[Long]("n_chars") == 0L)
+    assert(r.isNullAt(r.fieldIndex("alpha_ratio")))
+    assert(r.isNullAt(r.fieldIndex("quality_score")))
+  }
+
   test("langId picks marker-language, priority order on ties, und on none") {
     val d = docs(
       (1L, "the house of cards"), // en markers: the, of
