@@ -97,6 +97,26 @@ object OraclesML {
       |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       |  FROM documents) t WHERE rn <= 20""".stripMargin
 
+  val rankWindowsSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  CAST(rank() OVER w AS BIGINT) AS bal_rank,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile,
+      |  lead(c_custkey, 1) OVER w AS next_custkey
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  val orderStatusPivotSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS order_month,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_partial
+      |FROM orders GROUP BY 1""".stripMargin
+
   val rollupStatsSql: String =
     """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
       |  count(*) AS n_orders,

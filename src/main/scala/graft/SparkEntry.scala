@@ -89,6 +89,9 @@ object SparkEntry {
       Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
       col("lang"), col("doc_id"), n = 20)),
     "q_rollup_stats" -> ((s, dir) => Relational.rollupStats(s, dir)),
+    "q_rank_windows" -> ((s, dir) => Relational.rankWindows(s, dir)),
+    "q_customers_without_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
+    "q_order_status_pivot" -> ((s, dir) => Relational.orderStatusPivot(s, dir)),
     // Multimodal plumbing (decode stubbed — no oracle, rows-only check)
     "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir))
   )
@@ -139,6 +142,9 @@ object SparkEntry {
     "q_length_percentiles" -> OraclesML.lengthPercentilesSql,
     "q_deterministic_sample" -> OraclesML.deterministicSampleSql,
     "q_stratified_sample" -> OraclesML.stratifiedSampleSql,
-    "q_rollup_stats" -> OraclesML.rollupStatsSql
+    "q_rollup_stats" -> OraclesML.rollupStatsSql,
+    "q_rank_windows" -> OraclesML.rankWindowsSql,
+    "q_customers_without_orders" -> OraclesML.customersWithoutOrdersSql,
+    "q_order_status_pivot" -> OraclesML.orderStatusPivotSql
   )
 }

@@ -31,12 +31,17 @@ object Incremental {
       .flatMap(r => Option(r.getTimestamp(0)))
   }
 
+  /** Per-tick outcome, mirroring the reference's inserted-vs-updated
+    * tracking (`RETURNING (xmax = 0)`, `collectors/binance.py:111`).
+    */
+  case class SyncStats(written: Long, inserted: Long, updated: Long)
+
   /** One sync tick. `keyCols` identify a row (upsert key); `seqCols` order
-    * arrivals (latest wins, must be totally ordering). Returns rows written.
+    * arrivals (latest wins, must be totally ordering).
     */
   def syncTick(source: DataFrame, sinkPath: String,
                keyCols: Seq[String], seqCols: Seq[String],
-               tsCol: String, overlap: String): Long = {
+               tsCol: String, overlap: String): SyncStats = {
     val spark = source.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -49,7 +54,7 @@ object Incremental {
     val withDate = newData.withColumn("p_date", to_date(col(tsCol)))
     val touched = withDate.select("p_date").distinct()
 
-    val merged = wm match {
+    val (merged, updatedCount) = wm match {
       case Some(_) =>
         // existing rows of ONLY the touched partitions, via partition-pruned
         // semi join, then LWW across old+new
@@ -58,9 +63,14 @@ object Incremental {
         val all = existing.unionByName(withDate)
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(seqCols.map(c => col(c).desc): _*)
-        all.withColumn("__rn", row_number().over(w))
+        val m = all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-      case None => withDate
+        // keys present in both sides = updates (the xmax=0 analog)
+        val upd = withDate.select(keyCols.map(col): _*).distinct()
+          .join(existing.select(keyCols.map(col): _*).distinct(), keyCols)
+          .count()
+        (m, upd)
+      case None => (withDate, 0L)
     }
     // truncate lineage before writing: the merged plan READS the sink that
     // the write overwrites (Spark refuses / corrupts self-overwrites).
@@ -69,6 +79,7 @@ object Incremental {
     val stable = merged.localCheckpoint(true)
     val n = stable.count()
     stable.write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(sinkPath)
-    n
+    val newKeys = withDate.select(keyCols.map(col): _*).distinct().count()
+    SyncStats(n, newKeys - updatedCount, updatedCount)
   }
 }

@@ -102,6 +102,39 @@ object Relational {
           .cast("long").as("order_seq"))
   }
 
+  /** Ranking-window breadth: rank / dense_rank / ntile over customers by
+    * account balance within market segment.
+    */
+  def rankWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).cast("long").as("bal_rank"),
+        dense_rank().over(w).cast("long").as("bal_dense_rank"),
+        ntile(4).over(w).cast("long").as("bal_quartile"),
+        lead(col("c_custkey"), 1).over(w).as("next_custkey"))
+  }
+
+  /** Anti-join: customers holding no orders (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** Pivot: order counts per (month × status) — statuses become columns.
+    * Explicit pivot values keep the output schema static (at scale an
+    * unbounded pivot would need a values-discovery pass).
+    */
+  def orderStatusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("order_month"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("O", "F", "P"))
+      .withColumnsRenamed(Map("O" -> "n_open", "F" -> "n_filled", "P" -> "n_partial"))
+
   /** ROLLUP grouping-set aggregation: per-priority totals plus the grand
     * total in one pass (capability beyond the reference, SURVEY §2.4 notes
     * it has none).

@@ -29,7 +29,8 @@ class IncrementalSpec extends SparkSpec {
     val batch2 = rows(
       (3L, "2024-01-02 09:00:00", 333.0, "b2"),
       (4L, "2024-01-02 10:00:00", 400.0, "b2"))
-    Incremental.syncTick(batch2, sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    val stats2 = Incremental.syncTick(batch2, sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    assert(stats2.inserted == 1L && stats2.updated == 1L) // key 4 new, key 3 revised
 
     val after2 = spark.read.parquet(sink)
       .select("key", "value", "batch").orderBy("key")
