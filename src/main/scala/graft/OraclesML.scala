@@ -97,6 +97,32 @@ object OraclesML {
       |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       |  FROM documents) t WHERE rn <= 20""".stripMargin
 
+  val valueStatsSql: String = {
+    def ds(x: String) = s"CAST(sum(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
+    s"""WITH s AS (
+       |  SELECT event_type,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    ${ds("value")} AS sx,
+       |    ${ds("value * value")} AS sxx,
+       |    ${ds("CAST(props::JSON->>'k' AS DOUBLE)")} AS sy,
+       |    ${ds("CAST(props::JSON->>'k' AS DOUBLE) * CAST(props::JSON->>'k' AS DOUBLE)")} AS syy,
+       |    ${ds("value * CAST(props::JSON->>'k' AS DOUBLE)")} AS sxy
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       |  round_even(sx / n, 4) AS mean_value,
+       |  round_even(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_value,
+       |  round_even(((sxy - sx * sy / n) / (n - 1))
+       |    / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))), 4) AS corr_value_k
+       |FROM s""".stripMargin
+  }
+
+  val valueHistogramSql: String =
+    """SELECT event_type,
+      |  CAST(floor((value - 0.0) / 50.0) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val rankWindowsSql: String =
     """SELECT c_mktsegment, c_custkey, c_acctbal,
       |  CAST(rank() OVER w AS BIGINT) AS bal_rank,

@@ -92,6 +92,8 @@ object SparkEntry {
     "q_rank_windows" -> ((s, dir) => Relational.rankWindows(s, dir)),
     "q_customers_without_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "q_order_status_pivot" -> ((s, dir) => Relational.orderStatusPivot(s, dir)),
+    "q_value_stats" -> ((s, dir) => Relational.valueStats(s, dir)),
+    "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     // Multimodal plumbing (decode stubbed — no oracle, rows-only check)
     "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir))
   )
@@ -145,6 +147,8 @@ object SparkEntry {
     "q_rollup_stats" -> OraclesML.rollupStatsSql,
     "q_rank_windows" -> OraclesML.rankWindowsSql,
     "q_customers_without_orders" -> OraclesML.customersWithoutOrdersSql,
-    "q_order_status_pivot" -> OraclesML.orderStatusPivotSql
+    "q_order_status_pivot" -> OraclesML.orderStatusPivotSql,
+    "q_value_stats" -> OraclesML.valueStatsSql,
+    "q_value_histogram" -> OraclesML.valueHistogramSql
   )
 }

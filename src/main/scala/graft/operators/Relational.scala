@@ -135,6 +135,49 @@ object Relational {
       .na.fill(0L, Seq("O", "F", "P"))
       .withColumnsRenamed(Map("O" -> "n_open", "F" -> "n_filled", "P" -> "n_partial"))
 
+  /** Moment-based statistics from exact decimal sums: built-in stddev/corr
+    * use order-dependent streaming formulas (Welford) that can't bit-match
+    * across engines; deriving from Σx, Σx², Σxy (exact decimal, association-
+    * independent) makes variance/stddev/corr reproducible anywhere. 4-dp
+    * rounded (the final sqrt/divide are engine-libm dependent in the last
+    * bits).
+    */
+  def valueStats(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("double")
+    val stats = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("value")).as("sx"),
+        dsum(col("value") * col("value")).as("sxx"),
+        dsum(col("k")).as("sy"),
+        dsum(col("k") * col("k")).as("syy"),
+        dsum(col("value") * col("k")).as("sxy"))
+    val n = col("n")
+    val varX = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
+    val varY = (col("syy") - col("sy") * col("sy") / n) / (n - 1)
+    val covXY = (col("sxy") - col("sx") * col("sy") / n) / (n - 1)
+    stats.select(
+      col("event_type"),
+      n.cast("long").as("n_events"),
+      bround(col("sx") / n, 4).as("mean_value"),
+      bround(sqrt(varX), 4).as("stddev_value"),
+      bround(covXY / (sqrt(varX) * sqrt(varY)), 4).as("corr_value_k"))
+  }
+
+  /** Fixed-width histogram of `value` per instrument: bucket index is a pure
+    * expression (floor((v - lo) / width)), so binning is one map-side pass +
+    * one keyed aggregation — no sort, no per-group state.
+    */
+  def valueHistogram(spark: SparkSession, dir: String,
+                     lo: Double = 0.0, width: Double = 50.0): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor((col("value") - lo) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"))
+
   /** ROLLUP grouping-set aggregation: per-priority totals plus the grand
     * total in one pass (capability beyond the reference, SURVEY §2.4 notes
     * it has none).
