@@ -21,6 +21,34 @@ object Layout {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(name)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetBytes` each (continuous upsert ticks — `Incremental.
+    * syncTick` — accrue one small file per touched partition per tick; at
+    * scale unmanaged small files dominate scan planning and NN/listing
+    * cost). Coalesce, not repartition: no shuffle, just fewer output tasks.
+    * Returns (files_before, files_after).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): (Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      var files = List.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) files ::= f
+      }
+      files
+    }
+    val before = parquetFiles
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, (totalBytes / targetBytes).toInt)
+    val stable = spark.read.parquet(path).coalesce(nOut).localCheckpoint(true)
+    stable.write.mode(SaveMode.Overwrite).parquet(path)
+    (before.length.toLong, parquetFiles.length.toLong)
+  }
+
   /** Join two bucketed tables on their bucket keys — shuffle-free when both
     * were written with the same bucket count.
     */

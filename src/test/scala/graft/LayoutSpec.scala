@@ -7,6 +7,16 @@ import graft.operators.Layout
 /** Bucketed layout must make the fact-fact join shuffle-free. */
 class LayoutSpec extends SparkSpec {
 
+  test("compact merges many small files, preserving rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    df.repartition(16).write.parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    val (before, after) = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(before == 16L && after == 1L)
+    assert(spark.read.parquet(dir).count() == rows)
+  }
+
   test("bucketed lineitem ⋈ orders has no Exchange in the executed plan") {
     val dir = "/root/testdata/sf0.001"
     Layout.writeBucketed(Tables.lineitem(spark, dir), "li_b", "l_orderkey", buckets = 8)
