@@ -98,6 +98,31 @@ object StreamingOhlc {
       .write.mode("append").parquet(path)
   }
 
+  /** Stream-stream interval join: each trade with the quotes of the
+    * preceding `lookback` on the same instrument. Watermarks on BOTH sides
+    * bound the join state (Spark drops buffered rows older than watermark +
+    * interval); the time-range condition keeps it a state-store lookup, not
+    * a cross product.
+    */
+  def tradesWithRecentQuotes(trades: DataFrame, quotes: DataFrame,
+                             watermark: String = "1 hour",
+                             lookback: String = "10 minutes"): DataFrame = {
+    val t = trades.withWatermark("timestamp", watermark)
+    val q = quotes.withWatermark("q_ts", watermark)
+    t.join(q, expr(
+      s"""instrument_name = q_instrument
+         |AND q_ts >= timestamp - INTERVAL $lookback
+         |AND q_ts <= timestamp""".stripMargin))
+  }
+
+  /** Streaming dedup (the ON CONFLICT DO NOTHING analog, D2): first
+    * occurrence of each trade_id wins; state is dropped once the watermark
+    * passes (bounded, unlike plain dropDuplicates).
+    */
+  def dedupTrades(trades: DataFrame, watermark: String = "1 hour"): DataFrame =
+    trades.withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("trade_id")
+
   /** Output-mode helper: hourly OHLC is meant for update mode (late data
     * within the watermark overwrites its bucket, mirroring upserts).
     */

@@ -83,6 +83,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows.select("trade_id").distinct().count() == 3)
   }
 
+  test("stream-stream interval join matches trades to preceding quotes only") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[TradeEvent]
+    case class Quote(q_ts: java.sql.Timestamp, q_instrument: String, bid: Double)
+    val quotes = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val joined = StreamingOhlc.tradesWithRecentQuotes(
+      trades.toDF(), quotes.toDF().toDF("q_ts", "q_instrument", "bid"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try {
+      quotes.addData(
+        (sqlTs("2024-01-01 10:00:00"), "BTC", 99.0), // 5 min before → match
+        (sqlTs("2024-01-01 09:30:00"), "BTC", 98.0), // 35 min before → no
+        (sqlTs("2024-01-01 10:06:00"), "BTC", 97.0), // after trade → no
+        (sqlTs("2024-01-01 10:01:00"), "ETH", 1.0)) // other instrument → no
+      trades.addData(trade("2024-01-01 10:05:00", 100.0, 1))
+      q.processAllAvailable()
+      // advance watermarks far enough that append-mode emits the join result
+      trades.addData(trade("2024-01-01 13:00:00", 100.0, 2))
+      quotes.addData((sqlTs("2024-01-01 13:00:00"), "BTC", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_test")
+        .filter(org.apache.spark.sql.functions.col("trade_id") === 1L).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Double]("bid") == 99.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps the first occurrence within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TradeEvent]
+    val q = StreamingOhlc.dedupTrades(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(trade("2024-01-01 10:00:00", 100.0, 1), trade("2024-01-01 10:01:00", 101.0, 1))
+      q.processAllAvailable()
+      mem.addData(trade("2024-01-01 10:02:00", 102.0, 1), trade("2024-01-01 10:03:00", 103.0, 2))
+      q.processAllAvailable()
+      val prices = spark.table("dedup_test").collect()
+        .map(r => r.getAs[Long]("trade_id") -> r.getAs[Double]("price")).toMap
+      assert(prices == Map(1L -> 100.0, 2L -> 103.0))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running OHLC per instrument across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TradeEvent]
