@@ -215,6 +215,23 @@ object OraclesML {
        |SELECT * FROM ($jaccardVerify) WHERE n_union > 0 AND jaccard >= 0.5""".stripMargin
   }
 
+  /** Connected components over the LSH pair graph via a recursive CTE:
+    * component(node) = least(node, min over transitively reachable nodes) —
+    * same fixpoint the Spark min-label propagation converges to.
+    */
+  val dedupGroupsSql: String =
+    s"""WITH RECURSIVE pairgraph AS (
+       |  SELECT doc_a, doc_b FROM ($minhashLshPairsSql)),
+       |sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairgraph
+       |  UNION SELECT doc_b AS a, doc_a AS b FROM pairgraph),
+       |reach(src, dst) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+       |SELECT src AS node, least(src, min(dst)) AS component
+       |FROM reach GROUP BY src""".stripMargin
+
   val ngramJaccardPairsSql: String =
     s"""WITH $shinglesCte,
        |$distinctShinglesCte,

@@ -120,6 +120,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"), col("jaccard"))
   }
 
+  /** Connected components over a pair graph by iterative min-label
+    * propagation (each node repeatedly adopts the smallest label among
+    * itself and its neighbors until fixpoint — iterations ≈ graph diameter,
+    * each one join + one aggregate; lineage checkpointed per round so plans
+    * stay linear). The distributed union-find for duplicate GROUPS: LSH
+    * gives pairs, this gives clusters with the min doc_id as the canonical
+    * survivor.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node"), col("src").as("lbl"))
+      .distinct().localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("node"), col("lbl").as("component"))
+  }
+
+  /** Near-duplicate GROUPS: LSH candidate pairs → connected components. */
+  def dedupGroups(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    connectedComponents(minhashLshPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b")))
+
   /** 64-bit SimHash over distinct whitespace tokens, emitted as a 64-char
     * '0'/'1' string (portable across engines — no integer hash needed). Bit b
     * (hex digit p = b/4, bit j = 3-b%4 of that digit) is 1 when the sum of

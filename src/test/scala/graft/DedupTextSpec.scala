@@ -54,6 +54,15 @@ class DedupTextSpec extends SparkSpec {
     assert(sh(1L).forall(c => c == '0' || c == '1'))
   }
 
+  test("connectedComponents finds min-label clusters, handles chains") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("token counts: whitespace vs BPE-ish regex") {
     val r = TextOps.tokenCount(docs((1L, "ab cd, ef 12!"))).collect().head
     assert(r.getAs[Long]("n_ws_tokens") == 4L)
