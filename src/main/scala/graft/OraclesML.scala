@@ -151,6 +151,29 @@ object OraclesML {
 
   // ---- dedup ----
 
+  val tfidfTopTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($W) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS cnt,
+       |    sum(count(*)) OVER (PARTITION BY doc_id) AS doc_len
+       |  FROM toks GROUP BY doc_id, term),
+       |df AS (
+       |  SELECT term, count(*) AS n_docs_with
+       |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |    round_even((CAST(cnt AS DOUBLE) / doc_len)
+       |      * ln(n_total / n_docs_with), 4) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, term) AS term_rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, score
+       |FROM ranked WHERE term_rank <= 3""".stripMargin
+
   val exactDedupSql: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
       |FROM documents GROUP BY 1""".stripMargin

@@ -62,6 +62,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) => TextOps.textQuality(Tables.documents(s, dir))),
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
+    "q_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir))),
     // Training-data pipeline: dedup
     "q_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "q_minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q_text_quality" -> OraclesML.textQualitySql,
     "q_lang_id" -> OraclesML.langIdSql,
     "q_doc_fingerprint" -> OraclesML.fingerprintSql,
+    "q_tfidf_top_terms" -> OraclesML.tfidfTopTermsSql,
     "q_exact_dedup" -> OraclesML.exactDedupSql,
     "q_minhash_signatures" -> OraclesML.minhashSignaturesSql,
     "q_minhash_lsh_pairs" -> OraclesML.minhashLshPairsSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over the
@@ -106,6 +107,33 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         bround(percentile(col("n_chars"), lit(0.5)), 4).as("p50_chars"),
         bround(percentile(col("n_chars"), lit(0.9)), 4).as("p90_chars"))
+
+  /** TF-IDF top terms per document: tf = term count / doc length, idf =
+    * ln(N / docs-with-term), top `k` by (score desc, term). ln is
+    * correctly-rounded on both engines (verified), score 4-dp rounded.
+    * Shape at scale: one explode + two keyed aggregations + a broadcast of
+    * the (small) document-frequency table's scalar N — no quadratic step.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("doc_len",
+        sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("n_docs_with"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_total"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", bround(
+        (col("cnt").cast("double") / col("doc_len"))
+          * log(col("n_total") / col("n_docs_with")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term_rank"), col("term"), col("score"))
+  }
 
   /** Document fingerprinting: full-content md5 plus the minimum 3-word
     * shingle hash (a 1-hash winnowing fingerprint — robust to doc reordering
