@@ -29,7 +29,8 @@ object Layout {
     * Returns (files_before, files_after).
     */
   def compact(spark: SparkSession, path: String,
-              targetBytes: Long = 128L << 20): (Long, Long) = {
+              targetBytes: Long = 128L << 20,
+              partitionCols: Seq[String] = Seq.empty): (Long, Long) = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parquetFiles = {
@@ -44,8 +45,20 @@ object Layout {
     val before = parquetFiles
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, (totalBytes / targetBytes).toInt)
-    val stable = spark.read.parquet(path).coalesce(nOut).localCheckpoint(true)
-    stable.write.mode(SaveMode.Overwrite).parquet(path)
+    // stage-then-swap: writing over the directory the plan reads from would
+    // leave a window where the only copy of the data is executor-local
+    // (lineage truncated, source deleted). partitionCols MUST name the
+    // sink's partitioning (e.g. "p_date" for Incremental sinks) or the
+    // rewrite would flatten the layout.
+    val staging = s"$path.__staging"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val writer = spark.read.parquet(path).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staging)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(path))
     (before.length.toLong, parquetFiles.length.toLong)
   }
 

@@ -18,8 +18,14 @@ object Sampling {
   /** Keep the fraction of rows whose key-hash falls below `hexThreshold`
     * (e.g. "4" → 25%, "1" → 6.25%, "8" → 50%).
     */
-  def deterministicSample(df: DataFrame, key: Column, hexThreshold: String): DataFrame =
+  def deterministicSample(df: DataFrame, key: Column, hexThreshold: String): DataFrame = {
+    // md5 is lowercase hex; an uppercase threshold would silently compare
+    // wrong ('a' > 'F' lexicographically)
+    require(hexThreshold.nonEmpty && hexThreshold.forall(c =>
+      c.isDigit || ('a' to 'f').contains(c)),
+      s"hexThreshold must be lowercase hex, got '$hexThreshold'")
     df.filter(md5(key.cast("string")) < hexThreshold)
+  }
 
   /** Exactly `n` rows per stratum, chosen by key-hash order (a deterministic
     * per-group reservoir): shuffle keyed on the stratum, window top-n.

@@ -40,10 +40,11 @@ object Skew {
         min(col("p_low")).as("low_price"))
   }
 
-  /** Salted broadcast-replication join for a hot-keyed fact ⋈ dim: the dim
-    * is replicated `buckets`× with an explicit salt column, the fact gets a
-    * deterministic salt, and the join key becomes (key, salt) — the hot
-    * key's rows spread across `buckets` tasks.
+  /** Salted replication join for a hot-keyed fact ⋈ dim in the SHUFFLE join
+    * regime (dim too big to broadcast — a broadcast join never shuffles the
+    * fact by key, so salting would be a no-op there): the dim is replicated
+    * `buckets`× with an explicit salt, the fact gets a deterministic salt,
+    * and the (key, salt) shuffle spreads a hot key over `buckets` reducers.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  discriminator: String, buckets: Int = 16): DataFrame = {
@@ -51,6 +52,6 @@ object Skew {
       pmod(xxhash64(col(discriminator)), lit(buckets)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))
-    saltedFact.join(broadcast(replicatedDim), Seq(key, "__salt")).drop("__salt")
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
   }
 }

@@ -47,8 +47,14 @@ object StreamingOhlc {
   case class TradeEvent(timestamp: java.sql.Timestamp, instrument_name: String,
                         price: Double, amount: Double, trade_id: Long)
 
+  /** Running per-instrument OHLC state. first/last event-time keys ride in
+    * the state so LATE events (arriving in a later micro-batch) can't
+    * clobber open/close — open/close are by EVENT time, not arrival order.
+    */
   case class RunningOhlc(instrument_name: String, open: Double, high: Double,
-                         low: Double, close: Double, volume: Double, n: Long)
+                         low: Double, close: Double, volume: Double, n: Long,
+                         first_key: (Long, Long) = (Long.MaxValue, Long.MaxValue),
+                         last_key: (Long, Long) = (Long.MinValue, Long.MinValue))
 
   /** Custom per-instrument running state via mapGroupsWithState — the typed
     * stateful path for semantics windowed aggs can't express (running
@@ -60,19 +66,21 @@ object StreamingOhlc {
     trades.groupByKey(_.instrument_name)
       .mapGroupsWithState[RunningOhlc, RunningOhlc](GroupStateTimeout.NoTimeout) {
         (inst, events, state: GroupState[RunningOhlc]) =>
-          val sorted = events.toSeq.sortBy(e => (e.timestamp.getTime, e.trade_id))
-          val init = state.getOption
-          val out = sorted.foldLeft(init) { (acc, e) =>
-            acc match {
-              case None => Some(RunningOhlc(inst, e.price, e.price, e.price, e.price, e.amount, 1L))
-              case Some(s) => Some(s.copy(
-                high = math.max(s.high, e.price),
-                low = math.min(s.low, e.price),
-                close = e.price,
-                volume = s.volume + e.amount,
-                n = s.n + 1))
-            }
-          }.get
+          val init = state.getOption.getOrElse(
+            RunningOhlc(inst, 0.0, Double.MinValue, Double.MaxValue, 0.0, 0.0, 0L))
+          val out = events.foldLeft(init) { (s, e) =>
+            val k = (e.timestamp.getTime, e.trade_id)
+            import scala.math.Ordering.Implicits._
+            s.copy(
+              open = if (k < s.first_key) e.price else s.open,
+              close = if (k > s.last_key) e.price else s.close,
+              high = math.max(s.high, e.price),
+              low = math.min(s.low, e.price),
+              volume = s.volume + e.amount,
+              n = s.n + 1,
+              first_key = if (k < s.first_key) k else s.first_key,
+              last_key = if (k > s.last_key) k else s.last_key)
+          }
           state.update(out)
           out
       }
@@ -95,7 +103,13 @@ object StreamingOhlc {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .withColumn("__batch_id", lit(batchId))
-      .write.mode("append").parquet(path)
+      // partitioned by batch id + dynamic overwrite: foreachBatch is
+      // at-least-once, so a retried batch must REPLACE its own partition,
+      // not append a duplicate copy
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(path)
   }
 
   /** Stream-stream interval join: each trade with the quotes of the

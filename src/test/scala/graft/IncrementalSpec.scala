@@ -51,4 +51,29 @@ class IncrementalSpec extends SparkSpec {
     // untouched partition (2024-01-01) was not rewritten away
     assert(spark.read.parquet(sink).filter(col("key") === 1L).count() == 1L)
   }
+
+  test("first tick dedups in-batch key duplicates (LWW applies from tick one)") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink2").toString + "/t"
+    val batch = rows(
+      (1L, "2024-01-01 10:00:00", 100.0, "a"),
+      (1L, "2024-01-01 10:00:00", 200.0, "b"))
+    val stats = Incremental.syncTick(batch, sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    assert(stats.written == 1L)
+    val row = spark.read.parquet(sink).collect()
+    assert(row.length == 1 && row.head.getAs[String]("batch") == "b")
+  }
+
+  test("a revision that moves a key across the date boundary kills the stale copy") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink3").toString + "/t"
+    Incremental.syncTick(
+      rows((5L, "2024-01-01 23:50:00", 100.0, "a")),
+      sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    // revised ts lands on 2024-01-02 but the old copy lives in 2024-01-01
+    Incremental.syncTick(
+      rows((5L, "2024-01-02 00:10:00", 200.0, "b")),
+      sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    val out = spark.read.parquet(sink).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("value") == 200.0)
+  }
 }
