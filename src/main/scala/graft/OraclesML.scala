@@ -288,6 +288,20 @@ object OraclesML {
        |SELECT doc_id, $bits AS simhash_bits FROM bitsums""".stripMargin
   }
 
+  val simhashPairsSql: String = {
+    val hamming = (1 to 64)
+      .map(i => s"(CASE WHEN substr(bits_a, $i, 1) != substr(bits_b, $i, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH sh AS ($simhashSql),
+       |a AS (SELECT doc_id AS doc_a, simhash_bits AS bits_a,
+       |        substr(simhash_bits, 1, 16) AS blk FROM sh),
+       |b AS (SELECT doc_id AS doc_b, simhash_bits AS bits_b,
+       |        substr(simhash_bits, 1, 16) AS blk FROM sh)
+       |SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
+       |FROM a JOIN b USING (blk)
+       |WHERE doc_a < doc_b AND $hamming <= 8""".stripMargin
+  }
+
   // ---- similarity ----
 
   /** Left-to-right fold matching Spark aggregate(zip_with(a,b,*), 0.0, +). */

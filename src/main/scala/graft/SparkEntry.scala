@@ -70,6 +70,7 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> ((s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_groups" -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     // Training-data pipeline: similarity search
     "q_ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
     "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(Tables.embeddings(s, dir))),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> OraclesML.ngramJaccardPairsSql,
     "q_simhash" -> OraclesML.simhashSql,
     "q_dedup_groups" -> OraclesML.dedupGroupsSql,
+    "q_simhash_pairs" -> OraclesML.simhashPairsSql,
     "q_ann_bruteforce" -> OraclesML.annBruteForceSql,
     "q_ivf_assign" -> OraclesML.ivfAssignSql,
     "q_ann_ivf" -> OraclesML.annIvfSql,

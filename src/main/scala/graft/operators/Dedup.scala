@@ -120,6 +120,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"), col("jaccard"))
   }
 
+  /** SimHash near-dup pairs: candidates must agree on the first
+    * `blockBits` of the signature (the banding trick — at scale this is the
+    * shuffle key, never an all-pairs join), then full 64-bit Hamming
+    * distance ≤ `maxDist` confirms. Hamming is a 64-term generated
+    * expression over the portable bit-string signatures.
+    */
+  def simhashPairs(docs: DataFrame, blockBits: Int = 16, maxDist: Int = 8): DataFrame = {
+    val sigs = simhash(docs)
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash_bits").as("bits_a"))
+      .withColumn("blk", substring(col("bits_a"), 1, blockBits))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash_bits").as("bits_b"))
+      .withColumn("blk", substring(col("bits_b"), 1, blockBits))
+    val hamming = (1 to 64).map(i =>
+      when(substring(col("bits_a"), i, 1) =!= substring(col("bits_b"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Connected components over a pair graph by iterative min-label
     * propagation (each node repeatedly adopts the smallest label among
     * itself and its neighbors until fixpoint — iterations ≈ graph diameter,
