@@ -1,15 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Queries materialize through
   * the noop sink — `.count()` would let Catalyst prune unused aggregate
   * expressions and under-measure.
+  *
+  * Optional args narrow the run to the named queries (fast iteration).
+  * If `scripts/bench_baseline.json` exists, per-query times are compared
+  * against it and >2x regressions are reported on stderr (and in the JSON
+  * as `regressions`); set SPARK_GRAFT_BENCH_STRICT=1 to exit non-zero on
+  * any regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only: Option[Set[String]] = if (args.nonEmpty) Some(args.toSet) else None
+    val queries = SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,32 +26,66 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm every query once at the smallest SF: first executions pay
-    // janino codegen compilation + JIT warm-up (measured 10-40x on the
-    // expression-heavy kernels), which would otherwise be charged to
-    // whichever query runs first.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+    // Warm every query once at the smallest SF sibling of the bench dir:
+    // first executions pay janino codegen compilation + JIT warm-up
+    // (measured 10-40x on the expression-heavy kernels), which would
+    // otherwise be charged to whichever query runs first.
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory && sibling.getPath != new java.io.File(sfDir).getPath)
+        sibling.getPath
+      else sfDir
+    }
+    queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch {
+        // fatal errors (OOM etc.) must propagate; a query broken at warm-up
+        // must be loud, not silently deferred to the timed run
+        case NonFatal(e) =>
+          System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
+    }
     // a failed query must not masquerade as a fast one: report -1 and log
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch {
-          case e: Throwable =>
+          case NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // regression tripwire vs the recorded per-query baseline (same SF only)
+    val regressions: Seq[String] = {
+      val f = new java.io.File("scripts/bench_baseline.json")
+      if (!f.isFile) Seq.empty
+      else {
+        val txt = scala.io.Source.fromFile(f).mkString
+        val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          .forall(_.group(1) == sfDir)
+        if (!sfOk) Seq.empty
+        else {
+          val entry = "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
+          val base = entry.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          results.collect {
+            case (name, t) if t > 0 && base.get(name).exists(b => b > 0 && t > 2 * b && t - b > 1.0) =>
+              f"$name: ${base(name)}%.2fs -> $t%.2fs"
+          }
+        }
+      }
+    }
+    regressions.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val regJson = regressions.map(r => "\"" + r.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","regressions":$regJson}""")
     spark.stop()
+    if (regressions.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
+      sys.exit(2)
   }
 }

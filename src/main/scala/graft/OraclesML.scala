@@ -288,18 +288,31 @@ object OraclesML {
        |SELECT doc_id, $bits AS simhash_bits FROM bitsums""".stripMargin
   }
 
+  /** Mirrors Dedup.simhashPairs: signature packed into two BIGINT halves
+    * (left-to-right ×2 fold of the bit string), pigeonhole block candidates
+    * (Dedup.SimhashBlocks), Hamming = bit_count(xor) on both halves.
+    */
   val simhashPairsSql: String = {
-    val hamming = (1 to 64)
-      .map(i => s"(CASE WHEN substr(bits_a, $i, 1) != substr(bits_b, $i, 1) THEN 1 ELSE 0 END)")
-      .mkString(" + ")
+    def half(lo: Int, hi: Int) =
+      s"list_reduce([CAST(substr(simhash_bits, i, 1) AS BIGINT) for i in range($lo, $hi)], (x, y) -> x*2 + y)"
+    val blocks = Dedup.SimhashBlocks.zipWithIndex.map { case ((start, len), k) =>
+      s"SELECT doc_id, hi, lo, $k AS block_id, substr(simhash_bits, $start, $len) AS block_val FROM sg"
+    }.mkString("\n  UNION ALL\n  ")
+    val hamming = "bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))"
     s"""WITH sh AS ($simhashSql),
-       |a AS (SELECT doc_id AS doc_a, simhash_bits AS bits_a,
-       |        substr(simhash_bits, 1, 16) AS blk FROM sh),
-       |b AS (SELECT doc_id AS doc_b, simhash_bits AS bits_b,
-       |        substr(simhash_bits, 1, 16) AS blk FROM sh)
-       |SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
-       |FROM a JOIN b USING (blk)
-       |WHERE doc_a < doc_b AND $hamming <= 8""".stripMargin
+       |sg AS (
+       |  SELECT doc_id, simhash_bits,
+       |    ${half(1, 33)} AS hi,
+       |    ${half(33, 65)} AS lo
+       |  FROM sh),
+       |blocks AS (
+       |  $blocks)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($hamming AS BIGINT) AS hamming
+       |FROM blocks a JOIN blocks b
+       |  ON a.block_id = b.block_id AND a.block_val = b.block_val
+       |     AND a.doc_id < b.doc_id
+       |WHERE $hamming <= 8""".stripMargin
   }
 
   // ---- similarity ----

@@ -120,25 +120,75 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"), col("jaccard"))
   }
 
-  /** SimHash near-dup pairs: candidates must agree on the first
-    * `blockBits` of the signature (the banding trick — at scale this is the
-    * shuffle key, never an all-pairs join), then full 64-bit Hamming
-    * distance ≤ `maxDist` confirms. Hamming is a 64-term generated
-    * expression over the portable bit-string signatures.
+  /** SimHash block layout for pigeonhole banding: 9 blocks covering all 64
+    * bits (8×7 + 1×8). Any two signatures at Hamming distance ≤ 8 have ≤ 8
+    * differing bits spread over 9 blocks, so at least one block is identical
+    * — candidate generation through per-block equality joins has GUARANTEED
+    * recall at the verification threshold (unlike a single prefix block,
+    * which silently misses pairs differing inside the prefix).
+    * (start, length), 1-based for substring on both engines.
     */
-  def simhashPairs(docs: DataFrame, blockBits: Int = 16, maxDist: Int = 8): DataFrame = {
-    val sigs = simhash(docs)
-    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash_bits").as("bits_a"))
-      .withColumn("blk", substring(col("bits_a"), 1, blockBits))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash_bits").as("bits_b"))
-      .withColumn("blk", substring(col("bits_b"), 1, blockBits))
-    val hamming = (1 to 64).map(i =>
-      when(substring(col("bits_a"), i, 1) =!= substring(col("bits_b"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    a.join(b, Seq("blk"))
+  val SimhashBlocks: Seq[(Int, Int)] =
+    (0 until 8).map(k => (1 + 7 * k, 7)) :+ (57, 8)
+
+  /** SimHash near-dup pairs: pigeonhole-banded candidates (see
+    * [[SimhashBlocks]]) verified by exact 64-bit Hamming distance ≤
+    * `maxDist`. The signature is packed once per document into two BIGINT
+    * halves so the per-pair Hamming kernel is
+    * `bit_count(hi_a^hi_b) + bit_count(lo_a^lo_b)` — four integer ops,
+    * inside whole-stage codegen, instead of 128 substring compares.
+    * At scale the shuffle key is (block_id, block_val): Σ bucket², never an
+    * all-pairs join; duplicates from multi-block agreement are filtered
+    * cheaply (Hamming first) then de-duplicated.
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 8): DataFrame =
+    simhashPairsFromSigs(simhash(docs), maxDist)
+
+  /** Pair kernel over a precomputed (doc_id, simhash_bits) frame — split out
+    * so specs can drive it with handcrafted signatures (e.g. a pair
+    * differing only inside the first 16 bits, which single-prefix blocking
+    * misses).
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int = 8): DataFrame = {
+    // Join key: (block_id, block value) packed into ONE int — block values
+    // are ≤ 8 bits, so key = block_id*256 + value. Integer key hashing and
+    // equality beat a string key on the multi-million-candidate probe loop.
+    val packed = sigs.select(
+      col("doc_id"),
+      conv(substring(col("simhash_bits"), 1, 32), 2, 10).cast("long").as("hi"),
+      conv(substring(col("simhash_bits"), 33, 32), 2, 10).cast("long").as("lo"),
+      explode(array(SimhashBlocks.zipWithIndex.map { case ((start, len), k) =>
+        (lit(k * 256) + conv(substring(col("simhash_bits"), start, len), 2, 10)
+          .cast("int")).as(s"b_$k")
+      }: _*)).as("block_key"))
+    val a = packed.select(col("block_key"),
+      col("doc_id").as("doc_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = packed.select(col("block_key"),
+      col("doc_id").as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+    // A near-dup pair agrees on MOST blocks (dist ≤ 8 → ≥ 1 by pigeonhole,
+    // typically ~7 of 9), so the band join emits each result pair once per
+    // agreeing block. Instead of a distinct() — which would shuffle the
+    // multiplied pair stream — keep a pair only at its FIRST agreeing block,
+    // decided locally from the xor of the packed halves: each pair then
+    // survives in exactly one task, and the query has no post-join shuffle.
+    val xh = col("hi_a").bitwiseXOR(col("hi_b"))
+    val xl = col("lo_a").bitwiseXOR(col("lo_b"))
+    def agrees(block: (Int, Int)): Column = {
+      val (start, len) = block
+      var maskHi = 0L; var maskLo = 0L
+      (start until start + len).foreach { p =>
+        if (p <= 32) maskHi |= 1L << (32 - p) else maskLo |= 1L << (64 - p)
+      }
+      (xh.bitwiseAND(lit(maskHi)) === 0) && (xl.bitwiseAND(lit(maskLo)) === 0)
+    }
+    val firstAgree = SimhashBlocks.zipWithIndex.reverse
+      .foldLeft(lit(-1)) { case (acc, (blk, k)) => when(agrees(blk), k).otherwise(acc) }
+    a.join(b, Seq("block_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", hamming.cast("long"))
-      .filter(col("hamming") <= maxDist)
+      .withColumn("hamming",
+        (bit_count(xh) + bit_count(xl)).cast("long"))
+      .filter(col("hamming") <= maxDist
+        && shiftright(col("block_key"), 8) === firstAgree)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 

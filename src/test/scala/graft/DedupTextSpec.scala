@@ -54,6 +54,21 @@ class DedupTextSpec extends SparkSpec {
     assert(sh(1L).forall(c => c == '0' || c == '1'))
   }
 
+  test("simhashPairs pigeonhole banding: pair differing only in the first 16 bits is found") {
+    val base = "1" * 64
+    // 3 flips, all inside bits 1-16 — a single 16-bit-prefix block would
+    // never co-bucket these; blocks 3..8 still agree → candidate by pigeonhole
+    val nearPrefix = "0" + "1" * 3 + "0" + "1" * 5 + "0" + "1" * 53
+    // 20 flips spread everywhere, but sharing block 8 (bits 57-64) — a
+    // candidate that must be rejected by the exact Hamming verify
+    val farShared = ("10" * 20) + "1" * 16 + "1" * 8
+    val sigs = Seq((1L, base), (2L, nearPrefix), (3L, farShared))
+      .toDF("doc_id", "simhash_bits")
+    val pairs = Dedup.simhashPairsFromSigs(sigs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(pairs.toSeq == Seq((1L, 2L, 3L)))
+  }
+
   test("connectedComponents finds min-label clusters, handles chains") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L))
       .toDF("doc_a", "doc_b")
