@@ -20,7 +20,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def normalize(df):
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # Sort on non-float columns first: low-bit float drift between the two
+    # frames must not reorder rows differently, or the per-cell diff examples
+    # below would point at misaligned cells.
+    nonfloat = [c for c in df.columns if df[c].dtype.kind != 'f']
+    floats = [c for c in df.columns if df[c].dtype.kind == 'f']
+    df = df.sort_values(by=nonfloat + floats, ignore_index=True)
     return df
 
 
@@ -57,10 +62,11 @@ def compare(name, spark_df, oracle_df):
                     issues.append(f"{col}: {nbad} cells differ, e.g. spark={ex[0]} oracle={ex[1]} (dtype {av.dtype}/{bv.dtype})")
         except Exception as e:
             issues.append(f"{col}: compare error {e}")
-    # dtype drift report (informational)
+    # dtype drift report (informational — printed, never a failure: the
+    # contract is cell-by-cell value equality, not pandas dtype equality)
     for col in a.columns:
         if str(a[col].dtype) != str(b[col].dtype):
-            issues.append(f"{col}: dtype spark={a[col].dtype} oracle={b[col].dtype} (may or may not matter)")
+            print(f"[info] {name}: {col}: dtype spark={a[col].dtype} oracle={b[col].dtype}")
     return "; ".join(issues) if issues else None
 
 

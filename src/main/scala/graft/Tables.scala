@@ -24,7 +24,22 @@ object Tables {
     // (100 TB = thousands of row groups) this never triggers, so no extra
     // shuffle is paid at scale.
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target / 2) df.repartition(target) else df
+    if (estimatedScanSplits(spark, df) < target / 2) df.repartition(target) else df
+  }
+
+  /** Scan parallelism from file metadata alone — `df.rdd.getNumPartitions`
+    * would materialize the RDD lineage per table per query (measured fixed
+    * per-query overhead at bench scale). File-size / maxPartitionBytes is the
+    * same arithmetic FilePartition planning uses, minus openCost rounding.
+    */
+  private def estimatedScanSplits(spark: SparkSession, df: DataFrame): Long = {
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val hconf = spark.sparkContext.hadoopConfiguration
+    df.inputFiles.map { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val len = path.getFileSystem(hconf).getFileStatus(path).getLen
+      math.max(1L, (len + maxSplit - 1) / maxSplit)
+    }.sum
   }
 
   private def loadValidated(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -35,13 +35,30 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  /** A null *element* nulls the whole product — same as the declarative
+    * `aggregate(zip_with(...))` form and DuckDB list arithmetic, where NULL
+    * propagates through * and +. Treating it as 0.0 would be a silent wrong
+    * value.
+    */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemsNullable(left) || elemsNullable(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val la = a.asInstanceOf[ArrayData]
     val ra = b.asInstanceOf[ArrayData]
     val n = math.min(la.numElements(), ra.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc = acc + la.getDouble(i) * ra.getDouble(i); i += 1 }
+    while (i < n) {
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
+      acc = acc + la.getDouble(i) * ra.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -50,10 +67,18 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // element-null check only emitted when the schema allows null elements;
+      // ev.isNull is only assignable when `nullable` is true, which the
+      // override above guarantees in exactly those cases
+      val nullCheck =
+        if (elemsNullable(left) || elemsNullable(right))
+          s"if ($la.isNullAt($i) || $ra.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($la.numElements(), $ra.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc = $acc + $la.getDouble($i) * $ra.getDouble($i);
          |}
          |${ev.value} = $acc;

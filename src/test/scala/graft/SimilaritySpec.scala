@@ -48,4 +48,27 @@ class SimilaritySpec extends SparkSpec {
     assert(a(5L) == 1L)
     assert(a(0L) == 0L && a(1L) == 1L)
   }
+
+  test("graft_dot propagates a null element as NULL, not 0.0 (codegen + interpreted)") {
+    graft.functions.VectorExpressions.register(spark)
+    // codegen path (Project under whole-stage codegen)
+    val rows = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok,
+        |       graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS withNull
+        |""".stripMargin).collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(0).isNullAt(1))
+    // interpreted path (direct eval, no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val nullable = ArrayType(DoubleType, containsNull = true)
+    val lhs = Literal.create(new GenericArrayData(Array[Any](1.0, null)), nullable)
+    val rhs = Literal.create(new GenericArrayData(Array[Any](3.0, 4.0)), nullable)
+    val expr = graft.functions.DotProduct(lhs, rhs)
+    assert(expr.nullable)
+    assert(expr.eval(null) == null)
+    val full = graft.functions.DotProduct(rhs, rhs)
+    assert(full.eval(null) == 25.0)
+  }
 }
