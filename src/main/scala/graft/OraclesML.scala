@@ -193,10 +193,30 @@ object OraclesML {
        |  FROM dsh)""".stripMargin
   }
 
-  private def bandExpr(b: Int): String = {
-    val rows = Dedup.NumHashes / Dedup.NumBands
+  private def bandExpr(b: Int, rows: Int = Dedup.NumHashes / Dedup.NumBands): String = {
     val parts = (b * rows until (b + 1) * rows).map(j => s"sig_$j")
     "md5(" + parts.mkString(" || '|' || ") + ")"
+  }
+
+  /** Banded candidate pairs over the sigs CTE: `nBands` bands of `rows`
+    * signatures, bucket-capped like Dedup.bandedCandidates (QUALIFY mirrors
+    * capBuckets — buckets larger than MaxBucketSize drop before pairing).
+    */
+  private def bandedPairsCtes(rows: Int): String = {
+    val nBands = Dedup.NumHashes / rows
+    val bandRows = (0 until nBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandExpr(b, rows)} AS band_hash FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""bands AS (
+       |  $bandRows),
+       |capped AS (
+       |  SELECT * FROM bands WHERE band_hash IS NOT NULL
+       |  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= ${Dedup.MaxBucketSize}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |       AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   val minhashSignaturesSql: String = {
@@ -221,22 +241,12 @@ object OraclesML {
       |JOIN dsh a ON p.doc_a = a.doc_id
       |JOIN dsh b ON p.doc_b = b.doc_id""".stripMargin
 
-  val minhashLshPairsSql: String = {
-    val bandRows = (0 until Dedup.NumBands)
-      .map(b => s"SELECT doc_id, $b AS band_id, ${bandExpr(b)} AS band_hash FROM sigs")
-      .mkString("\n  UNION ALL\n  ")
+  val minhashLshPairsSql: String =
     s"""WITH $shinglesCte,
        |$distinctShinglesCte,
        |$sigsCte,
-       |bands AS (
-       |  $bandRows),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-       |       AND a.doc_id < b.doc_id)
+       |${bandedPairsCtes(Dedup.NumHashes / Dedup.NumBands)}
        |SELECT * FROM ($jaccardVerify) WHERE n_union > 0 AND jaccard >= 0.5""".stripMargin
-  }
 
   /** Connected components over the LSH pair graph via a recursive CTE:
     * component(node) = least(node, min over transitively reachable nodes) —
@@ -255,17 +265,15 @@ object OraclesML {
        |SELECT src AS node, least(src, min(dst)) AS component
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Candidates from the SAME 16 MinHash sigs re-banded 8×2 (s-curve
+    * midpoint ≈ 0.35 for the 0.3 verification threshold) — mirrors
+    * Dedup.ngramJaccardPairs' scale-safe generator.
+    */
   val ngramJaccardPairsSql: String =
     s"""WITH $shinglesCte,
        |$distinctShinglesCte,
-       |blk AS (
-       |  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket
-       |  FROM documents),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM blk a JOIN blk b
-       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-       |       AND a.doc_id < b.doc_id)
+       |$sigsCte,
+       |${bandedPairsCtes(2)}
        |SELECT * FROM ($jaccardVerify) WHERE n_union > 0 AND jaccard >= 0.3""".stripMargin
 
   val simhashSql: String = {
@@ -407,17 +415,42 @@ object OraclesML {
       s"(CASE WHEN ${dotSql("v", s"(${planeLit(w)})")} > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
     s"""WITH $evecCte,
-       |bk AS (SELECT vec_id, v, $bits AS bucket FROM e),
+       |bk0 AS (SELECT vec_id, v, $bits AS bucket FROM e),
+       |bk AS (SELECT * FROM bk0
+       |       QUALIFY count(*) OVER (PARTITION BY bucket) <= ${operators.Dedup.MaxBucketSize}),
        |b AS (SELECT bucket, vec_id AS vec_b, v AS vb FROM bk)
        |SELECT a.vec_id AS vec_a, b.vec_b, a.bucket, ${dotSql("a.v", "b.vb")} AS cosine
        |FROM bk a JOIN b ON a.bucket = b.bucket AND a.vec_id < b.vec_b
        |WHERE ${dotSql("a.v", "b.vb")} >= 0.4""".stripMargin
   }
 
-  val embeddingNearDupsSql: String =
+  /** Mirrors Similarity.embeddingNearDupsBanded: 48-plane sign signature,
+    * 4 bands × 12 bits, bucket-capped candidates, exact cosine verify.
+    */
+  val embeddingNearDupsSql: String = {
+    val sim = graft.operators.Similarity
+    val bits = sim.bandPlanes.map { w =>
+      s"(CASE WHEN ${dotSql("v", s"(${planeLit(w)})")} > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val bandRows = (0 until sim.NumSimBands)
+      .map(b => s"SELECT vec_id, $b AS band_id, substr(sig, ${b * sim.BandBits + 1}, ${sim.BandBits}) AS band_val FROM sg")
+      .mkString("\n  UNION ALL\n  ")
     s"""WITH $evecCte,
-       |b AS (SELECT vec_id AS vec_b, v AS vb FROM e)
-       |SELECT vec_id AS vec_a, vec_b, ${cosineSql("v", "vb")} AS cosine
-       |FROM e JOIN b ON vec_id < vec_b
-       |WHERE ${cosineSql("v", "vb")} >= 0.4""".stripMargin
+       |sg AS (SELECT vec_id, $bits AS sig FROM e),
+       |bands AS (
+       |  $bandRows),
+       |capped AS (
+       |  SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band_id, band_val) <= ${operators.Dedup.MaxBucketSize}),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |       AND a.vec_id < b.vec_id)
+       |SELECT p.vec_a, p.vec_b, ${dotSql("ea.v", "eb.v")} AS cosine
+       |FROM pairs p
+       |JOIN e ea ON p.vec_a = ea.vec_id
+       |JOIN e eb ON p.vec_b = eb.vec_id
+       |WHERE ${dotSql("ea.v", "eb.v")} >= 0.4""".stripMargin
+  }
 }

@@ -75,7 +75,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
     "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
-    "q_embedding_neardups" -> ((s, dir) => Similarity.embeddingNearDups(Tables.embeddings(s, dir))),
+    "q_embedding_neardups" -> ((s, dir) => Similarity.embeddingNearDupsBanded(Tables.embeddings(s, dir))),
     "q_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir))),
     "q_lsh_neardups" -> ((s, dir) => Similarity.lshNearDups(Tables.embeddings(s, dir))),
     // As-of join: trade → latest hourly bar (composed union+window)

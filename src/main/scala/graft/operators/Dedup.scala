@@ -25,6 +25,17 @@ object Dedup {
   val NumHashes = 16
   val NumBands = 4 // 4 rows/band → LSH threshold ≈ (1/4)^(1/4) ≈ 0.71
 
+  /** Skew guard for every LSH band join: a band bucket larger than this is
+    * dropped before pair generation. A degenerate band (e.g. a constant
+    * signature over millions of boilerplate docs) would otherwise emit
+    * O(bucket²) pairs into a single task; with the cap, per-bucket work is
+    * ≤ cap² and a 100 TB job's worst task stays bounded. Dropped buckets are
+    * a deliberate recall trade — a bucket this size is not discriminating
+    * anyway (its docs pair with everything). Oracles mirror the cap via
+    * QUALIFY, so the semantics are part of the contract, not a fudge.
+    */
+  val MaxBucketSize = 1000
+
   /** Exact dedup: group identical texts by md5, keep the lowest doc_id
     * (deterministic survivor), report group size.
     */
@@ -37,61 +48,91 @@ object Dedup {
       array_distinct(Shingles.shingles(TextOps.tokens(col("text")), ShingleK))
         .as("shingles"))
 
-  /** MinHash signatures: NumHashes seeded-md5 minima per document, plus the
-    * NumBands banded bucket hashes for LSH. Entirely map-side.
-    */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  /** doc_id + sig_0..sig_{NumHashes-1} from a (doc_id, shingles) frame. */
+  private def rawSignatures(shingleSets: DataFrame): DataFrame = {
     val sigs = (0 until NumHashes).map { j =>
       array_min(transform(col("shingles"),
         s => md5(concat(lit(j.toString), lit(":"), s)))).as(s"sig_$j")
     }
-    val withSigs = docShingles(docs).select(col("doc_id") +: sigs: _*)
-    val bands = (0 until NumBands).map { b =>
-      val rows = NumHashes / NumBands
-      // concat (NOT concat_ws): null sigs — a doc with < ShingleK tokens —
-      // must propagate to a null band like the oracle's `||`, so shingle-less
-      // docs never co-bucket (concat_ws would give them all md5(""))
-      val parts = (b * rows until (b + 1) * rows).map(j => col(s"sig_$j"))
-      md5(concat(parts.flatMap(c => Seq(c, lit("|"))).dropRight(1): _*))
-        .as(s"band_$b")
-    }
+    shingleSets.select(col("doc_id") +: sigs: _*)
+  }
+
+  /** Band hash over `rowsPerBand` consecutive signatures.
+    * concat (NOT concat_ws): null sigs — a doc with < ShingleK tokens — must
+    * propagate to a null band like the oracle's `||`, so shingle-less docs
+    * never co-bucket (concat_ws would give them all md5("")).
+    */
+  private def bandHash(b: Int, rowsPerBand: Int): Column = {
+    val parts = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"sig_$j"))
+    md5(concat(parts.flatMap(c => Seq(c, lit("|"))).dropRight(1): _*))
+  }
+
+  /** MinHash signatures: NumHashes seeded-md5 minima per document, plus the
+    * NumBands banded bucket hashes for LSH. Entirely map-side.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val withSigs = rawSignatures(docShingles(docs))
+    val bands = (0 until NumBands).map(b => bandHash(b, NumHashes / NumBands).as(s"band_$b"))
     withSigs.select(col("doc_id") +:
       (0 until NumHashes).map(j => col(s"sig_$j")) ++: bands: _*)
+  }
+
+  /** Drop bucket groups larger than `cap` before pair generation — the
+    * skew guard shared by every LSH band join (see [[MaxBucketSize]]). One
+    * count aggregate keyed like the join itself; the join back reuses the
+    * same partitioning, so the guard costs one small extra shuffle of the
+    * per-bucket counts, never a re-shuffle of the data.
+    */
+  private[graft] def capBuckets(buckets: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val counts = buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_n"))
+    buckets.join(counts.filter(col("bucket_n") <= cap), keys).drop("bucket_n")
+  }
+
+  /** Candidate pairs from banded signature equality: docs sharing any of the
+    * NumHashes/rowsPerBand band buckets pair up (Σ bucket², never n²), with
+    * oversized buckets dropped by [[capBuckets]].
+    */
+  private def bandedCandidates(sigs: DataFrame, rowsPerBand: Int, cap: Int): DataFrame = {
+    val numBands = NumHashes / rowsPerBand
+    val bandCols = (0 until numBands).map(b =>
+      struct(lit(b).as("band_id"), bandHash(b, rowsPerBand).as("band_hash")))
+    val buckets = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      .filter(col("band_hash").isNotNull)
+    val capped = capBuckets(buckets, Seq("band_id", "band_hash"), cap)
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** MinHash LSH candidate pairs + exact-Jaccard verification: docs sharing
     * any band bucket are candidates; candidates are verified against the true
     * shingle-set Jaccard and kept when ≥ `threshold`.
     */
-  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val bandCols = (0 until NumBands).map(b =>
-      struct(lit(b).as("band_id"), col(s"band_$b").as("band_hash")))
-    val buckets = sigs.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band_id") === col("b.band_id")
-          && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(pairs, docShingles(docs), threshold)
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
+                      cap: Int = MaxBucketSize): DataFrame = {
+    val sh = docShingles(docs)
+    verifyJaccard(bandedCandidates(rawSignatures(sh), NumHashes / NumBands, cap), sh, threshold)
   }
 
-  /** n-gram Jaccard dedup with cheap blocking (lang, length bucket) instead
-    * of LSH: exercises the same verification kernel on a different candidate
-    * generator.
+  /** n-gram Jaccard near-dup pairs at a lower threshold (0.3) than the LSH
+    * dedup path. Candidates re-band the SAME 16 MinHash signatures as
+    * 8 bands × 2 rows — s-curve midpoint (1/8)^(1/2) ≈ 0.35, sitting at this
+    * verification threshold. (The previous generator blocked on
+    * (lang, length-bucket): block membership is a constant fraction of the
+    * corpus, so per-block pair count grew quadratically with corpus size —
+    * dead at 100 TB. Band buckets shrink as signatures spread; the cap
+    * bounds whatever skew remains.)
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val blocked = docs.select(col("doc_id"),
-      struct(col("lang"), floor(col("n_chars") / 50).as("len_bucket")).as("blk"))
-    val pairs = blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    verifyJaccard(pairs, docShingles(docs), threshold)
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.3,
+                        cap: Int = MaxBucketSize): DataFrame = {
+    val sh = docShingles(docs)
+    verifyJaccard(bandedCandidates(rawSignatures(sh), 2, cap), sh, threshold)
   }
 
   /** Exact shingle-set Jaccard for candidate pairs: two joins against the

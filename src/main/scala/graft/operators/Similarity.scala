@@ -125,9 +125,9 @@ object Similarity {
     */
   val NumPlanes = 12
   val Dim = 64
-  lazy val hyperplanes: Seq[Seq[Double]] = {
+  def hyperplaneSeq(n: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until NumPlanes).map { j =>
+    (0 until n).map { j =>
       (0 until Dim).map { i =>
         val h = md.digest(s"$j:$i".getBytes("UTF-8"))
           .take(4).map("%02x".format(_)).mkString
@@ -135,6 +135,17 @@ object Similarity {
       }
     }
   }
+  lazy val hyperplanes: Seq[Seq[Double]] = hyperplaneSeq(NumPlanes)
+
+  /** Banded sign-LSH layout: NumSimBands bands × BandBits sign bits each
+    * (48 planes total, a superset of [[hyperplanes]] under the same md5
+    * derivation). Band count is the recall knob (any shared band → candidate);
+    * bits-per-band is the bucket-granularity knob — it grows with
+    * log(corpus) to hold expected bucket size flat at 100 TB.
+    */
+  val NumSimBands = 4
+  val BandBits = 12
+  lazy val bandPlanes: Seq[Seq[Double]] = hyperplaneSeq(NumSimBands * BandBits)
 
   /** Sign-LSH bucket expression over a normalized-vector column: bit j =
     * (v · w_j) > 0, as a NumPlanes-char '0'/'1' string.
@@ -153,14 +164,54 @@ object Similarity {
     * cosine verifies. Recall trades off against NumPlanes like any sign-LSH.
     * Buckets derive from the SAME normalized frame (one scan, one
     * normalization pass — a separate lshBuckets join would scan twice).
+    * Degenerate buckets (all-zero vectors, boilerplate embeddings) are
+    * dropped beyond `cap` docs — same skew guard as the MinHash band joins.
     */
-  def lshNearDups(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val e = vectors(emb).withColumn("bucket", bucketExpr(col("v")))
+  def lshNearDups(emb: DataFrame, threshold: Double = 0.4,
+                  cap: Int = Dedup.MaxBucketSize): DataFrame = {
+    val e = Dedup.capBuckets(
+      vectors(emb).withColumn("bucket", bucketExpr(col("v"))), Seq("bucket"), cap)
     val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
     e.join(b, Seq("bucket"))
       .filter(col("vec_id") < col("vec_b"))
       .withColumn("cosine", cosine(col("v"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_id").as("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
+  }
+
+  /** Banded sign-LSH near-dup pairs — the registered replacement for the
+    * all-pairs exact join (which stays as a spec-only baseline): vectors
+    * sharing ANY of the [[NumSimBands]] 12-bit sign bands become candidates
+    * (Σ bucket² work per band, bucket-capped), then the exact cosine
+    * verifies against `threshold`. The candidate stream carries only ids —
+    * the 64-double vectors are joined back per distinct pair, so the band
+    * explode never multiplies vector payloads.
+    */
+  def embeddingNearDupsBanded(emb: DataFrame, threshold: Double = 0.4,
+                              cap: Int = Dedup.MaxBucketSize): DataFrame = {
+    val e = vectors(emb)
+    val sig = concat(bandPlanes.map { w =>
+      when(dot(col("v"), array(w.map(lit): _*)) > 0, "1").otherwise("0")
+    }: _*)
+    val bandCols = (0 until NumSimBands).map(b =>
+      struct(lit(b).as("band_id"),
+        substring(col("sig"), b * BandBits + 1, BandBits).as("band_val")))
+    val buckets = e.withColumn("sig", sig)
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_id"), col("band.band_val"))
+    val capped = Dedup.capBuckets(buckets, Seq("band_id", "band_val"), cap)
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    pairs.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 }

@@ -69,6 +69,23 @@ class DedupTextSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 3L)))
   }
 
+  test("ngramJaccardPairs banded candidates find a near-dup; bucket cap bounds degenerate bands") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val pairs = Dedup.ngramJaccardPairs(docs((1L, base), (2L, nearDup), (3L, other)))
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 1L && pairs.head.getAs[Long]("doc_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+    // 12 identical docs → every band bucket holds all 12; cap=10 drops them
+    // (bounded per-task pair work), default cap keeps all 66 pairs
+    val many = docs((1L to 12L).map(i => i -> base): _*)
+    assert(Dedup.minhashLshPairs(many, cap = 10).collect().isEmpty)
+    assert(Dedup.minhashLshPairs(many).count() == 66L)
+    assert(Dedup.ngramJaccardPairs(many, cap = 10).collect().isEmpty)
+  }
+
   test("connectedComponents finds min-label clusters, handles chains") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L))
       .toDF("doc_a", "doc_b")

@@ -49,6 +49,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a(0L) == 0L && a(1L) == 1L)
   }
 
+  test("embeddingNearDupsBanded agrees with the all-pairs baseline on found pairs; cap bounds degenerate buckets") {
+    val df = emb(
+      0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f), // identical → same sig, cosine 1.0
+      2L -> Seq(0f, 1f)) // orthogonal to both
+    val banded = Similarity.embeddingNearDupsBanded(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cosine")))
+    assert(banded.toSeq == Seq((0L, 1L, 1.0)))
+    // every banded pair must appear in the exact all-pairs baseline with the
+    // identical cosine (candidates differ, verification must not)
+    val exact = Similarity.embeddingNearDups(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cosine"))).toSet
+    assert(banded.forall(exact.contains))
+    // 15 identical vectors: one bucket per band of size 15 > cap=10 → dropped
+    val many = emb((0L until 15L).map(i => i -> Seq(1f, 2f, 3f)): _*)
+    assert(Similarity.embeddingNearDupsBanded(many, cap = 10).collect().isEmpty)
+    assert(Similarity.embeddingNearDupsBanded(many).count() == 105L)
+  }
+
   test("graft_dot propagates a null element as NULL, not 0.0 (codegen + interpreted)") {
     graft.functions.VectorExpressions.register(spark)
     // codegen path (Project under whole-stage codegen)
