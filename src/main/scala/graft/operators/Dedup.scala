@@ -233,28 +233,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Connected components over a pair graph by iterative min-label
-    * propagation (each node repeatedly adopts the smallest label among
-    * itself and its neighbors until fixpoint — iterations ≈ graph diameter,
-    * each one join + one aggregate; lineage checkpointed per round so plans
-    * stay linear). The distributed union-find for duplicate GROUPS: LSH
-    * gives pairs, this gives clusters with the min doc_id as the canonical
-    * survivor.
+  /** Default a RELIABLE checkpoint location when the session has none.
+    * `localCheckpoint` stores blocks executor-local — on a 1000-executor job
+    * one lost executor kills the iteration mid-flight; `checkpoint()` writes
+    * to this (HDFS-compatible on a cluster — set it to a durable path there;
+    * local temp under local[n]) and survives stage retries.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  private def ensureCheckpointDir(df: DataFrame): Unit = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft-checkpoints").getAbsolutePath)
+  }
+
+  /** Connected components over a pair graph: min-label propagation with
+    * POINTER JUMPING — each round every node takes the smallest label among
+    * itself and its neighbors, then shortcuts through that label's own label
+    * (label(label(node))). The shortcut doubles the distance covered per
+    * round, so rounds ≈ log₂(diameter), not diameter — a 1000-node chain
+    * converges in ~10 rounds (see DedupTextSpec), where plain propagation
+    * needs 1000. Each round is two shuffle joins + one aggregate, reliably
+    * checkpointed (see [[ensureCheckpointDir]]) so plan lineage stays flat
+    * and executor loss is recoverable. The distributed union-find for
+    * duplicate GROUPS: LSH gives pairs, this gives clusters with the min
+    * doc_id as the canonical survivor.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    ensureCheckpointDir(edges)
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .checkpoint()
     var labels = sym.select(col("src").as("node"), col("src").as("lbl"))
-      .distinct().localCheckpoint(true)
+      .distinct().checkpoint()
     var converged = false
+    var iter = 0
     while (!converged) {
+      iter += 1
+      if (iter > maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds")
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("lbl"))
-      val next = labels.union(viaNeighbor)
+      val propagated = labels.union(viaNeighbor)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      // pointer jumping: every lbl value is itself a node (labels start as
+      // node→node and only ever adopt existing node ids), so the inner
+      // self-join below is total and replaces lbl with label(lbl)
+      val next = propagated
+        .join(propagated.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+        .select(col("node"), col("lbl2").as("lbl"))
+        .checkpoint()
       converged = next
         .join(labels.withColumnRenamed("lbl", "prev"), "node")
         .filter(col("lbl") =!= col("prev"))

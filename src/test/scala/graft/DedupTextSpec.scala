@@ -95,6 +95,15 @@ class DedupTextSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("connectedComponents: 1000-node chain converges in logarithmic rounds") {
+    // worst-case diameter graph; pointer jumping must finish in ~log2(1000)
+    // rounds — maxIter=15 would fail plain O(diameter) propagation instantly
+    val edges = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges, maxIter = 15).collect()
+    assert(cc.length == 1000)
+    assert(cc.forall(_.getAs[Long]("component") == 0L))
+  }
+
   test("token counts: whitespace vs BPE-ish regex") {
     val r = TextOps.tokenCount(docs((1L, "ab cd, ef 12!"))).collect().head
     assert(r.getAs[Long]("n_ws_tokens") == 4L)
