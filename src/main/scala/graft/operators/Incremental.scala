@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import java.util.UUID
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,44 +10,49 @@ import org.apache.spark.sql.functions._
   * (SURVEY.md §3.2, §2.9): resume from the sink's MAX(ts) watermark (S6),
   * re-read a trailing overlap for late/revised rows
   * (`collectors/binance.py:152-153`), and upsert with last-write-wins
-  * semantics (S8/S9) over a date-partitioned parquet sink — the
-  * object-storage analog of `ON CONFLICT DO UPDATE`.
+  * semantics (S8/S9) over a date-partitioned sink — the object-storage
+  * analog of `ON CONFLICT DO UPDATE`.
   *
-  * Durability: the merged slice is written to a STAGING directory first and
-  * partition directories are swapped in afterwards — never an in-place
-  * overwrite of data the plan is still reading (a localCheckpoint +
-  * self-overwrite would lose the only copy if an executor died mid-write).
-  * On a real deployment a table format (Delta/Iceberg) supplies the atomic
-  * commit; the staging swap is the dependency-free equivalent.
+  * Durability: the sink is a [[ManifestTable]] — the merged slice is staged,
+  * published under never-colliding names, and made visible by ONE atomic
+  * manifest rename. There is no delete-before-commit window: a crash at any
+  * point leaves the previous snapshot fully readable (the reference gets the
+  * same guarantee from Postgres's transactional upsert,
+  * `aggregators/base.py:155-238`).
   *
   * Scale: only partitions holding new data OR existing versions of the
   * batch's keys are rewritten; the watermark reads just the latest
-  * partition (partition listing, not a full scan).
+  * partition's files straight off the manifest — no directory listing, no
+  * full-sink scan.
   */
 object Incremental {
 
-  private def fsOf(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** Read the current snapshot of a sync sink. */
+  def readSink(spark: SparkSession, sinkPath: String): DataFrame =
+    ManifestTable.read(spark, sinkPath)
 
-  private def partitionDirs(spark: SparkSession, sinkPath: String): Seq[String] = {
-    val fs = fsOf(spark, sinkPath)
-    val root = new Path(sinkPath)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_date="))
-      .map(_.getPath.getName)
-  }
+  private def livePartitions(spark: SparkSession, sinkPath: String): Seq[String] =
+    ManifestTable.liveFiles(spark, sinkPath)
+      .map(f => f.takeWhile(_ != '/'))
+      .filter(_.startsWith("p_date=")).distinct
 
   /** S6: the sink's resume point — MAX(ts) of the LATEST date partition
     * (the max timestamp always lives there), not a full-sink scan.
     */
   def sinkWatermark(spark: SparkSession, sinkPath: String,
                     tsCol: String): Option[java.sql.Timestamp] = {
-    val parts = partitionDirs(spark, sinkPath)
+    val parts = livePartitions(spark, sinkPath)
     if (parts.isEmpty) None
-    else spark.read.parquet(s"$sinkPath/${parts.max}")
-      .agg(max(col(tsCol))).collect().headOption
-      .flatMap(r => Option(r.getTimestamp(0)))
+    else {
+      val latest = parts.max // p_date=YYYY-MM-DD sorts lexically = temporally
+      val files = ManifestTable.liveFiles(spark, sinkPath)
+        .filter(_.startsWith(latest + "/"))
+        .map(f => s"${ManifestTable.dataDir(sinkPath)}/$f")
+      spark.read.option("basePath", ManifestTable.dataDir(sinkPath))
+        .parquet(files: _*)
+        .agg(max(col(tsCol))).collect().headOption
+        .flatMap(r => Option(r.getTimestamp(0)))
+    }
   }
 
   /** Per-tick outcome, mirroring the reference's inserted-vs-updated
@@ -61,7 +67,6 @@ object Incremental {
                keyCols: Seq[String], seqCols: Seq[String],
                tsCol: String, overlap: String): SyncStats = {
     val spark = source.sparkSession
-    val fs = fsOf(spark, sinkPath)
 
     val wm = sinkWatermark(spark, sinkPath, tsCol)
     val newData = wm match {
@@ -78,7 +83,7 @@ object Incremental {
 
     val (merged, updatedCount, touchedDates) = wm match {
       case Some(_) =>
-        val sink = spark.read.parquet(sinkPath)
+        val sink = readSink(spark, sinkPath)
         val batchKeys = withDate.select(keyCols.map(col): _*).distinct()
         // partitions to rewrite: those with new data PLUS those holding an
         // existing version of a batch key (a revision may move a row across
@@ -101,22 +106,20 @@ object Incremental {
             .collect().map(_.getDate(0).toString).toSeq)
     }
 
-    // stage, then swap: delete EVERY touched sink partition (a partition
-    // whose rows all merged away produces no staging dir but must still
-    // vanish — e.g. a revision moved its only key to another date), then
-    // rename the staged dirs in
-    val staging = s"$sinkPath.__staging"
-    fs.delete(new Path(staging), true)
+    // stage → publish → one atomic manifest rename. A partition whose rows
+    // all merged away produces no staged files but is still listed as
+    // replaced, so its stale files drop out of the new snapshot.
+    val staging = s"$sinkPath/_staging/${UUID.randomUUID()}"
     merged.write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(staging)
-    val n = spark.read.parquet(staging).count()
-    fs.mkdirs(new Path(sinkPath))
-    touchedDates.foreach { d =>
-      fs.delete(new Path(s"$sinkPath/p_date=$d"), true)
+    // explicit schema: a tick whose batch fell entirely behind the watermark
+    // stages zero files, and inference has nothing to read
+    val n = spark.read.schema(merged.schema).parquet(staging).count()
+    val added = ManifestTable.publishFiles(spark, sinkPath, staging)
+    if (added.nonEmpty || touchedDates.nonEmpty) {
+      ManifestTable.commitReplace(spark, sinkPath,
+        touchedDates.map(d => s"p_date=$d"), added)
+      ManifestTable.vacuum(spark, sinkPath)
     }
-    partitionDirs(spark, staging).foreach { part =>
-      fs.rename(new Path(s"$staging/$part"), new Path(s"$sinkPath/$part"))
-    }
-    fs.delete(new Path(staging), true)
 
     val newKeys = withDate.select(keyCols.map(col): _*).distinct().count()
     SyncStats(n, newKeys - updatedCount, updatedCount)

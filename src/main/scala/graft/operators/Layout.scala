@@ -51,15 +51,52 @@ object Layout {
     // sink's partitioning (e.g. "p_date" for Incremental sinks) or the
     // rewrite would flatten the layout.
     val staging = s"$path.__staging"
+    val retired = s"$path.__old"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(new org.apache.hadoop.fs.Path(retired), true)
     val writer = spark.read.parquet(path).coalesce(nOut)
       .write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // retire-then-swap, never delete-then-swap: at every crash point a full
+    // copy exists on disk (either `path`, or `__old` + `__staging`), so the
+    // worst outcome is a manual rename, not data loss. A ManifestTable sink
+    // gets a genuinely atomic version of this via compactTable below.
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(retired))
     fs.rename(new org.apache.hadoop.fs.Path(staging),
       new org.apache.hadoop.fs.Path(path))
+    fs.delete(new org.apache.hadoop.fs.Path(retired), true)
     (before.length.toLong, parquetFiles.length.toLong)
+  }
+
+  /** Compaction of a [[ManifestTable]] sink with a truly atomic cutover:
+    * rewrite the live snapshot into ~`targetBytes` files, publish them, and
+    * flip one manifest. Readers see either the old file set or the new one —
+    * never an empty or half-swapped directory. Returns (files_before,
+    * files_after).
+    */
+  def compactTable(spark: SparkSession, root: String,
+                   targetBytes: Long = 128L << 20,
+                   partitionCols: Seq[String] = Seq.empty): (Long, Long) = {
+    val before = ManifestTable.liveFiles(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = before.map { f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"${ManifestTable.dataDir(root)}/$f")).getLen
+    }.sum
+    val nOut = math.max(1, (totalBytes / targetBytes).toInt)
+    val staging = s"$root/_staging/compact-${java.util.UUID.randomUUID()}"
+    val writer = ManifestTable.read(spark, root).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staging)
+    val added = ManifestTable.publishFiles(spark, root, staging)
+    // replace-everything commit: empty prefix matches every live file
+    ManifestTable.commitReplace(spark, root, Seq(""), added)
+    ManifestTable.vacuum(spark, root)
+    (before.length.toLong, added.length.toLong)
   }
 
   /** Join two bucketed tables on their bucket keys — shuffle-free when both

@@ -4,11 +4,12 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Incremental
+import graft.operators.{Incremental, ManifestTable}
 
 /** Watermark resume + trailing-overlap re-read + LWW upsert (SURVEY §3.2):
   * two ticks with overlapping, revised rows must converge to last-write-wins
-  * of the union; replaying a tick is a no-op.
+  * of the union; replaying a tick is a no-op. The sink is a ManifestTable —
+  * a crash at ANY point before the manifest rename must lose nothing.
   */
 class IncrementalSpec extends SparkSpec {
   import spark.implicits._
@@ -32,7 +33,7 @@ class IncrementalSpec extends SparkSpec {
     val stats2 = Incremental.syncTick(batch2, sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
     assert(stats2.inserted == 1L && stats2.updated == 1L) // key 4 new, key 3 revised
 
-    val after2 = spark.read.parquet(sink)
+    val after2 = Incremental.readSink(spark, sink)
       .select("key", "value", "batch").orderBy("key")
       .as[(Long, Double, String)].collect().toSeq
     assert(after2 == Seq((1L, 100.0, "b1"), (2L, 200.0, "b1"),
@@ -40,7 +41,7 @@ class IncrementalSpec extends SparkSpec {
 
     // replay batch2 → unchanged
     Incremental.syncTick(batch2, sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
-    val after3 = spark.read.parquet(sink)
+    val after3 = Incremental.readSink(spark, sink)
       .select("key", "value", "batch").orderBy("key")
       .as[(Long, Double, String)].collect().toSeq
     assert(after3 == after2)
@@ -49,7 +50,8 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.sinkWatermark(spark, sink, "ts").get ==
       sqlTs("2024-01-02 10:00:00"))
     // untouched partition (2024-01-01) was not rewritten away
-    assert(spark.read.parquet(sink).filter(col("key") === 1L).count() == 1L)
+    assert(Incremental.readSink(spark, sink)
+      .filter(col("key") === 1L).count() == 1L)
   }
 
   test("first tick dedups in-batch key duplicates (LWW applies from tick one)") {
@@ -59,7 +61,7 @@ class IncrementalSpec extends SparkSpec {
       (1L, "2024-01-01 10:00:00", 200.0, "b"))
     val stats = Incremental.syncTick(batch, sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
     assert(stats.written == 1L)
-    val row = spark.read.parquet(sink).collect()
+    val row = Incremental.readSink(spark, sink).collect()
     assert(row.length == 1 && row.head.getAs[String]("batch") == "b")
   }
 
@@ -72,8 +74,47 @@ class IncrementalSpec extends SparkSpec {
     Incremental.syncTick(
       rows((5L, "2024-01-02 00:10:00", 200.0, "b")),
       sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
-    val out = spark.read.parquet(sink).collect()
+    val out = Incremental.readSink(spark, sink).collect()
     assert(out.length == 1)
     assert(out.head.getAs[Double]("value") == 200.0)
+  }
+
+  test("a writer killed anywhere before the manifest rename loses nothing") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink4").toString + "/t"
+    Incremental.syncTick(
+      rows((1L, "2024-01-01 10:00:00", 100.0, "a"),
+        (2L, "2024-01-02 10:00:00", 200.0, "a")),
+      sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    val v1 = ManifestTable.currentVersion(spark, sink).get
+    val snapshot1 = Incremental.readSink(spark, sink)
+      .select("key", "value").orderBy("key")
+      .as[(Long, Double)].collect().toSeq
+
+    // simulate a tick that dies AFTER staging + publishing its files but
+    // BEFORE the atomic manifest rename (the widest crash window): in the
+    // old delete-then-rename scheme this is exactly where partitions were
+    // already deleted. Here the published files must stay invisible.
+    val staging = s"$sink/_staging/crashed-tick"
+    rows((2L, "2024-01-02 10:00:00", 999.0, "b"))
+      .withColumn("p_date", to_date(col("ts")))
+      .write.partitionBy("p_date").parquet(staging)
+    ManifestTable.publishFiles(spark, sink, staging) // ... and then it dies
+
+    assert(ManifestTable.currentVersion(spark, sink).get == v1)
+    val snapshotAfterCrash = Incremental.readSink(spark, sink)
+      .select("key", "value").orderBy("key")
+      .as[(Long, Double)].collect().toSeq
+    assert(snapshotAfterCrash == snapshot1) // nothing lost, nothing leaked
+
+    // recovery is just housekeeping: vacuum drops the orphans, and the
+    // retried tick commits normally on top of the intact snapshot
+    assert(ManifestTable.vacuum(spark, sink) >= 1L)
+    Incremental.syncTick(
+      rows((2L, "2024-01-02 10:00:00", 999.0, "b")),
+      sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    val recovered = Incremental.readSink(spark, sink)
+      .select("key", "value").orderBy("key")
+      .as[(Long, Double)].collect().toSeq
+    assert(recovered == Seq((1L, 100.0), (2L, 999.0)))
   }
 }

@@ -17,6 +17,34 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == rows)
   }
 
+  test("compactTable rewrites a manifest sink atomically, preserving snapshot") {
+    import graft.operators.{Incremental, ManifestTable}
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft_compact_mt").toString + "/t"
+    // 4 append-only commits accrue 4 small files across two partitions
+    (1 to 4).foreach { i =>
+      val day = if (i <= 2) 1 else 2
+      val staging = s"$sink/_staging/tick$i"
+      Seq((i.toLong, sqlTs(s"2024-01-0$day 1$i:00:00"), i * 1.0, s"b$i"))
+        .toDF("key", "ts", "value", "batch")
+        .withColumn("p_date", to_date(col("ts")))
+        .write.partitionBy("p_date").parquet(staging)
+      val added = ManifestTable.publishFiles(spark, sink, staging)
+      ManifestTable.commitReplace(spark, sink, Seq.empty, added)
+    }
+    assert(ManifestTable.liveFiles(spark, sink).size == 4)
+    val rowsBefore = Incremental.readSink(spark, sink).orderBy("key")
+      .select("key", "value").as[(Long, Double)].collect().toSeq
+    val (before, after) = Layout.compactTable(spark, sink,
+      targetBytes = 1L << 30, partitionCols = Seq("p_date"))
+    assert(after < before)
+    val rowsAfter = Incremental.readSink(spark, sink).orderBy("key")
+      .select("key", "value").as[(Long, Double)].collect().toSeq
+    assert(rowsAfter == rowsBefore)
+    // version advanced exactly once; old files vacuumed
+    assert(ManifestTable.liveFiles(spark, sink).size == after.toInt)
+  }
+
   test("bucketed lineitem ⋈ orders has no Exchange in the executed plan") {
     val dir = "/root/testdata/sf0.001"
     Layout.writeBucketed(Tables.lineitem(spark, dir), "li_b", "l_orderkey", buckets = 8)
