@@ -67,13 +67,32 @@ object Incremental {
                keyCols: Seq[String], seqCols: Seq[String],
                tsCol: String, overlap: String): SyncStats = {
     val spark = source.sparkSession
-
     val wm = sinkWatermark(spark, sinkPath, tsCol)
     val newData = wm match {
       case Some(w) =>
         source.filter(col(tsCol) > lit(w) - expr(s"INTERVAL $overlap"))
       case None => source
     }
+    mergeAndCommit(newData, sinkPath, keyCols, seqCols, tsCol,
+      sinkExists = wm.isDefined)
+  }
+
+  /** Upsert WITHOUT the watermark filter — the gap-repair path
+    * ([[GapRepair]], `collectors/binance_1m.py:404-507`): refetched rows are
+    * older than the sink's watermark by construction, so the tick filter
+    * would drop exactly the rows being repaired. The source is expected to
+    * be range-bounded already (the API's start/end_timestamp params).
+    */
+  def backfill(source: DataFrame, sinkPath: String,
+               keyCols: Seq[String], seqCols: Seq[String],
+               tsCol: String): SyncStats =
+    mergeAndCommit(source, sinkPath, keyCols, seqCols, tsCol,
+      sinkExists = ManifestTable.currentVersion(source.sparkSession, sinkPath).isDefined)
+
+  private def mergeAndCommit(newData: DataFrame, sinkPath: String,
+                             keyCols: Seq[String], seqCols: Seq[String],
+                             tsCol: String, sinkExists: Boolean): SyncStats = {
+    val spark = newData.sparkSession
     val withDate = newData.withColumn("p_date", to_date(col(tsCol)))
     val lwwWindow = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(seqCols.map(c => col(c).desc): _*)
@@ -81,8 +100,8 @@ object Incremental {
       df.withColumn("__rn", row_number().over(lwwWindow))
         .filter(col("__rn") === 1).drop("__rn")
 
-    val (merged, updatedCount, touchedDates) = wm match {
-      case Some(_) =>
+    val (merged, updatedCount, touchedDates) =
+      if (sinkExists) {
         val sink = readSink(spark, sinkPath)
         val batchKeys = withDate.select(keyCols.map(col): _*).distinct()
         // partitions to rewrite: those with new data PLUS those holding an
@@ -99,12 +118,12 @@ object Incremental {
           .count()
         val dates = touched.collect().map(_.getDate(0).toString).toSeq
         (lww(existing.unionByName(withDate)), upd, dates)
-      case None =>
+      } else {
         // first tick still needs LWW: the batch itself can carry key dups
         (lww(withDate), 0L,
           withDate.select(col("p_date")).distinct()
             .collect().map(_.getDate(0).toString).toSeq)
-    }
+      }
 
     // stage → publish → one atomic manifest rename. A partition whose rows
     // all merged away produces no staged files but is still listed as
