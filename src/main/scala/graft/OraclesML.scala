@@ -453,4 +453,26 @@ object OraclesML {
        |JOIN e eb ON p.vec_b = eb.vec_id
        |WHERE ${dotSql("ea.v", "eb.v")} >= 0.4""".stripMargin
   }
+
+  /** Mirrors Multimodal.mediaMetaQuery: the deterministic half of the
+    * multimodal pipeline — payload byte length (UTF-8 bytes of text, the
+    * synthesized payload), typed metadata, and the metadata resize. The
+    * decoded feature vector is NOT here (not SQL-expressible) — it stays on
+    * the rows-only q_media_features.
+    */
+  val mediaMetaSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |         CAST(n_chars % 64 + 32 AS INTEGER) AS width,
+      |         CAST(n_chars % 48 + 24 AS INTEGER) AS height,
+      |         CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate
+      |  FROM documents)
+      |SELECT media_id, kind, n_bytes, width, height, sample_rate,
+      |       CAST(floor(width * least(1.0, 32 / greatest(width, height))) AS INTEGER) AS out_width,
+      |       CAST(floor(height * least(1.0, 32 / greatest(width, height))) AS INTEGER) AS out_height
+      |FROM media""".stripMargin
 }

@@ -97,7 +97,9 @@ object SparkEntry {
     "q_order_status_pivot" -> ((s, dir) => Relational.orderStatusPivot(s, dir)),
     "q_value_stats" -> ((s, dir) => Relational.valueStats(s, dir)),
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
-    // Multimodal plumbing (decode stubbed — no oracle, rows-only check)
+    // Multimodal plumbing: metadata half is fully oracled; the decoded
+    // feature vector (stubbed codec) stays rows-only
+    "q_media_meta" -> ((s, dir) => Multimodal.mediaMetaQuery(s, dir)),
     "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir))
   )
 
@@ -155,6 +157,7 @@ object SparkEntry {
     "q_customers_without_orders" -> OraclesML.customersWithoutOrdersSql,
     "q_order_status_pivot" -> OraclesML.orderStatusPivotSql,
     "q_value_stats" -> OraclesML.valueStatsSql,
-    "q_value_histogram" -> OraclesML.valueHistogramSql
+    "q_value_histogram" -> OraclesML.valueHistogramSql,
+    "q_media_meta" -> OraclesML.mediaMetaSql
   )
 }

@@ -110,6 +110,20 @@ object Multimodal {
       .drop("payload")
   }
 
+  /** Metadata query for the driver — everything deterministic around the
+    * decode seam (payload size, typed metadata, metadata resize) IS
+    * SQL-expressible and carries a full DuckDB oracle; only the decoded
+    * feature vector stays rows-only (see [[mediaFeatureQuery]]).
+    */
+  def mediaMetaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(graft.Tables.documents(spark, dir))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+    resizeMeta(media, maxSide = 32)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("width"), col("height"), col("sample_rate"),
+        col("out_width"), col("out_height"))
+  }
+
   /** Feature query for the driver (rows-only check: decode output is not
     * SQL-expressible): media → decode → features flattened to columns.
     */
