@@ -7,11 +7,17 @@ import scala.util.control.NonFatal
   * the noop sink — `.count()` would let Catalyst prune unused aggregate
   * expressions and under-measure.
   *
+  * Each query is timed over SPARK_GRAFT_BENCH_ITERS iterations (default 3)
+  * and reports the MEDIAN: single-shot timings on a shared 32-thread JVM
+  * swing several-fold on GC/compilation/scheduling luck (observed 2s vs 14s
+  * for the same map-side query), which made the regression tripwire fire on
+  * noise. The median of 3 is stable to one outlier in either direction.
+  *
   * Optional args narrow the run to the named queries (fast iteration).
-  * If `scripts/bench_baseline.json` exists, per-query times are compared
+  * If `scripts/bench_baseline.json` exists, per-query medians are compared
   * against it and >2x regressions are reported on stderr (and in the JSON
   * as `regressions`); set SPARK_GRAFT_BENCH_STRICT=1 to exit non-zero on
-  * any regression.
+  * any regression. The baseline was recorded by this same median procedure.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,16 +52,24 @@ object Bench {
       }
     }
     // a failed query must not masquerade as a fast one: report -1 and log
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val results = queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
         catch {
           case NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      if (iters > 1)
+        System.err.println(f"[bench] $name iters: ${times.map(t => f"$t%.2f").mkString(", ")}")
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     // regression tripwire vs the recorded per-query baseline (same SF only)
     val regressions: Seq[String] = {

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline over `documents`:
   * exact (hash groupBy), MinHash+LSH banding, n-gram Jaccard on blocked
@@ -96,10 +97,15 @@ object Dedup {
     val numBands = NumHashes / rowsPerBand
     val bandCols = (0 until numBands).map(b =>
       struct(lit(b).as("band_id"), bandHash(b, rowsPerBand).as("band_hash")))
+    // Persisted: the bucket frame is read three times (the count aggregate in
+    // capBuckets, then both sides of the self-join). Without the persist each
+    // reference re-runs the 16 seeded-md5 signature transforms — the most
+    // expensive expression in the module — from the parquet scan up.
     val buckets = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
       .filter(col("band_hash").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val capped = capBuckets(buckets, Seq("band_id", "band_hash"), cap)
     capped.as("a")
       .join(capped.as("b"),
@@ -110,15 +116,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Shared banded-LSH + exact-Jaccard pipeline. The (doc_id, shingles)
+    * frame is PERSISTED: it is referenced three times in one plan (signature
+    * generation, then both sides of the verification join), and without the
+    * persist each reference re-scans `documents` and re-runs
+    * tokenize → slice → array_distinct. With it (plus the bucket persist in
+    * [[bandedCandidates]]) the whole query performs exactly one scan of the
+    * input. At 100 TB this frame is the "staged signatures table" of the
+    * design (see SCALE.md): materialized once per corpus snapshot and reused
+    * by every dedup query, exactly as the persist reuses it within one.
+    */
+  private def lshVerifiedPairs(docs: DataFrame, rowsPerBand: Int,
+                               threshold: Double, cap: Int): DataFrame = {
+    val sh = docShingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(bandedCandidates(rawSignatures(sh), rowsPerBand, cap), sh, threshold)
+  }
+
   /** MinHash LSH candidate pairs + exact-Jaccard verification: docs sharing
     * any band bucket are candidates; candidates are verified against the true
     * shingle-set Jaccard and kept when ≥ `threshold`.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
-                      cap: Int = MaxBucketSize): DataFrame = {
-    val sh = docShingles(docs)
-    verifyJaccard(bandedCandidates(rawSignatures(sh), NumHashes / NumBands, cap), sh, threshold)
-  }
+                      cap: Int = MaxBucketSize): DataFrame =
+    lshVerifiedPairs(docs, NumHashes / NumBands, threshold, cap)
 
   /** n-gram Jaccard near-dup pairs at a lower threshold (0.3) than the LSH
     * dedup path. Candidates re-band the SAME 16 MinHash signatures as
@@ -130,10 +150,8 @@ object Dedup {
     * bounds whatever skew remains.)
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.3,
-                        cap: Int = MaxBucketSize): DataFrame = {
-    val sh = docShingles(docs)
-    verifyJaccard(bandedCandidates(rawSignatures(sh), 2, cap), sh, threshold)
-  }
+                        cap: Int = MaxBucketSize): DataFrame =
+    lshVerifiedPairs(docs, 2, threshold, cap)
 
   /** Exact shingle-set Jaccard for candidate pairs: two joins against the
     * per-doc shingle arrays, then set arithmetic — integer counts, one double

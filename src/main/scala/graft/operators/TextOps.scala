@@ -138,15 +138,22 @@ object TextOps {
   /** Document fingerprinting: full-content md5 plus the minimum 3-word
     * shingle hash (a 1-hash winnowing fingerprint — robust to doc reordering
     * at the granularity of shingles).
+    *
+    * Two-step select on purpose: `sh` is consumed twice, and CollapseProject
+    * declines to merge projects when a non-cheap expression (the shingle HOF
+    * chain) is referenced more than once — so the shingle array is built once
+    * per row here, versus twice when both consumers inline it in one select.
     */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val sh = Shingles.shingles(tokens(col("text")), 3)
+  def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       md5(col("text")).as("content_hash"),
-      array_min(transform(sh, s => md5(s))).as("min_shingle_hash"),
-      size(array_distinct(sh)).cast("long").as("n_distinct_shingles"))
-  }
+      Shingles.shingles(tokens(col("text")), 3).as("__sh"))
+    .select(
+      col("doc_id"),
+      col("content_hash"),
+      array_min(transform(col("__sh"), s => md5(s))).as("min_shingle_hash"),
+      size(array_distinct(col("__sh"))).cast("long").as("n_distinct_shingles"))
 }
 
 /** Shared shingle machinery (used by TextOps + Dedup). */
