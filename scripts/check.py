@@ -18,13 +18,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def normalize(df):
+def normalize(df, float_cols):
+    # float_cols is the SHARED float/non-float split (a column counts as
+    # float if it is float in EITHER frame): under dtype drift (int64 vs
+    # float64, tolerated below) a per-frame split would sort the two frames
+    # by different column orders and misalign rows.
     df = df[sorted(df.columns)]
-    # Sort on non-float columns first: low-bit float drift between the two
-    # frames must not reorder rows differently, or the per-cell diff examples
-    # below would point at misaligned cells.
-    nonfloat = [c for c in df.columns if df[c].dtype.kind != 'f']
-    floats = [c for c in df.columns if df[c].dtype.kind == 'f']
+    nonfloat = [c for c in df.columns if c not in float_cols]
+    floats = [c for c in df.columns if c in float_cols]
     df = df.sort_values(by=nonfloat + floats, ignore_index=True)
     return df
 
@@ -35,7 +36,9 @@ def compare(name, spark_df, oracle_df):
         return f"SCHEMA MISMATCH spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
     if len(spark_df) != len(oracle_df):
         return f"ROWCOUNT MISMATCH spark={len(spark_df)} oracle={len(oracle_df)}"
-    a, b = normalize(spark_df), normalize(oracle_df)
+    float_cols = {c for c in spark_df.columns if spark_df[c].dtype.kind == 'f'} \
+        | {c for c in oracle_df.columns if oracle_df[c].dtype.kind == 'f'}
+    a, b = normalize(spark_df, float_cols), normalize(oracle_df, float_cols)
     issues = []
     for col in a.columns:
         av, bv = a[col], b[col]

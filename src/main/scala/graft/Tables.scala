@@ -29,17 +29,21 @@ object Tables {
 
   /** Scan parallelism from file metadata alone — `df.rdd.getNumPartitions`
     * would materialize the RDD lineage per table per query (measured fixed
-    * per-query overhead at bench scale). File-size / maxPartitionBytes is the
-    * same arithmetic FilePartition planning uses, minus openCost rounding.
+    * per-query overhead at bench scale). Mirrors FilePartition's bin-packing
+    * arithmetic: each file contributes max(len, openCostInBytes) padded
+    * bytes, and the total is divided by the max partition size — so many
+    * tiny files correctly estimate FEW scan partitions (per-file ceil would
+    * over-count them and wrongly skip the scan-spread repartition).
     */
   private def estimatedScanSplits(spark: SparkSession, df: DataFrame): Long = {
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
     val hconf = spark.sparkContext.hadoopConfiguration
-    df.inputFiles.map { p =>
+    val padded = df.inputFiles.map { p =>
       val path = new org.apache.hadoop.fs.Path(p)
-      val len = path.getFileSystem(hconf).getFileStatus(path).getLen
-      math.max(1L, (len + maxSplit - 1) / maxSplit)
+      math.max(path.getFileSystem(hconf).getFileStatus(path).getLen, openCost)
     }.sum
+    math.max(1L, (padded + maxSplit - 1) / maxSplit)
   }
 
   private def loadValidated(spark: SparkSession, dir: String, name: String): DataFrame =

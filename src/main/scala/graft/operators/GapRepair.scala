@@ -34,7 +34,10 @@ object GapRepair {
     missing
       .select(((col(tsCol).cast("double") * 1000).cast("long")).as("__ms"))
       .distinct()
-      .withColumn("__island", col("__ms") / lit(stepMs) - row_number().over(w))
+      // exact integer slot index (`div`, not `/`: long/long `/` is
+      // floating-point division, and rounding on slots not aligned to exact
+      // stepMs multiples would fragment one outage into several ranges)
+      .withColumn("__island", expr(s"__ms div $stepMs") - row_number().over(w))
       .groupBy(col("__island"))
       .agg(min(col("__ms")).as("start_ms"),
         (max(col("__ms")) + lit(stepMs)).as("end_ms"))

@@ -130,10 +130,11 @@ object Incremental {
     // replaced, so its stale files drop out of the new snapshot.
     val staging = s"$sinkPath/_staging/${UUID.randomUUID()}"
     merged.write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(staging)
-    // explicit schema: a tick whose batch fell entirely behind the watermark
-    // stages zero files, and inference has nothing to read
-    val n = spark.read.schema(merged.schema).parquet(staging).count()
     val added = ManifestTable.publishFiles(spark, sinkPath, staging)
+    // row count from the parquet FOOTERS of the published files — one
+    // metadata read per file, not a second full scan of the merged slice
+    val n = added.map(f =>
+      footerRowCount(spark, s"${ManifestTable.dataDir(sinkPath)}/$f")).sum
     if (added.nonEmpty || touchedDates.nonEmpty) {
       ManifestTable.commitReplace(spark, sinkPath,
         touchedDates.map(d => s"p_date=$d"), added)
@@ -142,5 +143,14 @@ object Incremental {
 
     val newKeys = withDate.select(keyCols.map(col): _*).distinct().count()
     SyncStats(n, newKeys - updatedCount, updatedCount)
+  }
+
+  /** Row count straight from a parquet file's footer metadata. */
+  private def footerRowCount(spark: SparkSession, path: String): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        spark.sparkContext.hadoopConfiguration))
+    try r.getRecordCount finally r.close()
   }
 }

@@ -33,9 +33,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the scan-planning bottleneck this format removes. Readers pin a snapshot:
   * a concurrent commit cannot make them see a torn mix of versions.
   *
-  * Single writer assumed (the reference's collectors are single-flow too);
-  * the version-numbered rename still detects a racing committer because
-  * `rename` onto an existing manifest fails rather than overwrites.
+  * Single writer assumed (the reference's collectors are single-flow too).
+  * On HDFS-like filesystems the version-numbered rename additionally detects
+  * a racing committer (rename onto an existing manifest fails); local POSIX
+  * rename and object stores do not give that guarantee — see
+  * [[commitReplace]].
+  *
+  * `vacuum` retains the last [[RetainSnapshots]] snapshots, so a reader
+  * pinned to the previous version survives a concurrent commit + vacuum.
   */
 object ManifestTable {
 
@@ -50,18 +55,29 @@ object ManifestTable {
     new Path(s"$root/$ManifestDirName/v${"%020d".format(version)}.manifest")
 
   /** Latest committed version, if any manifest exists. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsOf(spark, root)
     val dir = new Path(s"$root/$ManifestDirName")
-    if (!fs.exists(dir)) None
+    if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toLong
-      } match {
-        case Seq() => None
-        case vs    => Some(vs.max)
-      }
+      }.sorted
+  }
+
+  /** Data files of snapshot `version`, as paths relative to `data/`. */
+  def filesOf(spark: SparkSession, root: String, version: Long): Seq[String] = {
+    val fs = fsOf(spark, root)
+    val in = fs.open(manifestPath(root, version))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toList
+    } finally in.close()
   }
 
   /** Live data files of the latest snapshot, as paths relative to `data/`
@@ -69,14 +85,8 @@ object ManifestTable {
     */
   def liveFiles(spark: SparkSession, root: String): Seq[String] =
     currentVersion(spark, root) match {
-      case None => Seq.empty
-      case Some(v) =>
-        val fs = fsOf(spark, root)
-        val in = fs.open(manifestPath(root, v))
-        try {
-          scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().map(_.trim).filter(_.nonEmpty).toList
-        } finally in.close()
+      case None    => Seq.empty
+      case Some(v) => filesOf(spark, root, v)
     }
 
   /** Read the latest snapshot. Explicit file list + basePath keeps partition
@@ -135,30 +145,53 @@ object ManifestTable {
     try out.write(((kept ++ addedFiles).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // the commit point: one atomic rename; fails (never overwrites) if a
-    // racing writer committed the same version first
-    require(fs.rename(tmp, manifestPath(root, next)),
-      s"commit conflict at version $next of $root")
+    // the commit point: one atomic rename. Racing-committer detection relies
+    // on rename failing when the destination exists — true on HDFS, NOT on
+    // RawLocalFileSystem (POSIX rename replaces) or object stores (S3A rename
+    // is non-atomic); the exists() pre-check narrows but cannot close that
+    // window. Single writer is the format's stated assumption — on an object
+    // store a real deployment needs an external lock/LogStore, as Delta does.
+    val target = manifestPath(root, next)
+    require(!fs.exists(target), s"commit conflict at version $next of $root")
+    require(fs.rename(tmp, target), s"commit conflict at version $next of $root")
     next
   }
 
-  /** Reclaim data files no manifest-visible snapshot references (crash
-    * leftovers from a publish that never committed, or files replaced by a
-    * later snapshot). Writer-side housekeeping — run between ticks, not
-    * concurrently with a publish. Returns files deleted.
+  /** Snapshots every vacuum retains: the latest plus this many predecessors'
+    * worth of history. 2 keeps the current AND previous snapshot alive, so a
+    * reader that pinned version N before a writer committed N+1 (and
+    * vacuumed) still finds every file its scan planned — the same reason
+    * Delta/Iceberg retain old versions for a window instead of reclaiming
+    * eagerly. Raise it (or vacuum less often) when readers can lag by more
+    * than one commit.
     */
-  def vacuum(spark: SparkSession, root: String): Long = {
+  val RetainSnapshots = 2
+
+  /** Reclaim data files referenced by NO retained snapshot — crash leftovers
+    * from a publish that never committed, or files whose every referencing
+    * manifest has aged out of the retention window (see [[RetainSnapshots]]).
+    * Manifests older than the window are expired (deleted) first, which is
+    * what makes their exclusively-owned files unreferenced. Writer-side
+    * housekeeping — run between ticks, not concurrently with a publish.
+    * Returns data files deleted.
+    */
+  def vacuum(spark: SparkSession, root: String,
+             retainLast: Int = RetainSnapshots): Long = {
+    require(retainLast >= 1, "must retain at least the current snapshot")
     val fs = fsOf(spark, root)
     val data = fs.makeQualified(new Path(dataDir(root)))
     if (!fs.exists(data)) return 0L
-    val live = liveFiles(spark, root).toSet
+    val all = versions(spark, root)
+    val (expired, retained) = all.splitAt((all.size - retainLast).max(0))
+    expired.foreach(v => fs.delete(manifestPath(root, v), false))
+    val referenced = retained.flatMap(v => filesOf(spark, root, v)).toSet
     var removed = 0L
     val it = fs.listFiles(data, true)
     val doomed = ListBuffer.empty[Path]
     while (it.hasNext) {
       val f = it.next()
       val rel = data.toUri.relativize(f.getPath.toUri).getPath
-      if (f.getPath.getName.endsWith(".parquet") && !live.contains(rel))
+      if (f.getPath.getName.endsWith(".parquet") && !referenced.contains(rel))
         doomed += f.getPath
     }
     doomed.foreach { p => if (fs.delete(p, false)) removed += 1 }

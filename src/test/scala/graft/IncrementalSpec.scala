@@ -117,4 +117,32 @@ class IncrementalSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(recovered == Seq((1L, 100.0), (2L, 999.0)))
   }
+
+  test("a reader pinned to snapshot N survives a concurrent commit + vacuum of N+1") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_sink5").toString + "/t"
+    Incremental.syncTick(
+      rows((1L, "2024-01-01 10:00:00", 100.0, "a")),
+      sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    // the reader plans its scan now — the DataFrame's file list is pinned
+    // to the current manifest version
+    val pinned = Incremental.readSink(spark, sink)
+    // a writer revises key 1 (its old file is replaced in the new snapshot)
+    // and vacuums immediately, as every syncTick does
+    Incremental.syncTick(
+      rows((1L, "2024-01-01 11:00:00", 111.0, "b")),
+      sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    // retention keeps the previous snapshot's files: the pinned scan still
+    // completes and sees exactly the old version's rows
+    val seen = pinned.select("key", "value").as[(Long, Double)].collect().toSeq
+    assert(seen == Seq((1L, 100.0)))
+
+    // ...but history is bounded: after enough further commits the old
+    // manifest ages out and its exclusively-referenced files are reclaimed
+    Incremental.syncTick(
+      rows((1L, "2024-01-01 12:00:00", 222.0, "c")),
+      sink, Seq("key"), Seq("batch"), "ts", "2 HOURS")
+    val versionsLeft = graft.operators.ManifestTable.versions(spark, sink)
+    assert(versionsLeft.size <= graft.operators.ManifestTable.RetainSnapshots)
+    intercept[Exception] { pinned.select("key", "value").collect() }
+  }
 }
