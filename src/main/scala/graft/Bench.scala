@@ -13,11 +13,22 @@ import scala.util.control.NonFatal
   * for the same map-side query), which made the regression tripwire fire on
   * noise. The median of 3 is stable to one outlier in either direction.
   *
+  * `spark.catalog.clearCache()` runs between iterations and between
+  * queries: the dedup pipeline persists intermediate frames, and without
+  * the clear (a) iteration 1 populates the cache and iterations 2-3 are
+  * served from it — the median would measure warm-cache reads and the
+  * regression tripwire could not see cold-path regressions in cached
+  * subtrees — and (b) cached blocks accumulate across the multi-query run,
+  * taxing every later query with eviction churn.
+  *
   * Optional args narrow the run to the named queries (fast iteration).
   * If `scripts/bench_baseline.json` exists, per-query medians are compared
   * against it and >2x regressions are reported on stderr (and in the JSON
   * as `regressions`); set SPARK_GRAFT_BENCH_STRICT=1 to exit non-zero on
-  * any regression. The baseline was recorded by this same median procedure.
+  * any regression. Re-record the baseline by running this main with
+  * SPARK_GRAFT_BENCH_ITERS=3 and copying the JSON line into
+  * `scripts/bench_baseline.json` — the tripwire is only meaningful when
+  * baseline and run share the procedure.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,6 +62,8 @@ object Bench {
           System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     }
+    // warm-up persists must not leak into the timed run (see scaladoc)
+    spark.catalog.clearCache()
     // a failed query must not masquerade as a fast one: report -1 and log
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val results = queries.toSeq.map { case (name, fn) =>
@@ -63,6 +76,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+        finally spark.catalog.clearCache()
       }
       if (iters > 1)
         System.err.println(f"[bench] $name iters: ${times.map(t => f"$t%.2f").mkString(", ")}")

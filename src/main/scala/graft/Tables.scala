@@ -29,11 +29,19 @@ object Tables {
 
   /** Scan parallelism from file metadata alone — `df.rdd.getNumPartitions`
     * would materialize the RDD lineage per table per query (measured fixed
-    * per-query overhead at bench scale). Mirrors FilePartition's bin-packing
+    * per-query overhead at bench scale). Follows FilePartition's bin-packing
     * arithmetic: each file contributes max(len, openCostInBytes) padded
     * bytes, and the total is divided by the max partition size — so many
     * tiny files correctly estimate FEW scan partitions (per-file ceil would
     * over-count them and wrongly skip the scan-spread repartition).
+    * DELIBERATELY omits Spark's bytesPerCore clamp (maxSplitBytes =
+    * min(maxPartitionBytes, max(openCost, totalBytes/parallelism))): the
+    * clamp counts byte-range splits, but a split only carries data when a
+    * row-group midpoint falls inside it — on few-row-group files (exactly
+    * the under-split inputs this guard exists for) the clamped figure
+    * overstates effective parallelism and would wrongly skip the spread.
+    * The unclamped estimate is the conservative lower bound on real
+    * parallelism, which is the quantity the trigger needs.
     */
   private def estimatedScanSplits(spark: SparkSession, df: DataFrame): Long = {
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes

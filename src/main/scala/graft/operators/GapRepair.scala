@@ -34,10 +34,15 @@ object GapRepair {
     missing
       .select(((col(tsCol).cast("double") * 1000).cast("long")).as("__ms"))
       .distinct()
-      // exact integer slot index (`div`, not `/`: long/long `/` is
+      // exact integer FLOOR slot index. Integer-only: long/long `/` is
       // floating-point division, and rounding on slots not aligned to exact
-      // stepMs multiples would fragment one outage into several ranges)
-      .withColumn("__island", expr(s"__ms div $stepMs") - row_number().over(w))
+      // stepMs multiples would fragment one outage into several ranges.
+      // pmod-then-div rather than bare `div`: `div` truncates toward zero,
+      // so pre-1970 (negative-ms) slots straddling zero would merge into one
+      // island; subtracting the non-negative pmod first makes the numerator
+      // an exact floor multiple, giving true floor semantics for any sign.
+      .withColumn("__island",
+        expr(s"(__ms - pmod(__ms, $stepMs)) div $stepMs") - row_number().over(w))
       .groupBy(col("__island"))
       .agg(min(col("__ms")).as("start_ms"),
         (max(col("__ms")) + lit(stepMs)).as("end_ms"))

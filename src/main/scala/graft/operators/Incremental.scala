@@ -133,8 +133,8 @@ object Incremental {
     val added = ManifestTable.publishFiles(spark, sinkPath, staging)
     // row count from the parquet FOOTERS of the published files — one
     // metadata read per file, not a second full scan of the merged slice
-    val n = added.map(f =>
-      footerRowCount(spark, s"${ManifestTable.dataDir(sinkPath)}/$f")).sum
+    val n = footerRowCounts(spark,
+      added.map(f => s"${ManifestTable.dataDir(sinkPath)}/$f"))
     if (added.nonEmpty || touchedDates.nonEmpty) {
       ManifestTable.commitReplace(spark, sinkPath,
         touchedDates.map(d => s"p_date=$d"), added)
@@ -145,12 +145,32 @@ object Incremental {
     SyncStats(n, newKeys - updatedCount, updatedCount)
   }
 
-  /** Row count straight from a parquet file's footer metadata. */
-  private def footerRowCount(spark: SparkSession, path: String): Long = {
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path),
-        spark.sparkContext.hadoopConfiguration))
-    try r.getRecordCount finally r.close()
-  }
+  /** Total row count straight from the files' footer metadata. Footers are
+    * opened CONCURRENTLY (bounded pool): each open is a filesystem
+    * round-trip, and on object storage with many small files per tick a
+    * sequential loop would serialize N network latencies on the driver —
+    * partially giving back the full rescan this method exists to avoid.
+    */
+  private def footerRowCounts(spark: SparkSession, paths: Seq[String]): Long =
+    if (paths.isEmpty) 0L
+    else {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(paths.size, 16))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(
+          paths.map { p =>
+            new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                    new org.apache.hadoop.fs.Path(p), hconf))
+                try r.getRecordCount finally r.close()
+              }
+            }
+          }.asJava
+        ).asScala.map(_.get()).sum
+      } finally pool.shutdown()
+    }
 }
