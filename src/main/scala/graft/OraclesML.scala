@@ -136,6 +136,33 @@ object OraclesML {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
 
+  /** Same correlated-scalar-subquery text as the Spark query (both dialects
+    * accept it); decimal sums keep the avg boundary bit-stable.
+    */
+  val scalarSubquerySql: String =
+    """WITH cust_totals AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS cust_total_dec
+      |  FROM orders GROUP BY o_custkey),
+      |enriched AS (
+      |  SELECT c.c_custkey, c.c_name, n.n_name,
+      |         CAST(ct.cust_total_dec AS DOUBLE) AS cust_total,
+      |         CAST((SELECT sum(ct2.cust_total_dec)
+      |               FROM cust_totals ct2 JOIN customer c2 ON ct2.o_custkey = c2.c_custkey
+      |               WHERE c2.c_nationkey = c.c_nationkey) AS DOUBLE)
+      |           / (SELECT count(*)
+      |              FROM cust_totals ct3 JOIN customer c3 ON ct3.o_custkey = c3.c_custkey
+      |              WHERE c3.c_nationkey = c.c_nationkey) AS nation_avg
+      |  FROM customer c
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN cust_totals ct ON ct.o_custkey = c.c_custkey)
+      |SELECT * FROM enriched WHERE cust_total > nation_avg""".stripMargin
+
+  val correlatedInSql: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice IN (SELECT max(o2.o_totalprice) FROM orders o2
+      |                         WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
   val orderStatusPivotSql: String =
     """SELECT date_trunc('month', o_orderdate) AS order_month,
       |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,

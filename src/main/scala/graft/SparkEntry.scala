@@ -94,6 +94,8 @@ object SparkEntry {
     "q_rollup_stats" -> ((s, dir) => Relational.rollupStats(s, dir)),
     "q_rank_windows" -> ((s, dir) => Relational.rankWindows(s, dir)),
     "q_customers_without_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
+    "q_scalar_subquery" -> ((s, dir) => Relational.scalarSubquery(s, dir)),
+    "q_correlated_in" -> ((s, dir) => Relational.correlatedIn(s, dir)),
     "q_order_status_pivot" -> ((s, dir) => Relational.orderStatusPivot(s, dir)),
     "q_value_stats" -> ((s, dir) => Relational.valueStats(s, dir)),
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
@@ -155,6 +157,8 @@ object SparkEntry {
     "q_rollup_stats" -> OraclesML.rollupStatsSql,
     "q_rank_windows" -> OraclesML.rankWindowsSql,
     "q_customers_without_orders" -> OraclesML.customersWithoutOrdersSql,
+    "q_scalar_subquery" -> OraclesML.scalarSubquerySql,
+    "q_correlated_in" -> OraclesML.correlatedInSql,
     "q_order_status_pivot" -> OraclesML.orderStatusPivotSql,
     "q_value_stats" -> OraclesML.valueStatsSql,
     "q_value_histogram" -> OraclesML.valueHistogramSql,

@@ -201,6 +201,63 @@ object Relational {
         (sum(col("k")).cast("double") / count(lit(1))).as("mean_k"))
   }
 
+  /** Correlated SCALAR subqueries (the one relational family previously
+    * unexercised): customers whose total order spend exceeds their nation's
+    * per-customer average, with the nation average surfaced via two
+    * correlated scalar subqueries in the SELECT list. Declared as
+    * subqueries and left to Catalyst to DECORRELATE
+    * (RewriteCorrelatedScalarSubquery): the executed plan is a nation-level
+    * aggregate joined back — not a per-row re-execution — so at 100 TB this
+    * is the same two-shuffle + broadcast shape a hand-written join would
+    * give, which is exactly why the declarative form is safe to offer.
+    *
+    * Exactness: per-customer totals are DECIMAL sums (association-
+    * independent), cast to DOUBLE only at the comparison/output boundary;
+    * the avg division is one IEEE double op on identical operands in both
+    * engines, so the filter boundary is bit-stable. The count subquery is
+    * ≥ 1 whenever the outer row survives the cust_totals join (the customer
+    * itself is counted), so the division is total.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql("""
+      WITH cust_totals AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS cust_total_dec
+        FROM orders GROUP BY o_custkey),
+      enriched AS (
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(ct.cust_total_dec AS DOUBLE) AS cust_total,
+               CAST((SELECT sum(ct2.cust_total_dec)
+                     FROM cust_totals ct2 JOIN customer c2 ON ct2.o_custkey = c2.c_custkey
+                     WHERE c2.c_nationkey = c.c_nationkey) AS DOUBLE)
+                 / (SELECT count(*)
+                    FROM cust_totals ct3 JOIN customer c3 ON ct3.o_custkey = c3.c_custkey
+                    WHERE c3.c_nationkey = c.c_nationkey) AS nation_avg
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN cust_totals ct ON ct.o_custkey = c.c_custkey)
+      SELECT * FROM enriched WHERE cust_total > nation_avg""")
+  }
+
+  /** Correlated IN predicate: each customer's most expensive order(s) — the
+    * IN set is an aggregated subquery correlated on the customer key.
+    * Catalyst rewrites the predicate into a semi-join against the
+    * decorrelated per-customer MAX aggregate (RewritePredicateSubquery), so
+    * the plan is one partial-agg shuffle + join, never a per-row probe.
+    * o_totalprice values are compared as READ (no arithmetic), so the
+    * max-equality is bit-stable cross-engine.
+    */
+  def correlatedIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql("""
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+      FROM orders o
+      WHERE o.o_totalprice IN (SELECT max(o2.o_totalprice) FROM orders o2
+                               WHERE o2.o_custkey = o.o_custkey)""")
+  }
+
   /** Set operations: customers in the top decile by account balance vs
     * customers holding open orders — union/intersect/except in one result.
     */
