@@ -406,6 +406,59 @@ object Oracles {
        |FROM ohlc""".stripMargin
   }
 
+  /** Shared payload-derivation CTE mirroring
+    * [[graft.sources.PayloadDecode]]'s synthetic fixtures: every component
+    * is integer-derived (float→string rendering differs between engines),
+    * the minute-truncated ms epoch is integral so the double math is exact,
+    * and every 10th payload is truncated mid-token.
+    */
+  private val payloadParts: String =
+    """parts AS (
+      |  SELECT event_id,
+      |    CAST(CAST(epoch(date_trunc('minute', ts)) * 1000 AS BIGINT) AS VARCHAR) AS ms,
+      |    CAST(user_id % 900 + 100 AS VARCHAR) || '.' ||
+      |      lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') AS o,
+      |    CAST(user_id % 900 + 107 AS VARCHAR) || '.' ||
+      |      lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') AS h,
+      |    CAST(user_id % 900 + 95 AS VARCHAR) || '.' ||
+      |      lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') AS l,
+      |    CAST(user_id % 900 + 100 AS VARCHAR) || '.' ||
+      |      lpad(CAST((event_id + 37) % 100 AS VARCHAR), 2, '0') AS c,
+      |    CAST(user_id % 50 AS VARCHAR) || '.' ||
+      |      CAST(event_id % 10 AS VARCHAR) AS v
+      |  FROM events)""".stripMargin
+
+  val parseKlinesSql: String =
+    s"""WITH $payloadParts,
+       |payloads AS (
+       |  SELECT CASE WHEN event_id % 10 = 0 THEN '[' || ms
+       |         ELSE '[' || ms || ',"' || o || '","' || h || '","' || l
+       |              || '","' || c || '","' || v || '"]' END AS payload
+       |  FROM parts)
+       |SELECT
+       |  epoch_ms(CAST(json_extract_string(payload, '$$[0]') AS BIGINT)) AS open_time,
+       |  CAST(json_extract_string(payload, '$$[1]') AS DOUBLE) AS "open",
+       |  CAST(json_extract_string(payload, '$$[2]') AS DOUBLE) AS high,
+       |  CAST(json_extract_string(payload, '$$[3]') AS DOUBLE) AS low,
+       |  CAST(json_extract_string(payload, '$$[4]') AS DOUBLE) AS "close",
+       |  CAST(json_extract_string(payload, '$$[5]') AS DOUBLE) AS volume
+       |FROM payloads WHERE json_valid(payload)""".stripMargin
+
+  val parseCandlesSql: String =
+    s"""WITH $payloadParts,
+       |payloads AS (
+       |  SELECT CASE WHEN event_id % 10 = 0 THEN '{"t":' || ms
+       |         ELSE '{"t":' || ms || ',"o":"' || o || '","h":"' || h
+       |              || '","l":"' || l || '","c":"' || c || '"}' END AS payload
+       |  FROM parts)
+       |SELECT
+       |  epoch_ms(CAST(json_extract_string(payload, '$$.t') AS BIGINT)) AS datetime,
+       |  CAST(json_extract_string(payload, '$$.o') AS DOUBLE) AS "open",
+       |  CAST(json_extract_string(payload, '$$.h') AS DOUBLE) AS high,
+       |  CAST(json_extract_string(payload, '$$.l') AS DOUBLE) AS low,
+       |  CAST(json_extract_string(payload, '$$.c') AS DOUBLE) AS "close"
+       |FROM payloads WHERE json_valid(payload)""".stripMargin
+
   val setOpsSql: String =
     """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000),
       |active AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')

@@ -81,6 +81,12 @@ object SparkEntry {
     // As-of join: trade → latest hourly bar (composed union+window)
     "q_asof_bar" -> ((s, dir) => AsOf.tradesWithLatestBar(
       Tables.trades(s, dir), Ohlc.hourlyBars(Tables.trades(s, dir)))),
+    // S1-S3 payload decode: positional-array klines (binance.py:93-97) and
+    // dict candleSnapshot (hyperliquid.py:80,93) via from_json, drop-on-fail
+    "q_parse_klines" -> ((s, dir) => sources.PayloadDecode.decodeKlines(
+      sources.PayloadDecode.syntheticKlinePayloads(Tables.events(s, dir)))),
+    "q_parse_candles" -> ((s, dir) => sources.PayloadDecode.decodeCandleSnapshot(
+      sources.PayloadDecode.syntheticCandlePayloads(Tables.events(s, dir)))),
     // Semi-structured extraction (props JSON)
     "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
     // Percentiles, deterministic sampling, rollup
@@ -150,6 +156,8 @@ object SparkEntry {
     "q_lsh_buckets" -> OraclesML.lshBucketsSql,
     "q_lsh_neardups" -> OraclesML.lshNearDupsSql,
     "q_json_props" -> OraclesML.jsonPropsSql,
+    "q_parse_klines" -> Oracles.parseKlinesSql,
+    "q_parse_candles" -> Oracles.parseCandlesSql,
     "q_asof_bar" -> Oracles.asofBarSql,
     "q_length_percentiles" -> OraclesML.lengthPercentilesSql,
     "q_deterministic_sample" -> OraclesML.deterministicSampleSql,
