@@ -86,6 +86,21 @@ object OraclesML {
       |  round_even(quantile_cont(n_chars, 0.9), 4) AS p90_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Exact values + literal TRUE for the approx bound checks: the Spark side
+    * computes the sketch estimate and asserts it in-bounds, so an
+    * out-of-tolerance sketch fails the hash gate like any wrong answer.
+    */
+  val approxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
+      |FROM events GROUP BY 1""".stripMargin
+
+  val approxQuantilesSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  round_even(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+      |  round_even(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+      |  TRUE AS approx_ok
+      |FROM documents GROUP BY 1""".stripMargin
+
   val deterministicSampleSql: String =
     """SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE md5(CAST(doc_id AS VARCHAR)) < '4'""".stripMargin

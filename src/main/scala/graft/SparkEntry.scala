@@ -89,6 +89,10 @@ object SparkEntry {
       sources.PayloadDecode.syntheticCandlePayloads(Tables.events(s, dir)))),
     // Semi-structured extraction (props JSON)
     "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
+    // Approx aggregates (HLL++/GK): exact values + in-bounds booleans so the
+    // oracle gate grades the sketch without hashing engine-specific internals
+    "q_approx_distinct" -> ((s, dir) => operators.Approx.approxDistinctChecked(Tables.events(s, dir))),
+    "q_approx_quantiles" -> ((s, dir) => operators.Approx.approxQuantilesChecked(Tables.documents(s, dir))),
     // Percentiles, deterministic sampling, rollup
     "q_length_percentiles" -> ((s, dir) => TextOps.lengthPercentiles(Tables.documents(s, dir))),
     "q_deterministic_sample" -> ((s, dir) => Sampling.deterministicSample(
@@ -160,6 +164,8 @@ object SparkEntry {
     "q_parse_candles" -> Oracles.parseCandlesSql,
     "q_asof_bar" -> Oracles.asofBarSql,
     "q_length_percentiles" -> OraclesML.lengthPercentilesSql,
+    "q_approx_distinct" -> OraclesML.approxDistinctSql,
+    "q_approx_quantiles" -> OraclesML.approxQuantilesSql,
     "q_deterministic_sample" -> OraclesML.deterministicSampleSql,
     "q_stratified_sample" -> OraclesML.stratifiedSampleSql,
     "q_rollup_stats" -> OraclesML.rollupStatsSql,
