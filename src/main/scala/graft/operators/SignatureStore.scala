@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Materialized dedup-signature staging — the cross-query form of the
+  * amortization `Dedup`'s per-query persists perform within one plan
+  * (SCALE.md's "staged signatures table").
+  *
+  * At 100 TB the tokenize→shingle→16-seeded-md5 pass over the corpus is by
+  * far the most expensive step of every MinHash-family query, and it is
+  * IDENTICAL across them. Build it ONCE per corpus snapshot as a
+  * [[ManifestTable]] dataset; `q_minhash_lsh_pairs`-, `q_ngram_jaccard`-
+  * and `q_dedup_groups`-shaped consumers then run off the compact staged
+  * parquet (doc_id, shingles, sig_0..15) — each re-read is a column-pruned
+  * scan of materialized state, never a recompute. This also dissolves the
+  * persist-lifecycle question structurally: the shared state lives on disk
+  * under snapshot isolation (atomic manifest commit, vacuum retention), not
+  * in executor storage memory.
+  */
+object SignatureStore {
+
+  /** Build (or refresh) the staged signature dataset for a corpus snapshot.
+    * A rebuild commits a new snapshot atomically — readers pinned to the
+    * previous one keep their files (ManifestTable retention). Returns the
+    * committed version.
+    */
+  def build(docs: DataFrame, root: String): Long = {
+    val spark = docs.sparkSession
+    val staging = s"$root/_staging/${UUID.randomUUID()}"
+    Dedup.shingleSignatures(docs).write.mode(SaveMode.Overwrite).parquet(staging)
+    val added = ManifestTable.publishFiles(spark, root, staging)
+    // empty prefix = replace the whole previous snapshot
+    val version = ManifestTable.commitReplace(spark, root, Seq(""), added)
+    ManifestTable.vacuum(spark, root)
+    version
+  }
+
+  /** Latest staged snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    ManifestTable.read(spark, root)
+
+  /** [[Dedup.minhashLshPairs]] off the stage: same banding, verification,
+    * and bucket cap — byte-identical output to the self-contained query.
+    */
+  def minhashLshPairs(staged: DataFrame, threshold: Double = 0.5,
+                      cap: Int = Dedup.MaxBucketSize): DataFrame =
+    Dedup.pairsFromShingleSigs(staged,
+      Dedup.NumHashes / Dedup.NumBands, threshold, cap)
+
+  /** [[Dedup.ngramJaccardPairs]] off the stage (8×2 re-banding). */
+  def ngramJaccardPairs(staged: DataFrame, threshold: Double = 0.3,
+                        cap: Int = Dedup.MaxBucketSize): DataFrame =
+    Dedup.pairsFromShingleSigs(staged, 2, threshold, cap)
+
+  /** [[Dedup.dedupGroups]] off the stage. */
+  def dedupGroups(staged: DataFrame, threshold: Double = 0.5): DataFrame =
+    Dedup.connectedComponents(
+      minhashLshPairs(staged, threshold)
+        .select(org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b")))
+}
