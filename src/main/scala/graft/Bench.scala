@@ -22,13 +22,22 @@ import scala.util.control.NonFatal
   * taxing every later query with eviction churn.
   *
   * Optional args narrow the run to the named queries (fast iteration).
-  * If `scripts/bench_baseline.json` exists, per-query medians are compared
-  * against it and >2x regressions are reported on stderr (and in the JSON
+  *
+  * Regression tripwire: if `scripts/bench_baseline.json` exists, the
+  * per-query MIN across iterations is compared against the baseline's
+  * recorded min and >2x slowdowns are reported on stderr (and in the JSON
   * as `regressions`); set SPARK_GRAFT_BENCH_STRICT=1 to exit non-zero on
-  * any regression. Re-record the baseline by running this main with
-  * SPARK_GRAFT_BENCH_ITERS=3 and copying the JSON line into
-  * `scripts/bench_baseline.json` — the tripwire is only meaningful when
-  * baseline and run share the procedure.
+  * any. Min, not median, is the flagged statistic because the bench box is
+  * shared: an external CPU spike during the run slows SOME iterations
+  * (observed 2s -> 31s on untouched queries under load-average 15), while
+  * a genuine plan regression slows ALL of them — including the best. A
+  * first-pass flag additionally earns the query one isolated retry round
+  * at the end of the run; only flags that survive isolation are reported.
+  * The reported per-query numbers stay MEDIANS (the honest typical cost);
+  * `mins` is emitted alongside for the tripwire. Re-record the baseline by
+  * running this main and copying the JSON line into
+  * `scripts/bench_baseline.json` (optionally folding `mins` to the
+  * elementwise minimum over several runs — a tighter quiet-machine floor).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -80,38 +89,70 @@ object Bench {
       }
       if (iters > 1)
         System.err.println(f"[bench] $name iters: ${times.map(t => f"$t%.2f").mkString(", ")}")
-      val median =
-        if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(times.size / 2)
-      name -> median
+      val (median, tmin) =
+        if (times.contains(-1.0)) (-1.0, -1.0)
+        else (times.sorted.apply(times.size / 2), times.min)
+      (name, median, tmin)
     }
-    // regression tripwire vs the recorded per-query baseline (same SF only)
-    val regressions: Seq[String] = {
+    // regression tripwire vs the recorded per-query baseline MINS (same SF
+    // only; falls back to the flat medians of a pre-`mins` baseline file)
+    val baseMins: Map[String, Double] = {
       val f = new java.io.File("scripts/bench_baseline.json")
-      if (!f.isFile) Seq.empty
+      if (!f.isFile) Map.empty
       else {
         val txt = scala.io.Source.fromFile(f).mkString
         val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
           .forall(_.group(1) == sfDir)
-        if (!sfOk) Seq.empty
+        if (!sfOk) Map.empty
         else {
           val entry = "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
-          val base = entry.findAllMatchIn(txt)
+          val section = "\"mins\"\\s*:\\s*\\{([^}]*)\\}".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse(txt)
+          entry.findAllMatchIn(section)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          results.collect {
-            case (name, t) if t > 0 && base.get(name).exists(b => b > 0 && t > 2 * b && t - b > 1.0) =>
-              f"$name: ${base(name)}%.2fs -> $t%.2fs"
-          }
         }
       }
     }
+    def flaggedIn(mins: Map[String, Double]): Seq[String] =
+      results.collect {
+        case (name, _, _) if mins.get(name).exists(t => t > 0
+          && baseMins.get(name).exists(b => b > 0 && t > 2 * b && t - b > 1.0)) => name
+      }
+    val mins0 = results.map { case (n, _, m) => n -> m }.toMap
+    // A first-pass flag can be a transient load spike on this shared box
+    // that happened to cover all iterations of one query (observed: 3x on
+    // untouched queries under load-average 15, vanishing in isolation).
+    // Flagged queries therefore get one ISOLATED retry round at the end of
+    // the run — round 3's manual re-run procedure, automated. A genuine
+    // plan regression is slow in isolation too and still flags.
+    val retriedMins: Map[String, Double] = flaggedIn(mins0) match {
+      case Seq() => Map.empty
+      case flagged =>
+        flagged.flatMap { name =>
+          System.err.println(s"[bench] retrying flagged $name in isolation")
+          val times = (1 to iters).map { _ =>
+            val t0 = System.nanoTime()
+            try { queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+                  (System.nanoTime() - t0) / 1e9 }
+            catch { case NonFatal(_) => -1.0 }
+            finally spark.catalog.clearCache()
+          }.filter(_ >= 0)
+          times.minOption.map(m => name -> math.min(m, mins0(name)))
+        }.toMap
+    }
+    val finalMins = mins0 ++ retriedMins
+    val regressions: Seq[String] = flaggedIn(finalMins).map { name =>
+      f"$name: ${baseMins(name)}%.2fs -> ${finalMins(name)}%.2fs (min-vs-min, retried)"
+    }
     regressions.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, _) => "\"" + k + "\":" + finalMins(k) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val regJson = regressions.map(r => "\"" + r.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","regressions":$regJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"sf":"$sfDir","regressions":$regJson}""")
     spark.stop()
     if (regressions.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
       sys.exit(2)
