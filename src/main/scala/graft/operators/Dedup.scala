@@ -298,8 +298,54 @@ object Dedup {
     * and executor loss is recoverable. The distributed union-find for
     * duplicate GROUPS: LSH gives pairs, this gives clusters with the min
     * doc_id as the canonical survivor.
+    *
+    * SIZE-ADAPTIVE: verified dup pairs are metadata-scale relative to the
+    * corpus (banding caps bound them), and when they fit the driver
+    * comfortably the loop's fixed per-round costs (two shuffles + a
+    * durable checkpoint, × log rounds) dwarf the actual work. At or below
+    * `localEdgeLimit` long-typed edges (default 1M ≈ 16 MB collected) the
+    * components are computed by an exact driver-side union-find — same
+    * min-label semantics, identical output — and only larger graphs pay
+    * the iterative plan. The edge frame is persisted either way: the
+    * count and the chosen path each consume it once.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          localEdgeLimit: Long = 1L << 20): DataFrame = {
+    val longTyped = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longTyped) {
+      val persisted = edges.persist(StorageLevel.MEMORY_AND_DISK)
+      if (persisted.count() <= localEdgeLimit) return localComponents(persisted)
+    }
+    distributedComponents(edges, maxIter)
+  }
+
+  /** Driver-side exact union-find: path halving + union under the smaller
+    * root id, which keeps every set's root equal to its minimum member by
+    * induction — so `find` yields exactly the labels the distributed loop
+    * converges to.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted
+      .map(n => (n, find(n)))
+      .toDF("node", "component")
+  }
+
+  private def distributedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
     ensureCheckpointDir(edges)
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))

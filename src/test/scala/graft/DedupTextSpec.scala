@@ -89,17 +89,25 @@ class DedupTextSpec extends SparkSpec {
   test("connectedComponents finds min-label clusters, handles chains") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 11L))
       .toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L)
+    // small long-typed graph: the size-adaptive LOCAL union-find path
     val cc = Dedup.connectedComponents(edges).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(cc == expected)
+    // localEdgeLimit=0 forces the distributed loop: identical labels
+    val dist = Dedup.connectedComponents(edges, localEdgeLimit = 0).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(dist == expected)
   }
 
   test("connectedComponents: 1000-node chain converges in logarithmic rounds") {
-    // worst-case diameter graph; pointer jumping must finish in ~log2(1000)
-    // rounds — maxIter=15 would fail plain O(diameter) propagation instantly
+    // worst-case diameter graph through the DISTRIBUTED loop (forced via
+    // localEdgeLimit=0); pointer jumping must finish in ~log2(1000) rounds —
+    // maxIter=15 would fail plain O(diameter) propagation instantly
     val edges = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(edges, maxIter = 15).collect()
+    val cc = Dedup.connectedComponents(edges, maxIter = 15, localEdgeLimit = 0)
+      .collect()
     assert(cc.length == 1000)
     assert(cc.forall(_.getAs[Long]("component") == 0L))
   }
