@@ -85,7 +85,15 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
-        finally spark.catalog.clearCache()
+        finally {
+          spark.catalog.clearCache()
+          // ContextCleaner can only reclaim shuffle files / broadcasts once
+          // their JVM objects are collected; with a large heap the natural
+          // full GC may not come for many queries, and the accumulated
+          // shuffle state measurably degrades later iterations (observed
+          // 4s -> 13s monotonic escalation on the heaviest dedup queries).
+          System.gc()
+        }
       }
       if (iters > 1)
         System.err.println(f"[bench] $name iters: ${times.map(t => f"$t%.2f").mkString(", ")}")

@@ -307,6 +307,32 @@ object OraclesML {
        |SELECT src AS node, least(src, min(dst)) AS component
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Composed corpus-preparation pipeline (quality gate → exact dedup →
+    * near-dup groups → stats), mirroring `Corpus.cleanCorpusStats` stage
+    * for stage. The dedup-group chain is [[dedupGroupsSql]] re-pointed at
+    * the filtered doc set: the only `FROM documents` inside it is the
+    * shingle CTE's, so a single textual substitution retargets the whole
+    * chain (kept in one place — revisit if shinglesCte gains sources).
+    */
+  val corpusCleanSql: String = {
+    val groupsOverDocs2 = dedupGroupsSql.replace("FROM documents", "FROM docs2")
+    s"""WITH quality AS ($textQualitySql),
+       |docs_clean AS (
+       |  SELECT d.* FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+       |  WHERE q.quality_score >= 0.70),
+       |exact_keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM docs_clean GROUP BY md5(text)),
+       |docs2 AS (
+       |  SELECT d.* FROM docs_clean d JOIN exact_keep k USING (doc_id)),
+       |groups AS (SELECT * FROM ($groupsOverDocs2) g),
+       |survivors AS (
+       |  SELECT d.* FROM docs2 d LEFT JOIN groups g ON d.doc_id = g.node
+       |  WHERE g.node IS NULL OR g.component = d.doc_id)
+       |SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM survivors GROUP BY 1, 2""".stripMargin
+  }
+
   /** Candidates from the SAME 16 MinHash sigs re-banded 8×2 (s-curve
     * midpoint ≈ 0.35 for the 0.3 verification threshold) — mirrors
     * Dedup.ngramJaccardPairs' scale-safe generator.

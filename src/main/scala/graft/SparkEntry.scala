@@ -71,6 +71,9 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_groups" -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    // Composed corpus-prep flagship: quality gate -> exact dedup -> near-dup
+    // groups -> per-(lang, source) stats, one declared DAG
+    "q_corpus_clean" -> ((s, dir) => operators.Corpus.cleanCorpusStats(Tables.documents(s, dir))),
     // Training-data pipeline: similarity search
     "q_ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
     "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(Tables.embeddings(s, dir))),
@@ -153,6 +156,7 @@ object SparkEntry {
     "q_simhash" -> OraclesML.simhashSql,
     "q_dedup_groups" -> OraclesML.dedupGroupsSql,
     "q_simhash_pairs" -> OraclesML.simhashPairsSql,
+    "q_corpus_clean" -> OraclesML.corpusCleanSql,
     "q_ann_bruteforce" -> OraclesML.annBruteForceSql,
     "q_ivf_assign" -> OraclesML.ivfAssignSql,
     "q_ann_ivf" -> OraclesML.annIvfSql,

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed training-corpus preparation pipeline — the flagship
+  * END-TO-END of the LLM-data operators, in the canonical order a corpus
+  * build runs them:
+  *
+  *   quality gate → exact dedup → near-dup dedup (LSH + connected
+  *   components, min-doc_id survivor per group) → corpus stats.
+  *
+  * Each stage is an existing operator ([[TextOps.textQuality]],
+  * [[Dedup.exactDedup]] semantics, [[Dedup.minhashLshPairs]] +
+  * [[Dedup.connectedComponents]]); the composition is pure DataFrame
+  * chaining, so Catalyst plans it as one DAG — the quality filter prunes
+  * before any shingling work, the pair generation only sees surviving
+  * documents, and nothing materializes between stages unless the session
+  * chooses to (at 100 TB, stage outputs would be staged tables — see
+  * [[SignatureStore]] — but the declared plan is identical either way).
+  */
+object Corpus {
+
+  /** Surviving-corpus statistics per (lang, source). `minQuality` is
+    * compared against the 4-dp-rounded quality score (bit-identical in both
+    * engines), so the gate boundary is exact.
+    */
+  def cleanCorpusStats(docs: DataFrame, minQuality: Double = 0.70): DataFrame = {
+    val quality = TextOps.textQuality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val clean = docs.join(quality, "doc_id")
+      .filter(col("quality_score") >= minQuality)
+      .drop("quality_score")
+    // exact dedup: lowest doc_id survives per identical text
+    val exactKeep = clean
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = clean.join(exactKeep, "doc_id")
+    // near-dup groups among the survivors: keep the canonical (minimum)
+    // member of each component; docs in no pair never enter the graph and
+    // survive by the null branch
+    val groups = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(deduped).select(col("doc_a"), col("doc_b")))
+    val survivors = deduped
+      .join(groups, deduped("doc_id") === groups("node"), "left")
+      .filter(col("node").isNull || col("component") === col("doc_id"))
+    survivors.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+}

@@ -143,4 +143,17 @@ class PagedSourceSpec extends SparkSpec {
     assert(healed.count() == 8640L)
     assert(healed.select("trade_id").distinct().count() == 8640L)
   }
+
+  test("gapRanges uses floor slot indices: pre-1970 slots straddling zero stay separate islands") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    // missing ms offsets -90s and +30s with a 60s step: FLOOR slots are
+    // -2 and 0 — non-consecutive, so two islands. Truncate-toward-zero
+    // (`div`) would map -90s to slot -1, adjacent to 0, merging one outage
+    // range across the epoch where a slot (-1) is actually present.
+    val df = Seq(-90000L, 30000L).toDF("ms")
+      .select(timestamp_micros($"ms" * 1000).as("missing_minute"))
+    val ranges = GapRepair.gapRanges(df, "missing_minute", stepMs = 60000L)
+      .as[(Long, Long)].collect().toSeq
+    assert(ranges == Seq((-90000L, -30000L), (30000L, 90000L)))
+  }
 }
