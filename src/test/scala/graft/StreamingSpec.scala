@@ -148,4 +148,25 @@ class StreamingSpec extends SparkSpec {
       assert(last.getAs[Long]("n") == 3L)
     } finally q.stop()
   }
+
+  test("payload decode runs unchanged on a stream: raw kline JSON -> typed bars") {
+    // the ingest shape end to end: a paged fetch lands raw payload strings,
+    // decode is a pure projection, so the SAME operator serves readStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = graft.sources.PayloadDecode.decodeKlines(mem.toDF().toDF("payload"))
+      .writeStream.format("memory").queryName("decode_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        """[1712000000000,"342.07","349.07","337.07","342.44","7.3"]""",
+        "[1712000", // malformed: dropped in-stream, not failed
+        """[1712000060000,"100.00","107.00","95.00","100.37","0.0"]""")
+      q.processAllAvailable()
+      val rows = spark.table("decode_test").orderBy("open_time").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Double]("open") == 342.07)
+      assert(rows(1).getAs[Double]("close") == 100.37)
+    } finally q.stop()
+  }
 }
