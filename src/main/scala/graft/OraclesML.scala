@@ -178,6 +178,22 @@ object OraclesML {
       |WHERE o.o_totalprice IN (SELECT max(o2.o_totalprice) FROM orders o2
       |                         WHERE o2.o_custkey = o.o_custkey)""".stripMargin
 
+  val lateralTopOrdersSql: String =
+    """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin
+
+  val unpivotPriorityMetricsSql: String =
+    """SELECT o_orderpriority, metric, value FROM (
+      |  SELECT o_orderpriority,
+      |         CAST(count(*) AS DOUBLE) AS n_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+      |         CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      |  FROM orders GROUP BY o_orderpriority)
+      |UNPIVOT (value FOR metric IN (n_orders, total_price, n_customers))""".stripMargin
+
   val orderStatusPivotSql: String =
     """SELECT date_trunc('month', o_orderdate) AS order_month,
       |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,

@@ -109,6 +109,8 @@ object SparkEntry {
     "q_customers_without_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "q_scalar_subquery" -> ((s, dir) => Relational.scalarSubquery(s, dir)),
     "q_correlated_in" -> ((s, dir) => Relational.correlatedIn(s, dir)),
+    "q_lateral_topn" -> ((s, dir) => Relational.lateralTopOrders(s, dir)),
+    "q_unpivot_metrics" -> ((s, dir) => Relational.unpivotPriorityMetrics(s, dir)),
     "q_order_status_pivot" -> ((s, dir) => Relational.orderStatusPivot(s, dir)),
     "q_value_stats" -> ((s, dir) => Relational.valueStats(s, dir)),
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
@@ -177,6 +179,8 @@ object SparkEntry {
     "q_customers_without_orders" -> OraclesML.customersWithoutOrdersSql,
     "q_scalar_subquery" -> OraclesML.scalarSubquerySql,
     "q_correlated_in" -> OraclesML.correlatedInSql,
+    "q_lateral_topn" -> OraclesML.lateralTopOrdersSql,
+    "q_unpivot_metrics" -> OraclesML.unpivotPriorityMetricsSql,
     "q_order_status_pivot" -> OraclesML.orderStatusPivotSql,
     "q_value_stats" -> OraclesML.valueStatsSql,
     "q_value_histogram" -> OraclesML.valueHistogramSql,

@@ -258,6 +258,41 @@ object Relational {
                                WHERE o2.o_custkey = o.o_custkey)""")
   }
 
+  /** LATERAL correlated subquery: each customer's top-2 orders by price —
+    * the per-group top-N idiom in its declarative form. Catalyst
+    * decorrelates the LIMIT-ed lateral into a ranked window join
+    * (DecorrelateInnerQuery), so the executed plan is one partial top-N per
+    * partition — no per-customer re-execution, same shape as a hand-written
+    * row_number filter.
+    */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql("""
+      SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+  }
+
+  /** UNPIVOT: per-priority aggregate columns melted back to (metric, value)
+    * rows — the inverse of [[orderStatusPivot]]'s widening. Values are cast
+    * to one type up front (UNPIVOT requires a common value type), sums as
+    * exact decimals first.
+    */
+  def unpivotPriorityMetrics(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql("""
+      SELECT o_orderpriority, metric, value FROM (
+        SELECT o_orderpriority,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+               CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        FROM orders GROUP BY o_orderpriority)
+      UNPIVOT (value FOR metric IN (n_orders, total_price, n_customers))""")
+  }
+
   /** Set operations: customers in the top decile by account balance vs
     * customers holding open orders — union/intersect/except in one result.
     */
