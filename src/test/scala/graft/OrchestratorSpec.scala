@@ -64,6 +64,18 @@ class OrchestratorSpec extends SparkSpec {
       // no last Friday in the simulated window -> the monthly deployment's
       // inside-check never passed and the sink was never created
       assert(ManifestTable.currentVersion(spark, pipe.monthlyPath).isEmpty)
+
+      // crash-replay safety: re-running the last tick (a restarted scheduler
+      // re-fires the same schedule slot) must leave every sink's CONTENT
+      // unchanged — LWW re-upserts of identical recomputed rows
+      val before = Seq(pipe.bars1mPath, pipe.hourlyPath, pipe.dailyPath, pipe.weeklyPath)
+        .map(p => Incremental.readSink(spark, p).collect().toSet)
+      pipe.runTick(ticks.last)
+      val after = Seq(pipe.bars1mPath, pipe.hourlyPath, pipe.dailyPath, pipe.weeklyPath)
+        .map(p => Incremental.readSink(spark, p).collect().toSet)
+      before.zip(after).zipWithIndex.foreach { case ((b, a), i) =>
+        assert(a == b, s"sink $i changed on tick replay")
+      }
     } finally {
       trades.unpersist()
       spark.catalog.clearCache()
