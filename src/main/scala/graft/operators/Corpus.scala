@@ -26,17 +26,16 @@ object Corpus {
     * engines), so the gate boundary is exact.
     */
   def cleanCorpusStats(docs: DataFrame, minQuality: Double = 0.70): DataFrame = {
-    val quality = TextOps.textQuality(docs)
-      .select(col("doc_id"), col("quality_score"))
-    val clean = docs.join(quality, "doc_id")
-      .filter(col("quality_score") >= minQuality)
-      .drop("quality_score")
-    // exact dedup: lowest doc_id survives per identical text
-    val exactKeep = clean
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val deduped = clean.join(exactKeep, "doc_id")
+    // inline per-row gate — no metrics self-join; the filter runs inside
+    // the scan stage and prunes before any shingling work
+    val clean = docs.filter(TextOps.qualityScore(col("text")) >= minQuality)
+    // exact dedup: lowest doc_id survives per identical text — one window
+    // over the hash (single shuffle), not a groupBy + join-back pass
+    val keepFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = clean
+      .withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1).drop("__rn")
     // near-dup groups among the survivors: keep the canonical (minimum)
     // member of each component; docs in no pair never enter the graph and
     // survive by the null branch

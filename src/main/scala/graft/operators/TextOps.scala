@@ -34,8 +34,28 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "is", "in", "to", "it", "that")
 
+  /** Composite quality score as a pure per-row column — usable inline as a
+    * gate (see [[Corpus]]) without any join against a metrics frame.
+    * Zero-length guard: ANSI division would throw; ratios (and the score,
+    * via null propagation) are NULL for empty texts on both engines.
+    */
+  def qualityScore(t: Column): Column = {
+    val n = length(t)
+    val w = tokens(t)
+    val nWords = size(w).cast("long")
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", ""))
+    val punct = length(regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    val nStop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
+    def ratio(num: Column): Column =
+      when(n > 0, bround(num.cast("double") / n, 4))
+    bround(
+      ratio(alpha) * 0.4 + (lit(1.0) - ratio(punct)) * 0.3
+        + bround(nStop.cast("double") / nWords, 4) * 0.2
+        + least(lit(1.0), nWords.cast("double") / 100) * 0.1, 4)
+  }
+
   /** Quality scoring: length, word stats, punctuation / alpha / stopword
-    * ratios, and a composite score — all 4-dp half-even.
+    * ratios, and the composite [[qualityScore]] — all 4-dp half-even.
     */
   def textQuality(docs: DataFrame): DataFrame = {
     val t = col("text")
@@ -46,26 +66,17 @@ object TextOps {
     val punct = length(regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
     val nonSpace = length(regexp_replace(t, "\\s", ""))
     val nStop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
-    // zero-length guard: ANSI division would throw; ratios (and the score,
-    // via null propagation) are NULL for empty texts on both engines
     def ratio(num: Column): Column =
       when(n > 0, bround(num.cast("double") / n, 4))
-    val alphaRatio = ratio(alpha)
-    val punctRatio = ratio(punct)
-    val stopRatio = bround(nStop.cast("double") / nWords, 4)
     docs.select(
       col("doc_id"),
       n.cast("long").as("n_chars"),
       nWords.as("n_words"),
       bround(nonSpace.cast("double") / nWords, 4).as("mean_word_len"),
-      alphaRatio.as("alpha_ratio"),
-      punctRatio.as("punct_ratio"),
-      stopRatio.as("stopword_ratio"),
-      bround(
-        alphaRatio * 0.4 + (lit(1.0) - punctRatio) * 0.3
-          + stopRatio * 0.2
-          + least(lit(1.0), nWords.cast("double") / 100) * 0.1, 4)
-        .as("quality_score"))
+      ratio(alpha).as("alpha_ratio"),
+      ratio(punct).as("punct_ratio"),
+      bround(nStop.cast("double") / nWords, 4).as("stopword_ratio"),
+      qualityScore(t).as("quality_score"))
   }
 
   /** Per-language marker stopwords for the n-gram/stopword language-ID
