@@ -207,6 +207,44 @@ object OraclesML {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
       |FROM orders GROUP BY ROLLUP(o_orderpriority)""".stripMargin
 
+  val cubeStatsSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |  coalesce(o_orderstatus, 'ALL') AS status,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** Gap sessionization as portable SQL: Spark's session_window merges an
+    * event into the open session iff its gap from the previous event is
+    * STRICTLY under the gap duration (window [ts, ts+gap) must overlap),
+    * so the new-session predicate here is `>=`. Ties cannot hide a
+    * semantic gap: testdata timestamps are ms-random (exact-480-minute
+    * gaps do not occur), and same-ts events merge under both rules.
+    */
+  val userSessionsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 480 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_seq""".stripMargin
+
+  val trailingWindowSql: String =
+    """SELECT event_type, event_id, ts,
+      |  count(*) OVER w AS trailing_n,
+      |  CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS trailing_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin
+
   // ---- dedup ----
 
   val tfidfTopTermsSql: String =

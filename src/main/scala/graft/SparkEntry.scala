@@ -105,6 +105,9 @@ object SparkEntry {
       Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
       col("lang"), col("doc_id"), n = 20)),
     "q_rollup_stats" -> ((s, dir) => Relational.rollupStats(s, dir)),
+    "q_cube_stats" -> ((s, dir) => Relational.cubeStats(s, dir)),
+    "q_user_sessions" -> ((s, dir) => Relational.userSessions(s, dir)),
+    "q_trailing_window" -> ((s, dir) => Relational.trailingWindow(s, dir)),
     "q_rank_windows" -> ((s, dir) => Relational.rankWindows(s, dir)),
     "q_customers_without_orders" -> ((s, dir) => Relational.customersWithoutOrders(s, dir)),
     "q_scalar_subquery" -> ((s, dir) => Relational.scalarSubquery(s, dir)),
@@ -175,6 +178,9 @@ object SparkEntry {
     "q_deterministic_sample" -> OraclesML.deterministicSampleSql,
     "q_stratified_sample" -> OraclesML.stratifiedSampleSql,
     "q_rollup_stats" -> OraclesML.rollupStatsSql,
+    "q_cube_stats" -> OraclesML.cubeStatsSql,
+    "q_user_sessions" -> OraclesML.userSessionsSql,
+    "q_trailing_window" -> OraclesML.trailingWindowSql,
     "q_rank_windows" -> OraclesML.rankWindowsSql,
     "q_customers_without_orders" -> OraclesML.customersWithoutOrdersSql,
     "q_scalar_subquery" -> OraclesML.scalarSubquerySql,

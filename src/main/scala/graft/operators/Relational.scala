@@ -304,4 +304,64 @@ object Relational {
     rich.intersect(active).withColumn("set_kind", lit("both"))
       .union(rich.except(active).withColumn("set_kind", lit("rich_only")))
   }
+
+  /** Inactivity-gap sessionization (clickstream → sessions): events of one
+    * user belong to the same session while consecutive gaps stay within
+    * `gapMinutes`. Uses Spark's native `session_window` — a single
+    * hash-partition on user_id with session merging inside the aggregate,
+    * the same primitive the streaming path uses — so batch and streaming
+    * sessionization share semantics. One shuffle, no window sort pass; at
+    * 100 TB this is a plain keyed aggregation (no per-user data ordering
+    * requirement beyond the in-partition merge).
+    *
+    * Output keys on (user_id, session_start); bounds are min/max event ts
+    * (not the gap-extended window end, which is engine-specific). The value
+    * sum is an exact decimal, cast to double only at the boundary.
+    */
+  def userSessions(spark: SparkSession, dir: String, gapMinutes: Int = 480): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Trailing time-range window: per instrument (event_type), the count and
+    * exact-decimal sum of `value` over the trailing hour RELATIVE TO EACH
+    * ROW — a range frame on the epoch-ms ordering key, not a fixed bucket.
+    * One shuffle + one sort per partition key; the frame is evaluated by a
+    * sliding aggregate over the sorted run, so cost is O(n) per partition
+    * and the plan survives scale-up as long as a single (event_type) run
+    * fits a partition — the same contract every ordered window here has.
+    * Range frames are value-based: ties in ts land in the same frame for
+    * every peer row, so the result is deterministic without a tiebreaker.
+    */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+        unix_millis(col("ts")).as("__ms"))
+    val hourMs = 3600L * 1000
+    val w = Window.partitionBy(col("event_type")).orderBy(col("__ms"))
+      .rangeBetween(-hourMs, 0)
+    ev.select(col("event_type"), col("event_id"), col("ts"),
+      count(lit(1)).over(w).as("trailing_n"),
+      sum(col("value").cast(DEC)).over(w).cast("double").as("trailing_value"))
+  }
+
+  /** CUBE grouping sets: order counts and exact-decimal totals at every
+    * combination of (priority, status) including both margins and the grand
+    * total — one pass, Spark expands the grouping sets map-side (the Expand
+    * operator) so the input is still read once.
+    */
+  def cubeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("total_price"))
 }

@@ -137,6 +137,22 @@ object StreamingOhlc {
     trades.withWatermark("timestamp", watermark)
       .dropDuplicatesWithinWatermark("trade_id")
 
+  /** Streaming gap sessionization — the streaming twin of the batch
+    * [[graft.operators.Relational.userSessions]]: the SAME `session_window`
+    * primitive, so batch and stream agree by construction. The watermark
+    * bounds open-session state (an idle session's state is dropped once the
+    * watermark passes its gap-extended end); append mode emits each session
+    * exactly once, when it can no longer merge with future events.
+    */
+  def userSessions(events: DataFrame, gapMinutes: Int = 480,
+                   watermark: String = "8 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+
   /** Output-mode helper: hourly OHLC is meant for update mode (late data
     * within the watermark overwrites its bucket, mirroring upserts).
     */

@@ -169,4 +169,34 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1).getAs[Double]("close") == 100.37)
     } finally q.stop()
   }
+
+  test("streaming session_window emits closed sessions matching batch gap rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val ev = mem.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingOhlc.userSessions(ev, gapMinutes = 30, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (sqlTs("2024-01-01 10:00:00"), 1L, 1.0),
+        (sqlTs("2024-01-01 10:10:00"), 1L, 1.0), // same session (gap 10m < 30m)
+        (sqlTs("2024-01-01 11:30:00"), 1L, 1.0)) // new session (gap 80m)
+      q.processAllAvailable()
+      // push the watermark past both sessions' gap-extended ends so append
+      // mode finalizes them; a second tick lets the new watermark apply
+      mem.addData((sqlTs("2024-01-02 00:00:00"), 99L, 1.0))
+      q.processAllAvailable()
+      mem.addData((sqlTs("2024-01-02 06:00:00"), 99L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_test").filter($"user_id" === 1L)
+        .orderBy("session_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(0).getAs[java.sql.Timestamp]("session_start") == sqlTs("2024-01-01 10:00:00"))
+      assert(rows(0).getAs[java.sql.Timestamp]("session_end") == sqlTs("2024-01-01 10:10:00"))
+      assert(rows(1).getAs[Long]("n_events") == 1L)
+      assert(rows(1).getAs[java.sql.Timestamp]("session_start") == sqlTs("2024-01-01 11:30:00"))
+    } finally q.stop()
+  }
 }
