@@ -579,8 +579,7 @@ object OraclesML {
   /** Mirrors Multimodal.mediaMetaQuery: the deterministic half of the
     * multimodal pipeline — payload byte length (UTF-8 bytes of text, the
     * synthesized payload), typed metadata, and the metadata resize. The
-    * decoded feature vector is NOT here (not SQL-expressible) — it stays on
-    * the rows-only q_media_features.
+    * decoded feature vector is oracled separately (mediaFeaturesSql).
     */
   val mediaMetaSql: String =
     """WITH media AS (
@@ -597,4 +596,33 @@ object OraclesML {
       |       CAST(floor(width * least(1.0, 32 / greatest(width, height))) AS INTEGER) AS out_width,
       |       CAST(floor(height * least(1.0, 32 / greatest(width, height))) AS INTEGER) AS out_height
       |FROM media""".stripMargin
+
+  /** Mirrors Multimodal.mediaFeatureQuery INCLUDING the stub decode: the
+    * FakeDecoder is deterministic byte arithmetic (acc[i mod 16] +=
+    * byte*(1+i mod 7); ((acc mod 1000)-500)/500 as FLOAT), so even the
+    * decode seam is oracle-checkable until a real codec replaces it. The
+    * documents text is pure ASCII (verified: octet_length = length for
+    * every row), so per-character ord() equals the UTF-8 payload byte.
+    * REAL/REAL division keeps DuckDB in float32 — bit-identical to the
+    * JVM's Float division (verified across all rows at sf0.01).
+    */
+  val mediaFeaturesSql: String =
+    """WITH pos AS (
+      |  SELECT doc_id, i, ord(substr(text, CAST(i+1 AS INT), 1)) AS b
+      |  FROM documents, unnest(range(0, length(text))) AS u(i)),
+      |acc AS (
+      |  SELECT doc_id,
+      |    coalesce(sum(b*(1+i%7)) FILTER (WHERE i%16=0), 0) AS a0,
+      |    coalesce(sum(b*(1+i%7)) FILTER (WHERE i%16=1), 0) AS a1,
+      |    coalesce(sum(b*(1+i%7)) FILTER (WHERE i%16=15), 0) AS a15
+      |  FROM pos GROUP BY doc_id)
+      |SELECT d.doc_id AS media_id,
+      |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+      |       WHEN d.doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+      |  CAST((coalesce(a.a0, 0) % 1000) - 500 AS REAL) / CAST(500 AS REAL) AS f0,
+      |  CAST((coalesce(a.a1, 0) % 1000) - 500 AS REAL) / CAST(500 AS REAL) AS f1,
+      |  CAST((coalesce(a.a15, 0) % 1000) - 500 AS REAL) / CAST(500 AS REAL) AS f_last
+      |FROM documents d LEFT JOIN acc a ON d.doc_id = a.doc_id""".stripMargin
 }

@@ -117,8 +117,9 @@ object SparkEntry {
     "q_order_status_pivot" -> ((s, dir) => Relational.orderStatusPivot(s, dir)),
     "q_value_stats" -> ((s, dir) => Relational.valueStats(s, dir)),
     "q_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
-    // Multimodal plumbing: metadata half is fully oracled; the decoded
-    // feature vector (stubbed codec) stays rows-only
+    // Multimodal plumbing: metadata half AND the stub-decoded feature
+    // vector both carry full oracles (the fake decode is deterministic
+    // byte arithmetic, mirrored in SQL)
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMetaQuery(s, dir)),
     "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir))
   )
@@ -190,6 +191,9 @@ object SparkEntry {
     "q_order_status_pivot" -> OraclesML.orderStatusPivotSql,
     "q_value_stats" -> OraclesML.valueStatsSql,
     "q_value_histogram" -> OraclesML.valueHistogramSql,
-    "q_media_meta" -> OraclesML.mediaMetaSql
+    "q_media_meta" -> OraclesML.mediaMetaSql,
+    // the stub decode is deterministic byte arithmetic, so even the decode
+    // seam carries a full oracle until a real codec replaces FakeDecoder
+    "q_media_features" -> OraclesML.mediaFeaturesSql
   )
 }

@@ -113,7 +113,7 @@ object Multimodal {
   /** Metadata query for the driver — everything deterministic around the
     * decode seam (payload size, typed metadata, metadata resize) IS
     * SQL-expressible and carries a full DuckDB oracle; only the decoded
-    * feature vector stays rows-only (see [[mediaFeatureQuery]]).
+    * feature vector is oracled separately (see [[mediaFeatureQuery]]).
     */
   def mediaMetaQuery(spark: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(graft.Tables.documents(spark, dir))
@@ -124,8 +124,10 @@ object Multimodal {
         col("out_width"), col("out_height"))
   }
 
-  /** Feature query for the driver (rows-only check: decode output is not
-    * SQL-expressible): media → decode → features flattened to columns.
+  /** Feature query for the driver: media → decode → features flattened to
+    * columns. While the decoder is the deterministic [[FakeDecoder]] stub
+    * its byte arithmetic is mirrored by a SQL oracle; a real codec would
+    * drop the query back to a rows-only check.
     */
   def mediaFeatureQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
