@@ -36,11 +36,24 @@ object Incremental {
       .map(f => f.takeWhile(_ != '/'))
       .filter(_.startsWith("p_date=")).distinct
 
-  /** S6: the sink's resume point — MAX(ts) of the LATEST date partition
-    * (the max timestamp always lives there), not a full-sink scan.
+  /** S6: the sink's resume point. Fast path: when EVERY live file carries
+    * manifest min/max stats for `tsCol` (written by [[mergeAndCommit]]'s
+    * footer pass), the watermark is the max of the file maxes — pure
+    * manifest metadata, zero file opens. Any stats-less file could hide a
+    * larger ts, so the fallback reads the latest date partition's files
+    * (the max always lives there), never the full sink.
     */
   def sinkWatermark(spark: SparkSession, sinkPath: String,
                     tsCol: String): Option[java.sql.Timestamp] = {
+    val entries = ManifestTable.liveEntries(spark, sinkPath)
+    val statMaxes = entries.flatMap(_.stats.get(tsCol).map(_._2))
+    if (entries.nonEmpty && statMaxes.size == entries.size) {
+      // INT64 micros since epoch (UTC session everywhere in this project)
+      val us = statMaxes.max
+      val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      return Some(ts)
+    }
     val parts = livePartitions(spark, sinkPath)
     if (parts.isEmpty) None
     else {
@@ -129,15 +142,24 @@ object Incremental {
     // all merged away produces no staged files but is still listed as
     // replaced, so its stale files drop out of the new snapshot.
     val staging = s"$sinkPath/_staging/${UUID.randomUUID()}"
-    merged.write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(staging)
+    // INT64-micros timestamps (scoped; INT96 is parquet-deprecated and
+    // carries no footer stats, which would disable both the manifest
+    // watermark fast path and ts file skipping)
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try merged.write.mode(SaveMode.Overwrite).partitionBy("p_date").parquet(staging)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
     val added = ManifestTable.publishFiles(spark, sinkPath, staging)
-    // row count from the parquet FOOTERS of the published files — one
-    // metadata read per file, not a second full scan of the merged slice
-    val n = footerRowCounts(spark,
-      added.map(f => s"${ManifestTable.dataDir(sinkPath)}/$f"))
+    // row counts AND tsCol min/max from the parquet FOOTERS of the
+    // published files — one concurrent metadata read per file, not a
+    // second full scan of the merged slice; the stats ride the manifest so
+    // later watermark reads and range scans are metadata-only
+    val meta = ManifestTable.footerMeta(spark,
+      ManifestTable.dataDir(sinkPath), added, Seq(tsCol))
+    val n = meta.map(_._2).sum
     if (added.nonEmpty || touchedDates.nonEmpty) {
-      ManifestTable.commitReplace(spark, sinkPath,
-        touchedDates.map(d => s"p_date=$d"), added)
+      ManifestTable.commitEntries(spark, sinkPath,
+        touchedDates.map(d => s"p_date=$d"), meta.map(_._1))
       ManifestTable.vacuum(spark, sinkPath)
     }
 
@@ -145,32 +167,4 @@ object Incremental {
     SyncStats(n, newKeys - updatedCount, updatedCount)
   }
 
-  /** Total row count straight from the files' footer metadata. Footers are
-    * opened CONCURRENTLY (bounded pool): each open is a filesystem
-    * round-trip, and on object storage with many small files per tick a
-    * sequential loop would serialize N network latencies on the driver —
-    * partially giving back the full rescan this method exists to avoid.
-    */
-  private def footerRowCounts(spark: SparkSession, paths: Seq[String]): Long =
-    if (paths.isEmpty) 0L
-    else {
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(paths.size, 16))
-      try {
-        import scala.jdk.CollectionConverters._
-        pool.invokeAll(
-          paths.map { p =>
-            new java.util.concurrent.Callable[Long] {
-              def call(): Long = {
-                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-                  org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                    new org.apache.hadoop.fs.Path(p), hconf))
-                try r.getRecordCount finally r.close()
-              }
-            }
-          }.asJava
-        ).asScala.map(_.get()).sum
-      } finally pool.shutdown()
-    }
 }

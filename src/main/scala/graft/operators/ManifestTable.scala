@@ -46,6 +46,33 @@ object ManifestTable {
 
   private val ManifestDirName = "_manifests"
 
+  /** One live data file plus optional per-column (min, max) pruning stats.
+    * Stats cover INT64-backed columns only (longs; timestamps Spark writes
+    * as INT64 micros) — the columns file skipping pays off on. A file with
+    * no stats for a column is never skipped on that column (safe default),
+    * which also makes pre-stats manifests (bare-path lines) readable
+    * unchanged.
+    */
+  case class FileEntry(path: String, stats: Map[String, (Long, Long)] = Map.empty)
+
+  // manifest line: path[<TAB>col=min..max[;col=min..max]...]
+  private def renderEntry(e: FileEntry): String =
+    if (e.stats.isEmpty) e.path
+    else e.path + "\t" + e.stats.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }.mkString(";")
+
+  private def parseEntry(line: String): FileEntry =
+    line.split('\t') match {
+      case Array(p) => FileEntry(p)
+      case parts =>
+        val stats = parts(1).split(';').iterator.filter(_.contains("=")).map { kv =>
+          val Array(c, range) = kv.split("=", 2)
+          val Array(lo, hi) = range.split("\\.\\.", 2)
+          c -> (lo.toLong, hi.toLong)
+        }.toMap
+        FileEntry(parts(0), stats)
+    }
+
   def dataDir(root: String): String = s"$root/data"
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
@@ -70,8 +97,7 @@ object ManifestTable {
       }.sorted
   }
 
-  /** Data files of snapshot `version`, as paths relative to `data/`. */
-  def filesOf(spark: SparkSession, root: String, version: Long): Seq[String] = {
+  private def rawLinesOf(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val fs = fsOf(spark, root)
     val in = fs.open(manifestPath(root, version))
     try {
@@ -79,6 +105,21 @@ object ManifestTable {
         .getLines().map(_.trim).filter(_.nonEmpty).toList
     } finally in.close()
   }
+
+  /** Data files of snapshot `version`, as paths relative to `data/`. */
+  def filesOf(spark: SparkSession, root: String, version: Long): Seq[String] =
+    entriesOf(spark, root, version).map(_.path)
+
+  /** Data files of snapshot `version` with their pruning stats. */
+  def entriesOf(spark: SparkSession, root: String, version: Long): Seq[FileEntry] =
+    rawLinesOf(spark, root, version).map(parseEntry)
+
+  /** Live entries (path + stats) of the latest snapshot. */
+  def liveEntries(spark: SparkSession, root: String): Seq[FileEntry] =
+    currentVersion(spark, root) match {
+      case None    => Seq.empty
+      case Some(v) => entriesOf(spark, root, v)
+    }
 
   /** Live data files of the latest snapshot, as paths relative to `data/`
     * (e.g. `p_date=2024-01-01/part-00000-<uuid>.parquet`).
@@ -98,6 +139,91 @@ object ManifestTable {
     spark.read.option("basePath", dataDir(root))
       .parquet(files.map(f => s"${dataDir(root)}/$f"): _*)
   }
+
+  /** Entries whose stats CANNOT rule out rows with `statCol` in [lo, hi] —
+    * manifest-level file skipping, the same min/max pruning Delta/Iceberg
+    * do from their manifests. A file without stats for the column is kept
+    * (skipping must be provably safe). Pure metadata: no file is opened.
+    */
+  def pruneEntries(entries: Seq[FileEntry], statCol: String,
+                   lo: Long, hi: Long): Seq[FileEntry] =
+    entries.filter(_.stats.get(statCol).forall { case (mn, mx) => mx >= lo && mn <= hi })
+
+  /** Read the latest snapshot restricted to files that can hold `statCol`
+    * values in [lo, hi] (closed interval, in the column's INT64 physical
+    * units — epoch-µs for Spark-written timestamps). The caller still
+    * applies the row-level predicate; this only shrinks the file list the
+    * scan plans over — at 100 TB the difference between touching a day and
+    * touching the whole table. Falls back to the full listing semantics
+    * when no file carries stats.
+    */
+  def readWhere(spark: SparkSession, root: String, statCol: String,
+                lo: Long, hi: Long): DataFrame = {
+    val entries = liveEntries(spark, root)
+    require(entries.nonEmpty, s"no committed snapshot at $root")
+    val kept = pruneEntries(entries, statCol, lo, hi)
+    if (kept.isEmpty)
+      // every file pruned: preserve the schema with an empty scan over one
+      // file (cheapest way to a correctly-typed empty frame)
+      spark.read.option("basePath", dataDir(root))
+        .parquet(s"${dataDir(root)}/${entries.head.path}")
+        .limit(0)
+    else
+      spark.read.option("basePath", dataDir(root))
+        .parquet(kept.map(e => s"${dataDir(root)}/${e.path}"): _*)
+  }
+
+  /** Per-file (rowCount, min/max stats for `statCols`) straight from the
+    * parquet FOOTERS of `relFiles` — one concurrent metadata read per file
+    * (same rationale as the row-count pass in [[Incremental]]: sequential
+    * opens would serialize N round-trips on object storage). Stats are
+    * collected only for top-level INT64 columns (longs, micros timestamps)
+    * whose every block carries non-null min/max; anything else yields no
+    * entry for that column, which [[pruneEntries]] treats as unskippable.
+    */
+  def footerMeta(spark: SparkSession, dataRoot: String, relFiles: Seq[String],
+                 statCols: Seq[String]): Seq[(FileEntry, Long)] =
+    if (relFiles.isEmpty) Seq.empty
+    else {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(relFiles.size, 16))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(
+          relFiles.map { rel =>
+            new java.util.concurrent.Callable[(FileEntry, Long)] {
+              def call(): (FileEntry, Long) = {
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                    new Path(s"$dataRoot/$rel"), hconf))
+                try {
+                  val blocks = r.getFooter.getBlocks.asScala
+                  val stats = statCols.flatMap { c =>
+                    val chunks = blocks.flatMap(_.getColumns.asScala)
+                      .filter(_.getPath.toDotString == c)
+                    val ok = chunks.nonEmpty && chunks.forall { ch =>
+                      ch.getPrimitiveType.getPrimitiveTypeName == PrimitiveTypeName.INT64 &&
+                        ch.getStatistics != null && ch.getStatistics.hasNonNullValue
+                    }
+                    if (!ok) None
+                    else {
+                      val mins = chunks.map(_.getStatistics.genericGetMin
+                        .asInstanceOf[java.lang.Long].longValue)
+                      val maxs = chunks.map(_.getStatistics.genericGetMax
+                        .asInstanceOf[java.lang.Long].longValue)
+                      Some(c -> (mins.min, maxs.max))
+                    }
+                  }.toMap
+                  (FileEntry(rel, stats), r.getRecordCount)
+                } finally r.close()
+              }
+            }
+          }.asJava
+        ).asScala.map(_.get()).toSeq
+      } finally pool.shutdown()
+    }
 
   /** Step 1 of a commit: move every parquet file under `stagedDir`
     * (a normal partitioned Spark write) into `data/`, preserving the
@@ -132,17 +258,27 @@ object ManifestTable {
     */
   def commitReplace(spark: SparkSession, root: String,
                     replacedPartitions: Seq[String],
-                    addedFiles: Seq[String]): Long = {
+                    addedFiles: Seq[String]): Long =
+    commitEntries(spark, root, replacedPartitions, addedFiles.map(FileEntry(_)))
+
+  /** [[commitReplace]] with pruning stats attached to the added files (see
+    * [[FileEntry]]); kept files carry their existing stats forward.
+    */
+  def commitEntries(spark: SparkSession, root: String,
+                    replacedPartitions: Seq[String],
+                    added: Seq[FileEntry]): Long = {
     val fs = fsOf(spark, root)
     val prev = currentVersion(spark, root)
-    val kept = liveFiles(spark, root).filterNot { f =>
-      replacedPartitions.exists(p => p.isEmpty || f.startsWith(p + "/"))
-    }
+    val kept = prev.map(rawLinesOf(spark, root, _)).getOrElse(Seq.empty)
+      .filterNot { line =>
+        val f = parseEntry(line).path
+        replacedPartitions.exists(p => p.isEmpty || f.startsWith(p + "/"))
+      }
     val next = prev.getOrElse(0L) + 1
     val tmp = new Path(s"$root/$ManifestDirName/.tmp-${UUID.randomUUID()}")
     fs.mkdirs(tmp.getParent)
     val out = fs.create(tmp, false)
-    try out.write(((kept ++ addedFiles).mkString("\n") + "\n")
+    try out.write(((kept ++ added.map(renderEntry)).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // the commit point: one atomic rename. Racing-committer detection relies
