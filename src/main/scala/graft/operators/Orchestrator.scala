@@ -76,7 +76,8 @@ object Orchestrator {
     d.getDayOfWeek == DayOfWeek.FRIDAY && d.plusDays(7).getMonthValue != d.getMonthValue
 
   final class Pipeline(spark: SparkSession, feed: SimulatedFeed, root: String,
-                       gapThresholdMin: Int = 120) {
+                       gapThresholdMin: Int = 120,
+                       repairHorizonDays: Int = 7) {
     val bars1mPath = s"$root/bars_1m"
     val hourlyPath = s"$root/option_ohlc"
     val dailyPath = s"$root/daily_sessions"
@@ -106,7 +107,16 @@ object Orchestrator {
     def repair1m(tick: Timestamp): Option[FlowRun] =
       if (ManifestTable.currentVersion(spark, bars1mPath).isEmpty) None
       else {
-        val sink = Incremental.readSink(spark, bars1mPath)
+        // detection reads only the trailing repair horizon, planned off the
+        // manifest's per-file ts stats — NOT the whole sink (at 100 TB the
+        // full-history scan would dwarf every other flow in the loop).
+        // Outages older than the horizon are out of repair scope, the same
+        // bounded-lookback contract the reference's repair deployment has.
+        val horizonStartUs = Incremental.sinkWatermark(spark, bars1mPath, "minute_ts")
+          .map(w => (w.getTime - repairHorizonDays * 86400000L) * 1000L)
+          .getOrElse(Long.MinValue)
+        val sink = ManifestTable.readWhere(spark, bars1mPath, "minute_ts",
+          horizonStartUs, Long.MaxValue)
         // one row per detected outage — operator metadata, bounded
         val gaps = Maintenance.gapDetect(
           sink.select(col("instrument_name").as("event_type"),
