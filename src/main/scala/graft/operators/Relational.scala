@@ -319,7 +319,13 @@ object Relational {
     * sum is an exact decimal, cast to double only at the boundary.
     */
   def userSessions(spark: SparkSession, dir: String, gapMinutes: Int = 480): DataFrame =
-    Tables.events(spark, dir)
+    sessionize(Tables.events(spark, dir), gapMinutes)
+
+  /** [[userSessions]]' core over any (user_id, ts, value) frame —
+    * factored out so invariants are property-testable on random data.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
       .agg(
         min(col("ts")).as("session_start"),

@@ -68,6 +68,27 @@ class ManifestStatsSpec extends SparkSpec {
       "seq", 100L, 200L).map(_.path) == Seq("a.parquet"))
   }
 
+  test("prune safety property: an entry is dropped iff provably disjoint (randomized)") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 500) {
+      val entries = (1 to 10).map { i =>
+        if (rnd.nextBoolean()) {
+          val lo = rnd.nextInt(1000).toLong
+          FileEntry(s"f$i.parquet", Map("c" -> (lo, lo + rnd.nextInt(200))))
+        } else FileEntry(s"f$i.parquet") // no stats: must always survive
+      }
+      val qlo = rnd.nextInt(1200).toLong
+      val qhi = qlo + rnd.nextInt(300)
+      val kept = ManifestTable.pruneEntries(entries, "c", qlo, qhi)
+        .map(_.path).toSet
+      entries.foreach { e =>
+        val mayOverlap = e.stats.get("c")
+          .forall { case (mn, mx) => mx >= qlo && mn <= qhi }
+        assert(kept.contains(e.path) == mayOverlap)
+      }
+    }
+  }
+
   test("syncTick commits ts stats; sinkWatermark resolves from metadata alone") {
     val sink = Files.createTempDirectory("graft_stats3").toString + "/t"
     val batch = Seq(

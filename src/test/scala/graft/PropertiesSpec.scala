@@ -83,4 +83,61 @@ class PropertiesSpec extends SparkSpec {
       .map(_._2.substring(0, 16)).toSet
     assert(found == expectedInRange)
   }
+
+  test("sessionization partitions events; consecutive sessions separated by >= gap") {
+    val rnd = new scala.util.Random(11)
+    val base = sqlTs("2024-03-01 00:00:00").getTime
+    // bursty arrivals: mostly short gaps with occasional long ones, 40 users
+    val events = (1 to 3000).scanLeft((0L, base)) { case ((_, t), i) =>
+      val gapMs = if (rnd.nextDouble() < 0.15) (30L + rnd.nextInt(600)) * 60000L
+                  else rnd.nextInt(10 * 60000).toLong
+      (rnd.nextInt(40).toLong, t + gapMs)
+    }.drop(1).map { case (u, t) => (u, new java.sql.Timestamp(t), 1.0) }
+      .toDF("user_id", "ts", "value")
+    val gapMin = 30
+    val sessions = operators.Relational.sessionize(events, gapMin)
+
+    // total conservation: every event counted exactly once
+    assert(sessions.agg(sum("n_events")).as[Long].head() == 3000L)
+    // each event lands in exactly ONE of its user's sessions
+    val placed = events.as("e").join(sessions.as("s"),
+      col("e.user_id") === col("s.user_id") &&
+        col("e.ts").between(col("s.session_start"), col("s.session_end")))
+    assert(placed.count() == 3000L)
+    // bounds are real event times and ordered
+    assert(sessions.filter(col("session_start") > col("session_end")).count() == 0)
+    // consecutive sessions of one user are >= gap apart (else they'd merge)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    val tooClose = sessions
+      .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        unix_millis(col("session_start")) - unix_millis(col("prev_end")) < gapMin * 60000L)
+    assert(tooClose.count() == 0)
+  }
+
+  test("trailing range window equals the self-join count/sum on random data") {
+    val rnd = new scala.util.Random(13)
+    val base = sqlTs("2024-03-01 00:00:00").getTime
+    val rows = (1 to 500).map { i =>
+      (i.toLong, s"t${rnd.nextInt(3)}",
+        new java.sql.Timestamp(base + rnd.nextInt(6 * 3600 * 1000).toLong),
+        (rnd.nextInt(1000) + 1).toDouble)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(unix_millis(col("ts")))
+      .rangeBetween(-3600000L, 0)
+    val windowed = rows.select(col("event_id"),
+      count(lit(1)).over(w).as("trailing_n"),
+      sum(col("value").cast("decimal(38,6)")).over(w).cast("double").as("trailing_value"))
+    // independent oracle: quadratic self-join (fine at n=500)
+    val expected = rows.as("a").join(rows.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("b.ts") <= col("a.ts") &&
+        col("b.ts") >= col("a.ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("trailing_n"),
+        sum(col("b.value").cast("decimal(38,6)")).cast("double").as("trailing_value"))
+    assert(windowed.exceptAll(expected).isEmpty && expected.exceptAll(windowed).isEmpty)
+  }
 }
