@@ -79,7 +79,13 @@ object Layout {
   def compactTable(spark: SparkSession, root: String,
                    targetBytes: Long = 128L << 20,
                    partitionCols: Seq[String] = Seq.empty): (Long, Long) = {
-    val before = ManifestTable.liveFiles(spark, root)
+    val beforeEntries = ManifestTable.liveEntries(spark, root)
+    val before = beforeEntries.map(_.path)
+    // compaction must not degrade the table: whatever columns the old
+    // snapshot tracked min/max for, the rewritten files track too (else one
+    // compact would silently disable file skipping and the metadata-only
+    // watermark until the next stats-writing commit)
+    val statCols = beforeEntries.flatMap(_.stats.keys).distinct
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = before.map { f =>
@@ -94,7 +100,12 @@ object Layout {
       .parquet(staging)
     val added = ManifestTable.publishFiles(spark, root, staging)
     // replace-everything commit: empty prefix matches every live file
-    ManifestTable.commitReplace(spark, root, Seq(""), added)
+    if (statCols.isEmpty)
+      ManifestTable.commitReplace(spark, root, Seq(""), added)
+    else
+      ManifestTable.commitEntries(spark, root, Seq(""),
+        ManifestTable.footerMeta(spark, ManifestTable.dataDir(root),
+          added, statCols).map(_._1))
     ManifestTable.vacuum(spark, root)
     (before.length.toLong, added.length.toLong)
   }

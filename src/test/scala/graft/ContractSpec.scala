@@ -1,15 +1,16 @@
 package graft
 
-/** Driver-contract consistency: every oracle refers to a real query; the
-  * only oracle-less queries are the known rows-only ones; entry() smokes.
+/** Driver-contract consistency: every oracle refers to a real query; every
+  * query carries an oracle (no rows-only checks remain — even the stub
+  * decode path is mirrored in SQL); entry() smokes.
   */
 class ContractSpec extends SparkSpec {
 
-  test("oracleSql keys ⊆ queries keys; rows-only set is exactly the known one") {
+  test("oracleSql keys ⊆ queries keys; every query is oracle-backed") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    assert((q -- o) == Set("q_media_features"), s"unexpected rows-only: ${q -- o}")
+    assert((q -- o).isEmpty, s"unexpected rows-only queries: ${q -- o}")
   }
 
   test("entry() returns rows on sf0.001") {

@@ -89,6 +89,18 @@ class ManifestStatsSpec extends SparkSpec {
     }
   }
 
+  test("compaction preserves the tracked stat columns") {
+    val root = Files.createTempDirectory("graft_stats4").toString + "/t"
+    tableWithFiles(root, Seq((0L, 99L), (100L, 199L), (200L, 299L)))
+    val (nBefore, nAfter) = graft.operators.Layout.compactTable(spark, root)
+    assert(nBefore == 3L && nAfter < nBefore)
+    val entries = ManifestTable.liveEntries(spark, root)
+    assert(entries.forall(_.stats.contains("seq")))
+    // skipping still works on the compacted snapshot
+    assert(ManifestTable.readWhere(spark, root, "seq", 0L, 299L).count() == 300L)
+    assert(ManifestTable.readWhere(spark, root, "seq", 5000L, 6000L).count() == 0L)
+  }
+
   test("syncTick commits ts stats; sinkWatermark resolves from metadata alone") {
     val sink = Files.createTempDirectory("graft_stats3").toString + "/t"
     val batch = Seq(
