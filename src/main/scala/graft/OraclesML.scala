@@ -237,6 +237,14 @@ object OraclesML {
       |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, session_seq""".stripMargin
 
+  val variantPropsSql: String =
+    """SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+      |  count(*) AS n,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val trailingWindowSql: String =
     """SELECT event_type, event_id, ts,
       |  count(*) OVER w AS trailing_n,

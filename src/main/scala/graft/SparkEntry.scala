@@ -106,6 +106,7 @@ object SparkEntry {
       col("lang"), col("doc_id"), n = 20)),
     "q_rollup_stats" -> ((s, dir) => Relational.rollupStats(s, dir)),
     "q_cube_stats" -> ((s, dir) => Relational.cubeStats(s, dir)),
+    "q_variant_props" -> ((s, dir) => Relational.variantProps(s, dir)),
     "q_user_sessions" -> ((s, dir) => Relational.userSessions(s, dir)),
     "q_trailing_window" -> ((s, dir) => Relational.trailingWindow(s, dir)),
     "q_rank_windows" -> ((s, dir) => Relational.rankWindows(s, dir)),
@@ -180,6 +181,7 @@ object SparkEntry {
     "q_stratified_sample" -> OraclesML.stratifiedSampleSql,
     "q_rollup_stats" -> OraclesML.rollupStatsSql,
     "q_cube_stats" -> OraclesML.cubeStatsSql,
+    "q_variant_props" -> OraclesML.variantPropsSql,
     "q_user_sessions" -> OraclesML.userSessionsSql,
     "q_trailing_window" -> OraclesML.trailingWindowSql,
     "q_rank_windows" -> OraclesML.rankWindowsSql,

@@ -201,6 +201,20 @@ object Relational {
         (sum(col("k")).cast("double") / count(lit(1))).as("mean_k"))
   }
 
+  /** Semi-structured VARIANT path (Spark 4 native): `props` parsed ONCE into
+    * a binary-encoded VARIANT, fields then extracted with typed
+    * `variant_get` — unlike per-field `get_json_object` (see [[jsonProps]]),
+    * which re-parses the JSON string for every extraction. At 100 TB of
+    * semi-structured events the single-parse shape is the one that matters;
+    * the extraction itself stays inside whole-stage codegen.
+    */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+      .groupBy(col("event_type"), expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+
   /** Correlated SCALAR subqueries (the one relational family previously
     * unexercised): customers whose total order spend exceeds their nation's
     * per-customer average, with the nation average surfaced via two
