@@ -237,6 +237,29 @@ object OraclesML {
       |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, session_seq""".stripMargin
 
+  val trainSplitSql: String =
+    """SELECT lang,
+      |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+      |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  val packBinsSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(regexp_extract_all(text, '${TextOps.tokenPattern}')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT lang, (cum - n_tokens) // 4096 AS bin,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   val variantPropsSql: String =
     """SELECT event_type,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,

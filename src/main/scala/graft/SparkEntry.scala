@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TimeExprs
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 import graft.operators.{AsOf, Dedup, Maintenance, Multimodal, Ohlc, Options, Relational, Sampling, Similarity, TextOps}
 
@@ -74,6 +74,12 @@ object SparkEntry {
     // Composed corpus-prep flagship: quality gate -> exact dedup -> near-dup
     // groups -> per-(lang, source) stats, one declared DAG
     "q_corpus_clean" -> ((s, dir) => operators.Corpus.cleanCorpusStats(Tables.documents(s, dir))),
+    "q_pack_bins" -> ((s, dir) => operators.Corpus.packBins(Tables.documents(s, dir))),
+    "q_train_split" -> ((s, dir) => Sampling.trainValTestSplit(
+      Tables.documents(s, dir), col("doc_id"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))),
     // Training-data pipeline: similarity search
     "q_ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
     "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(Tables.embeddings(s, dir))),
@@ -164,6 +170,8 @@ object SparkEntry {
     "q_dedup_groups" -> OraclesML.dedupGroupsSql,
     "q_simhash_pairs" -> OraclesML.simhashPairsSql,
     "q_corpus_clean" -> OraclesML.corpusCleanSql,
+    "q_pack_bins" -> OraclesML.packBinsSql,
+    "q_train_split" -> OraclesML.trainSplitSql,
     "q_ann_bruteforce" -> OraclesML.annBruteForceSql,
     "q_ivf_assign" -> OraclesML.ivfAssignSql,
     "q_ann_ivf" -> OraclesML.annIvfSql,

@@ -47,4 +47,26 @@ object Corpus {
     survivors.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
   }
+
+  /** Token-budget sequence packing (contiguous fill): documents of one
+    * stratum, in deterministic doc_id order, are packed into bins of
+    * `budget` tokens — each doc lands in the bin its START offset falls in
+    * (`(cumsum − own) div budget`). One window cumsum per stratum, single
+    * shuffle; first-fit-decreasing would pack marginally tighter but is
+    * inherently sequential, while this fill is order-deterministic, scales
+    * as a plain window, and overshoots each bin by at most one document.
+    * Tokens are the regex tokenizer's count ([[TextOps.tokenCount]]'s
+    * `n_re_tokens`), so packing and token accounting agree.
+    */
+  def packBins(docs: DataFrame, budget: Long = 4096): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit(TextOps.tokenPattern), lit(0)))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs.select(col("lang"), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(__cum - n_tokens) div $budget"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+  }
 }

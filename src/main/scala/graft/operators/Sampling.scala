@@ -36,4 +36,19 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Deterministic train/val/test assignment by hash-space thresholds: the
+    * same hex-prefix trick as [[deterministicSample]], with two cut points
+    * (defaults 'cc' = 204/256 ≈ 79.7% train, 'e6' = 230/256 → ≈10.2% val,
+    * rest test). Pure function of the key: a document keeps its split
+    * across reruns, engines, and corpus growth — the property that stops
+    * val/test contamination when the corpus is rebuilt. Map-side only.
+    */
+  def trainValTestSplit(df: DataFrame, key: Column,
+                        trainHex: String = "cc", valHex: String = "e6"): DataFrame = {
+    require(trainHex < valHex, "train threshold must precede val threshold")
+    val h = md5(key.cast("string"))
+    df.withColumn("split",
+      when(h < trainHex, "train").when(h < valHex, "val").otherwise("test"))
+  }
 }
