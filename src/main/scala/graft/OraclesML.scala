@@ -260,6 +260,25 @@ object OraclesML {
        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Mirrors Corpus.decontaminate (k=8): DuckDB's inclusive 1-based list
+    * slice w[i:i+7] over range(1, len(w)-6) is the 8-token shingle; short
+    * docs yield an empty comprehension, matching the Spark guard.
+    */
+  val decontaminateSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+       |         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS sh
+       |  FROM (SELECT doc_id, $W AS w FROM documents)),
+       |e AS (SELECT doc_id, split, unnest(sh) AS shingle FROM s),
+       |held AS (SELECT DISTINCT shingle FROM e WHERE split <> 'train')
+       |SELECT e.doc_id, count(*) AS n_contaminated_shingles
+       |FROM e JOIN held USING (shingle)
+       |WHERE e.split = 'train'
+       |GROUP BY 1""".stripMargin
+
   val variantPropsSql: String =
     """SELECT event_type,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,

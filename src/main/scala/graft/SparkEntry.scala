@@ -75,6 +75,7 @@ object SparkEntry {
     // groups -> per-(lang, source) stats, one declared DAG
     "q_corpus_clean" -> ((s, dir) => operators.Corpus.cleanCorpusStats(Tables.documents(s, dir))),
     "q_pack_bins" -> ((s, dir) => operators.Corpus.packBins(Tables.documents(s, dir))),
+    "q_decontaminate" -> ((s, dir) => operators.Corpus.decontaminate(Tables.documents(s, dir))),
     "q_train_split" -> ((s, dir) => Sampling.trainValTestSplit(
       Tables.documents(s, dir), col("doc_id"))
       .groupBy(col("lang"), col("split"))
@@ -171,6 +172,7 @@ object SparkEntry {
     "q_simhash_pairs" -> OraclesML.simhashPairsSql,
     "q_corpus_clean" -> OraclesML.corpusCleanSql,
     "q_pack_bins" -> OraclesML.packBinsSql,
+    "q_decontaminate" -> OraclesML.decontaminateSql,
     "q_train_split" -> OraclesML.trainSplitSql,
     "q_ann_bruteforce" -> OraclesML.annBruteForceSql,
     "q_ivf_assign" -> OraclesML.ivfAssignSql,

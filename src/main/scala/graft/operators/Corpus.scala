@@ -69,4 +69,27 @@ object Corpus {
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
   }
+
+  /** Split-aware decontamination: TRAIN documents sharing any `k`-token
+    * shingle with a held-out (val/test) document, with the count of shared
+    * distinct shingles — the n-gram-overlap contamination check run before
+    * training, composed from [[Sampling.trainValTestSplit]] and the dedup
+    * pipeline's [[Shingles]]. Shape at scale: explode to (shingle, doc)
+    * pairs, distinct the held-out shingle set, one semi-join keyed on the
+    * shingle — the same single-shuffle form regardless of corpus size; k=8
+    * keeps the shingle space sparse (stopword runs don't collide the way
+    * minhash's k=3 shingles deliberately do).
+    */
+  def decontaminate(docs: DataFrame, k: Int = 8): DataFrame = {
+    val split = Sampling.trainValTestSplit(docs, col("doc_id"))
+    val shingled = split.select(col("doc_id"), col("split"),
+      explode(array_distinct(
+        Shingles.shingles(TextOps.tokens(col("text")), k))).as("shingle"))
+    val held = shingled.filter(col("split") =!= "train")
+      .select(col("shingle")).distinct()
+    shingled.filter(col("split") === "train")
+      .join(held, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+  }
 }
