@@ -28,4 +28,22 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), n = 7)
     assert(s.exceptAll(again).isEmpty)
   }
+
+  test("train/val/test split: near-nominal fractions, stable under corpus growth") {
+    val split = Sampling.trainValTestSplit(docs, col("doc_id"))
+    val byFrac = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 4000.0).toMap
+    assert(byFrac.keySet == Set("train", "val", "test"))
+    assert(math.abs(byFrac("train") - 204.0 / 256) < 0.03)
+    assert(math.abs(byFrac("val") - 26.0 / 256) < 0.02)
+    // the contamination guarantee: growing the corpus NEVER reassigns an
+    // existing document's split (assignment is a pure function of the key)
+    val grown = Sampling.trainValTestSplit(
+      (1L to 8000L).map(i => (i, s"lang_${i % 4}")).toDF("doc_id", "lang"),
+      col("doc_id"))
+    val moved = split.select("doc_id", "split").as("a")
+      .join(grown.select(col("doc_id"), col("split").as("split2")), "doc_id")
+      .filter(col("split") =!= col("split2"))
+    assert(moved.count() == 0L)
+  }
 }
