@@ -255,7 +255,7 @@ object OraclesML {
        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
        |    ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM t)
-       |SELECT lang, (cum - n_tokens) // 4096 AS bin,
+       |SELECT lang, CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin,
        |  count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
        |FROM c GROUP BY 1, 2""".stripMargin
