@@ -245,6 +245,21 @@ object Oracles {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin
 
+  /** Mirrors IntervalJoin.campaignWindowStats: the declarative range join —
+    * DuckDB plans this with its IEJoin; the Spark side states the same
+    * semantics through the bin-replication equi-join.
+    */
+  val intervalJoinSql: String =
+    """WITH c AS (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)
+      |  AS campaign_start FROM orders)
+      |SELECT campaign_start,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM c JOIN orders
+      |  ON CAST(o_orderdate AS DATE) >= campaign_start
+      | AND CAST(o_orderdate AS DATE) < campaign_start + 10
+      |GROUP BY 1""".stripMargin
+
   val runningOrderTotalSql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))

@@ -675,4 +675,43 @@ object OraclesML {
       |  CAST((coalesce(a.a1, 0) % 1000) - 500 AS REAL) / CAST(500 AS REAL) AS f1,
       |  CAST((coalesce(a.a15, 0) % 1000) - 500 AS REAL) / CAST(500 AS REAL) AS f_last
       |FROM documents d LEFT JOIN acc a ON d.doc_id = a.doc_id""".stripMargin
+
+  /** Mirrors TextOps.repetitionStats: the naive unnest + per-(doc, ngram)
+    * count form — the oracle states the semantics the map-side sorted-fold
+    * computes. Docs too short for an n-gram fall out of the CTEs and are
+    * restored with zeros by the LEFT JOIN, matching Spark's empty-array
+    * fold.
+    */
+  val repetitionStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+       |bg AS (SELECT doc_id,
+       |  unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS g
+       |  FROM t),
+       |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       |bga AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count,
+       |  CAST(sum(c) AS BIGINT) AS n_bigrams FROM bgc GROUP BY 1),
+       |tg AS (SELECT doc_id,
+       |  unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS g
+       |  FROM t),
+       |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+       |tga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+       |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_trigram_tokens
+       |  FROM tgc GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(top_bigram_count, 0) AS top_bigram_count,
+       |  COALESCE(n_trigrams, 0) AS n_trigrams,
+       |  COALESCE(dup_trigram_tokens, 0) AS dup_trigram_tokens
+       |FROM documents d
+       |LEFT JOIN bga ON d.doc_id = bga.doc_id
+       |LEFT JOIN tga ON d.doc_id = tga.doc_id""".stripMargin
+
+  /** Mirrors TextOps.vocabularyTopK (k=10, ties broken on token). */
+  val vocabularyTopKSql: String =
+    s"""WITH e AS (SELECT lang, unnest($W) AS token FROM documents),
+       |c AS (SELECT lang, token, count(*) AS n_occurrences FROM e GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (
+       |  PARTITION BY lang ORDER BY n_occurrences DESC, token) AS rank FROM c)
+       |SELECT lang, token, n_occurrences, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
 }

@@ -46,6 +46,8 @@ object SparkEntry {
     "q_top_customers" -> ((s, dir) => Relational.topCustomers(s, dir)),
     "q_running_order_total" -> ((s, dir) => Relational.runningOrderTotal(s, dir)),
     "q_set_ops" -> ((s, dir) => Relational.setOps(s, dir)),
+    // Keyless range join, binned for scale (IntervalJoin scaladoc)
+    "q_interval_join" -> ((s, dir) => operators.IntervalJoin.campaignWindowStats(s, dir)),
     // Maintenance / completeness (SURVEY §7 step 3)
     "q_gap_detect" -> ((s, dir) => Maintenance.gapDetect(Tables.events(s, dir))),
     "q_gap_summary" -> ((s, dir) => Maintenance.gapSummary(Tables.events(s, dir))),
@@ -63,6 +65,8 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir))),
+    "q_repetition_stats" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
+    "q_vocab_topk" -> ((s, dir) => TextOps.vocabularyTopK(Tables.documents(s, dir))),
     // Training-data pipeline: dedup
     "q_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "q_minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
@@ -150,6 +154,7 @@ object SparkEntry {
     "q_top_customers" -> Oracles.topCustomersSql,
     "q_running_order_total" -> Oracles.runningOrderTotalSql,
     "q_set_ops" -> Oracles.setOpsSql,
+    "q_interval_join" -> Oracles.intervalJoinSql,
     "q_gap_detect" -> Oracles.gapDetectSql,
     "q_gap_summary" -> Oracles.gapSummarySql,
     "q_missing_timeline" -> Oracles.missingTimelineSql,
@@ -163,6 +168,8 @@ object SparkEntry {
     "q_lang_id" -> OraclesML.langIdSql,
     "q_doc_fingerprint" -> OraclesML.fingerprintSql,
     "q_tfidf_top_terms" -> OraclesML.tfidfTopTermsSql,
+    "q_repetition_stats" -> OraclesML.repetitionStatsSql,
+    "q_vocab_topk" -> OraclesML.vocabularyTopKSql,
     "q_exact_dedup" -> OraclesML.exactDedupSql,
     "q_minhash_signatures" -> OraclesML.minhashSignaturesSql,
     "q_minhash_lsh_pairs" -> OraclesML.minhashLshPairsSql,

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native (codegen'd) n-gram multiplicity kernel for the repetition
+  * filters: sorts a string array by binary order and run-length walks it in
+  * one pass, returning `struct(max_run, singletons)` — the occurrence count
+  * of the most frequent value and the number of values occurring exactly
+  * once.
+  *
+  * The declarative form (two `aggregate()` folds with struct accumulators
+  * over `array_sort`) is semantically identical but evaluated through
+  * interpreted lambda dispatch with a row allocation per element — measured
+  * up to MINUTES on its first sf0.1 execution while the JIT warms, ~3 s
+  * warm. This expression emits one tight loop; only value equality matters
+  * for run-lengths, so binary sort order is safe regardless of collation.
+  *
+  * A null element nulls the result (same as NULL propagation through the
+  * fold's comparison chain). Registered as SQL function `graft_run_stats`
+  * via [[TextExpressions.register]].
+  */
+case class RunLengthStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_run_stats requires array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_run", LongType, nullable = false),
+    StructField("singletons", LongType, nullable = false)))
+
+  private def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def nullable: Boolean = child.nullable || elemsNullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      buf(i) = arr.getUTF8String(i)
+      i += 1
+    }
+    java.util.Arrays.sort(buf.asInstanceOf[Array[AnyRef]])
+    var run = 0L; var maxRun = 0L; var singletons = 0L
+    i = 0
+    while (i < n) {
+      if (i == 0 || !buf(i).equals(buf(i - 1))) {
+        if (run == 1L) singletons += 1L
+        run = 1L
+      } else run += 1L
+      if (run > maxRun) maxRun = run
+      i += 1
+    }
+    if (run == 1L) singletons += 1L
+    new GenericInternalRow(Array[Any](maxRun, singletons))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val buf = ctx.freshName("buf")
+      val run = ctx.freshName("run")
+      val maxRun = ctx.freshName("maxRun")
+      val singles = ctx.freshName("singles")
+      val utf8 = classOf[UTF8String].getName
+      // element-null check only emitted when the schema allows null elements
+      // (ev.isNull is only assignable then — same contract as graft_dot)
+      val nullCheck =
+        if (elemsNullable) s"if ($arr.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val guardOpen = if (elemsNullable) s"if (!${ev.isNull}) {" else ""
+      val guardClose = if (elemsNullable) "}" else ""
+      s"""
+         |int $n = $arr.numElements();
+         |$utf8[] $buf = new $utf8[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  $buf[$i] = $arr.getUTF8String($i);
+         |}
+         |$guardOpen
+         |java.util.Arrays.sort($buf);
+         |long $run = 0L; long $maxRun = 0L; long $singles = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i == 0 || !$buf[$i].equals($buf[$i - 1])) {
+         |    if ($run == 1L) $singles++;
+         |    $run = 1L;
+         |  } else {
+         |    $run++;
+         |  }
+         |  if ($run > $maxRun) $maxRun = $run;
+         |}
+         |if ($run == 1L) $singles++;
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { java.lang.Long.valueOf($maxRun), java.lang.Long.valueOf($singles) });
+         |$guardClose
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_run_stats"
+}
+
+object TextExpressions {
+  val runStatsInfo = new ExpressionInfo(classOf[RunLengthStats].getName, "graft_run_stats")
+
+  /** Register `graft_run_stats` on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_run_stats"), runStatsInfo,
+      { exprs: Seq[Expression] => RunLengthStats(exprs.head) })
+}

@@ -106,8 +106,12 @@ object VectorExpressions {
   * spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("graft_dot"), VectorExpressions.dotInfo,
         { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) }))
+    ext.injectFunction(
+      (FunctionIdentifier("graft_run_stats"), TextExpressions.runStatsInfo,
+        { exprs: Seq[Expression] => RunLengthStats(exprs.head) }))
+  }
 }

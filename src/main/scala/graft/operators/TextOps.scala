@@ -165,6 +165,66 @@ object TextOps {
       col("content_hash"),
       array_min(transform(col("__sh"), s => md5(s))).as("min_shingle_hash"),
       size(array_distinct(col("__sh"))).cast("long").as("n_distinct_shingles"))
+
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021 §A1.1,
+    * adapted to token n-grams): per document, the occurrence count of the
+    * most frequent bigram and the number of trigram occurrences belonging to
+    * duplicated trigrams, plus the denominators — integers only, so the
+    * oracle hash-compare is exact. The downstream filter (e.g. drop when
+    * top_bigram_count/n_bigrams > 0.2) is a trivial derived predicate.
+    *
+    * Scale shape: entirely map-side — the per-row sort + run-length walk
+    * replaces the explode → groupBy(doc_id, ngram) → groupBy(doc_id) double
+    * shuffle the naive form needs; cost is O(tokens log tokens) per row,
+    * shuffle ZERO. The multiplicity kernel is the codegen'd
+    * [[graft.functions.RunLengthStats]] expression — the equivalent
+    * `aggregate()` struct-fold was measured minutes-cold / seconds-warm
+    * under interpreted lambda dispatch. Staged selects keep each shingle
+    * array built once per row (the q_doc_fingerprint lesson).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    def runStats(c: Column) = call_function("graft_run_stats", c)
+    docs.select(
+      col("doc_id"),
+      Shingles.shingles(tokens(col("text")), 2).as("__bg"),
+      Shingles.shingles(tokens(col("text")), 3).as("__tg"))
+    .select(
+      col("doc_id"),
+      size(col("__bg")).cast("long").as("n_bigrams"),
+      runStats(col("__bg")).as("__bgstats"),
+      size(col("__tg")).cast("long").as("n_trigrams"),
+      runStats(col("__tg")).as("__tgstats"))
+    .select(
+      col("doc_id"),
+      col("n_bigrams"),
+      col("__bgstats.max_run").as("top_bigram_count"),
+      col("n_trigrams"),
+      (col("n_trigrams") - col("__tgstats.singletons"))
+        .as("dup_trigram_tokens"))
+  }
+
+  /** Per-language top-k vocabulary by occurrence count — the corpus-level
+    * token frequency table BPE-style tokenizer training starts from. Ties
+    * break on the token string so the LIMIT is deterministic.
+    *
+    * Scale shape: one shuffle keyed on (lang, token) with map-side partial
+    * aggregation — the combiner collapses each split to its local
+    * vocabulary, which is bounded (Heaps' law), so shuffle volume grows
+    * with vocabulary, not corpus; the rank window then runs over per-lang
+    * counts, already tiny.
+    */
+  def vocabularyTopK(docs: DataFrame, k: Int = 10): DataFrame = {
+    val counts = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }
 
 /** Shared shingle machinery (used by TextOps + Dedup). */
