@@ -80,6 +80,9 @@ object SparkEntry {
     "q_corpus_clean" -> ((s, dir) => operators.Corpus.cleanCorpusStats(Tables.documents(s, dir))),
     "q_pack_bins" -> ((s, dir) => operators.Corpus.packBins(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) => operators.Corpus.decontaminate(Tables.documents(s, dir))),
+    // Bloom-prefiltered form: same exact result (no false negatives; the
+    // semi-join removes false positives), so it shares the exact oracle
+    "q_decontaminate_bloom" -> ((s, dir) => operators.Corpus.decontaminateBloom(Tables.documents(s, dir))),
     "q_train_split" -> ((s, dir) => Sampling.trainValTestSplit(
       Tables.documents(s, dir), col("doc_id"))
       .groupBy(col("lang"), col("split"))
@@ -180,6 +183,7 @@ object SparkEntry {
     "q_corpus_clean" -> OraclesML.corpusCleanSql,
     "q_pack_bins" -> OraclesML.packBinsSql,
     "q_decontaminate" -> OraclesML.decontaminateSql,
+    "q_decontaminate_bloom" -> OraclesML.decontaminateSql,
     "q_train_split" -> OraclesML.trainSplitSql,
     "q_ann_bruteforce" -> OraclesML.annBruteForceSql,
     "q_ivf_assign" -> OraclesML.ivfAssignSql,

@@ -126,4 +126,25 @@ object TextExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_run_stats"), runStatsInfo,
       { exprs: Seq[Expression] => RunLengthStats(exprs.head) })
+
+  /** Register Spark's internal Bloom kernels (`BloomFilterAggregate`,
+    * `BloomFilterMightContain` — the runtime row-level-filtering pair,
+    * codegen'd) as `graft_bloom_agg(hash, items, bits)` /
+    * `graft_might_contain(bf, hash)`: the builtin registry does not expose
+    * them, and re-implementing a distributed Bloom build would duplicate a
+    * battle-tested kernel for no semantic gain.
+    */
+  def registerBloom(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      { exprs: Seq[Expression] =>
+        new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)) })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      { exprs: Seq[Expression] => BloomFilterMightContain(exprs(0), exprs(1)) })
+  }
 }

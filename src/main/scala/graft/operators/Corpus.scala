@@ -92,4 +92,46 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_shingles"))
   }
+
+  /** [[decontaminate]] with a Bloom prefilter — the 100 TB shape. The plain
+    * form shuffles EVERY train shingle into the semi-join; at corpus scale
+    * that is the dominant cost even though held-out shingles are rare in
+    * train data (that's the point of decontamination). Here the held-out
+    * distinct shingle set is folded into a Bloom filter (one small
+    * aggregate, a few MB), joined on as a broadcast scalar, and the
+    * map-side `might_contain` drops the overwhelming non-candidate mass
+    * BEFORE the shuffle; the exact semi-join then removes Bloom false
+    * positives. No false negatives exist, so the result — and the DuckDB
+    * oracle — is IDENTICAL to the exact form; only the shuffled volume
+    * changes (from all train shingles to true matches + ~fpp of the rest).
+    *
+    * Uses Spark's own `BloomFilterAggregate`/`BloomFilterMightContain`
+    * (the runtime row-level-filtering kernels, codegen'd), registered on
+    * the session under `graft_` names since the builtin registry does not
+    * expose them ([[graft.functions.TextExpressions.registerBloom]]).
+    * `numBits` defaults to ~9.6 bits/item at the `expectedItems` estimate
+    * (~1% fpp); an under-estimate only raises fpp — never correctness.
+    */
+  def decontaminateBloom(docs: DataFrame, k: Int = 8,
+                         expectedItems: Long = 1L << 20): DataFrame = {
+    graft.functions.TextExpressions.registerBloom(docs.sparkSession)
+    val split = Sampling.trainValTestSplit(docs, col("doc_id"))
+    val shingled = split.select(col("doc_id"), col("split"),
+      explode(array_distinct(
+        Shingles.shingles(TextOps.tokens(col("text")), k))).as("shingle"))
+    val held = shingled.filter(col("split") =!= "train")
+      .select(col("shingle")).distinct()
+    // scalar subquery: might_contain requires a constant/scalar bloom, and
+    // the subquery broadcasts once — the probe runs inside the scan stage,
+    // before any exchange
+    val bloom = held.agg(call_function("graft_bloom_agg",
+      xxhash64(col("shingle")), lit(expectedItems),
+      lit(expectedItems * 10)).as("__bf")).scalar()
+    shingled.filter(col("split") === "train")
+      .filter(call_function("graft_might_contain",
+        bloom, xxhash64(col("shingle"))))
+      .join(held, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+  }
 }
