@@ -706,6 +706,26 @@ object OraclesML {
        |LEFT JOIN bga ON d.doc_id = bga.doc_id
        |LEFT JOIN tga ON d.doc_id = tga.doc_id""".stripMargin
 
+  /** Mirrors Similarity.quantizeEmbeddings: per-dimension min/max over the
+    * corpus (parallel unnest zips value with its 1-based subscript), then
+    * the same double-precision scale expression — identical IEEE-754
+    * operation sequence, so the integer outputs hash-match exactly.
+    */
+  val quantizeEmbeddingsSql: String =
+    """WITH d AS (
+      |  SELECT unnest(generate_series(1, len(embedding))) AS dim,
+      |         unnest([CAST(x AS DOUBLE) for x in embedding]) AS x
+      |  FROM embeddings),
+      |g AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1),
+      |b AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM g)
+      |SELECT vec_id,
+      |  CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS dim,
+      |  unnest([CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+      |        ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+      |               / (mxs[i] - mns[i]) * 255.0) AS BIGINT) END
+      |   for i in range(1, len(embedding) + 1)]) AS q
+      |FROM embeddings, b""".stripMargin
+
   /** Mirrors TextOps.vocabularyTopK (k=10, ties broken on token). */
   val vocabularyTopKSql: String =
     s"""WITH e AS (SELECT lang, unnest($W) AS token FROM documents),

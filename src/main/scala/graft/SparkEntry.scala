@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TimeExprs
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{col, count, lit, posexplode, sum}
 
 import graft.operators.{AsOf, Dedup, Maintenance, Multimodal, Ohlc, Options, Relational, Sampling, Similarity, TextOps}
 
@@ -95,6 +95,12 @@ object SparkEntry {
     "q_embedding_neardups" -> ((s, dir) => Similarity.embeddingNearDupsBanded(Tables.embeddings(s, dir))),
     "q_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir))),
     "q_lsh_neardups" -> ((s, dir) => Similarity.lshNearDups(Tables.embeddings(s, dir))),
+    // registered in exploded (vec_id, dim, q) form: the driver's frame
+    // compare sorts scalar columns, not array cells
+    "q_quantize_embeddings" -> ((s, dir) =>
+      Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))
+        .select(col("vec_id"), posexplode(col("qvec")).as(Seq("pos", "q")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"), col("q"))),
     // As-of join: trade → latest hourly bar (composed union+window)
     "q_asof_bar" -> ((s, dir) => AsOf.tradesWithLatestBar(
       Tables.trades(s, dir), Ohlc.hourlyBars(Tables.trades(s, dir)))),
@@ -191,6 +197,7 @@ object SparkEntry {
     "q_embedding_neardups" -> OraclesML.embeddingNearDupsSql,
     "q_lsh_buckets" -> OraclesML.lshBucketsSql,
     "q_lsh_neardups" -> OraclesML.lshNearDupsSql,
+    "q_quantize_embeddings" -> OraclesML.quantizeEmbeddingsSql,
     "q_json_props" -> OraclesML.jsonPropsSql,
     "q_parse_klines" -> Oracles.parseKlinesSql,
     "q_parse_candles" -> Oracles.parseCandlesSql,

@@ -214,4 +214,37 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
+
+  /** Scalar (per-dimension min/max) 8-bit quantization — the memory scale
+    * path for ANN: a float corpus shrinks 4× (further with int8 SIMD
+    * scoring downstream), at a bounded reconstruction error of
+    * (mx−mn)/255 per dimension. Two jobs at any scale: (1) one
+    * posexplode → per-dimension min/max aggregate (shuffle keyed by
+    * dimension index — output rows = dimensionality, trivial), (2) one
+    * map-side pass quantizing every vector against the 1-row bounds frame
+    * (broadcast via crossJoin). Constant dimensions quantize to 0.
+    *
+    * Integer outputs only, and the scale arithmetic is the same
+    * double-precision expression in both engines, so the oracle
+    * hash-compare is exact.
+    */
+  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
+    val dims = emb.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    // arrays indexed by dimension: struct sort puts (dim, bound) in dim order
+    val bounds = dims.agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+        s => s("mn")).as("__mns"),
+      transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+        s => s("mx")).as("__mxs"))
+    emb.crossJoin(bounds)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val mn = element_at(col("__mns"), i + 1)
+          val mx = element_at(col("__mxs"), i + 1)
+          when(mx === mn, lit(0L))
+            .otherwise(floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)))
+        }).as("qvec"))
+  }
 }
