@@ -726,6 +726,42 @@ object OraclesML {
       |   for i in range(1, len(embedding) + 1)]) AS q
       |FROM embeddings, b""".stripMargin
 
+  /** Mirrors Similarity.annQuantized: quantize → bin-center dequantize →
+    * normalize → asymmetric brute-force scoring, every float expression in
+    * the same IEEE-754 operation order as the Spark side.
+    */
+  val annQuantizedSql: String =
+    s"""WITH d AS (
+       |  SELECT unnest(generate_series(1, len(embedding))) AS dim,
+       |         unnest([CAST(x AS DOUBLE) for x in embedding]) AS x
+       |  FROM embeddings),
+       |g AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1),
+       |b AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM g),
+       |qd AS (SELECT vec_id,
+       |  [CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+       |        ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+       |               / (mxs[i] - mns[i]) * 255.0) AS BIGINT) END
+       |   for i in range(1, len(embedding) + 1)] AS qv
+       |  FROM embeddings, b),
+       |dq AS (SELECT vec_id,
+       |  [CASE WHEN mxs[i] = mns[i] THEN mns[i]
+       |        ELSE mns[i] + (CAST(qv[i] AS DOUBLE) + 0.5) * (mxs[i] - mns[i]) / 255.0 END
+       |   for i in range(1, len(qv) + 1)] AS v0
+       |  FROM qd, b),
+       |c AS (SELECT vec_id, [x / n for x in v0] AS v FROM (
+       |  SELECT vec_id, v0, sqrt(${dotSql("v0", "v0")}) AS n FROM dq)),
+       |$evecCte,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT query_id, vec_id AS neighbor_id, ${cosineSql("qv", "v")} AS cosine
+       |  FROM c CROSS JOIN q WHERE vec_id != query_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 5""".stripMargin
+
   /** Mirrors TextOps.vocabularyTopK (k=10, ties broken on token). */
   val vocabularyTopKSql: String =
     s"""WITH e AS (SELECT lang, unnest($W) AS token FROM documents),

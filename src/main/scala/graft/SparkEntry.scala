@@ -101,6 +101,7 @@ object SparkEntry {
       Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))
         .select(col("vec_id"), posexplode(col("qvec")).as(Seq("pos", "q")))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"), col("q"))),
+    "q_ann_quantized" -> ((s, dir) => Similarity.annQuantized(Tables.embeddings(s, dir))),
     // As-of join: trade → latest hourly bar (composed union+window)
     "q_asof_bar" -> ((s, dir) => AsOf.tradesWithLatestBar(
       Tables.trades(s, dir), Ohlc.hourlyBars(Tables.trades(s, dir)))),
@@ -198,6 +199,7 @@ object SparkEntry {
     "q_lsh_buckets" -> OraclesML.lshBucketsSql,
     "q_lsh_neardups" -> OraclesML.lshNearDupsSql,
     "q_quantize_embeddings" -> OraclesML.quantizeEmbeddingsSql,
+    "q_ann_quantized" -> OraclesML.annQuantizedSql,
     "q_json_props" -> OraclesML.jsonPropsSql,
     "q_parse_klines" -> Oracles.parseKlinesSql,
     "q_parse_candles" -> Oracles.parseCandlesSql,

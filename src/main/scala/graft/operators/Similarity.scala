@@ -228,17 +228,23 @@ object Similarity {
     * double-precision expression in both engines, so the oracle
     * hash-compare is exact.
     */
-  def quantizeEmbeddings(emb: DataFrame): DataFrame = {
-    val dims = emb.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+  /** 1-row frame of per-dimension (min, max) arrays indexed by dimension —
+    * one posexplode → dimension-keyed aggregate; output rows =
+    * dimensionality, so the frame broadcasts at any corpus size.
+    */
+  private def quantBounds(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("dim"), col("xf").cast("double").as("x"))
       .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    // arrays indexed by dimension: struct sort puts (dim, bound) in dim order
-    val bounds = dims.agg(
-      transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
-        s => s("mn")).as("__mns"),
-      transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
-        s => s("mx")).as("__mxs"))
-    emb.crossJoin(bounds)
+      // arrays indexed by dimension: struct sort puts (dim, bound) in order
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          s => s("mn")).as("__mns"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          s => s("mx")).as("__mxs"))
+
+  def quantizeEmbeddings(emb: DataFrame): DataFrame =
+    emb.crossJoin(quantBounds(emb))
       .select(col("vec_id"),
         transform(col("embedding"), (x, i) => {
           val mn = element_at(col("__mns"), i + 1)
@@ -246,5 +252,35 @@ object Similarity {
           when(mx === mn, lit(0L))
             .otherwise(floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)))
         }).as("qvec"))
+
+  /** ANN over the quantized corpus — asymmetric distance: full-precision
+    * queries score against bin-center dequantized int8 codes (the standard
+    * SQ/PQ search form; the corpus holds 1/4 the bytes, the query loses no
+    * precision). Same broadcast-queries × map-side-scoring shape as
+    * [[annBruteForce]]; recall loss is bounded by the per-dimension
+    * half-bin error (mx−mn)/510.
+    */
+  def annQuantized(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    val deq = quantizeEmbeddings(emb).crossJoin(quantBounds(emb))
+      .select(col("vec_id"),
+        transform(col("qvec"), (q, i) => {
+          val mn = element_at(col("__mns"), i + 1)
+          val mx = element_at(col("__mxs"), i + 1)
+          when(mx === mn, mn)
+            .otherwise(mn + (q.cast("double") + lit(0.5)) * (mx - mn) / lit(255.0))
+        }).as("dv"))
+    val c = deq.withColumn("n", norm(col("dv")))
+      .select(col("vec_id"), transform(col("dv"), x => x / col("n")).as("v"))
+    val q = vectors(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 }

@@ -23,6 +23,26 @@ class QuantizeSpec extends SparkSpec {
     assert(got(3L) === Seq(255L, 255L, 0L))
   }
 
+  test("quantized ANN keeps k results per query and high recall vs exact") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.annBruteForce(emb)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val quant = Similarity.annQuantized(emb)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(quant.keySet === exact.keySet)
+    assert(quant.values.forall(_.size === 5))
+    val recalls = exact.map { case (q, n) =>
+      quant(q).intersect(n).size.toDouble / n.size }
+    val mean = recalls.sum / recalls.size
+    // 8-bit scalar quantization on 64-dim vectors: observed ~0.95; the
+    // floor guards against a broken dequant path, not statistical drift
+    assert(mean >= 0.7, s"mean recall@5 = $mean")
+  }
+
   test("codes stay within [0, 255] on testdata and max is attained") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
