@@ -526,12 +526,59 @@ object OraclesML {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** Unrolled Lloyd iterations mirroring Similarity.trainCentroids: assign
+    * = max-cosine with low-id ties (row_number window — result-identical
+    * to the Spark struct argmax), update = fixed-point (floor(x·2^20) as
+    * BIGINT) dimension sums — exact and summation-order-free on BOTH
+    * engines, which is what makes a float k-means oracle possible at all —
+    * then mean + unit normalization, empty clusters keeping the previous
+    * centroid. Iteration count (3), seed (first 8 vectors) and scale are
+    * the operator contract.
+    */
+  private def kmeansCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""cents_0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8)"""
+    for (t <- 1 to iters) {
+      val p = t - 1
+      sb ++= s""",
+         |a_$t AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY ${cosineSql("cv", "v")} DESC, c.centroid_id) AS rn
+         |    FROM e CROSS JOIN cents_$p c) WHERE rn = 1),
+         |g_$t AS (
+         |  SELECT centroid_id, dim,
+         |    sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS sx, count(*) AS n
+         |  FROM (SELECT a.centroid_id,
+         |          unnest(generate_series(1, len(e.v))) AS dim,
+         |          unnest(e.v) AS x
+         |        FROM e JOIN a_$t a USING (vec_id))
+         |  GROUP BY 1, 2),
+         |r_$t AS (
+         |  SELECT centroid_id,
+         |    list((CAST(sx AS DOUBLE) / 1048576.0) / CAST(n AS DOUBLE)
+         |         ORDER BY dim) AS mv
+         |  FROM g_$t GROUP BY 1),
+         |cents_$t AS (
+         |  SELECT c.centroid_id,
+         |    CASE WHEN r.centroid_id IS NULL THEN c.cv
+         |         ELSE [x / sqrt(list_reduce([mv[i] * mv[i] for i in range(1, 65)],
+         |                                    (a, b) -> a + b)) for x in mv]
+         |    END AS cv
+         |  FROM cents_$p c LEFT JOIN r_$t r USING (centroid_id))""".stripMargin
+    }
+    sb.result()
+  }
+
+  private val KIters = graft.operators.Similarity.KmeansIters
+
   val ivfAssignSql: String =
     s"""WITH $evecCte,
-       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+       |${kmeansCtes(KIters)},
        |scored AS (
        |  SELECT vec_id, centroid_id, ${cosineSql("cv", "v")} AS cos_c
-       |  FROM e CROSS JOIN c),
+       |  FROM e CROSS JOIN cents_$KIters),
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id
        |                               ORDER BY cos_c DESC, centroid_id) AS rn
@@ -540,21 +587,26 @@ object OraclesML {
 
   val annIvfSql: String =
     s"""WITH $evecCte,
-       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
-       |ascored AS (
-       |  SELECT vec_id, centroid_id, ${cosineSql("cv", "v")} AS cos_c
-       |  FROM e CROSS JOIN c),
+       |${kmeansCtes(KIters)},
        |assign AS (
        |  SELECT vec_id, centroid_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |                                 ORDER BY cos_c DESC, centroid_id) AS rn
-       |    FROM ascored) WHERE rn = 1),
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${cosineSql("cv", "v")} DESC, c.centroid_id) AS rn
+       |    FROM e CROSS JOIN cents_$KIters c) WHERE rn = 1),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |probe AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |                         ORDER BY ${cosineSql("cv", "qv")} DESC, c.centroid_id) AS rn
+       |    FROM q CROSS JOIN cents_$KIters c) WHERE rn <= 2),
        |scored AS (
-       |  SELECT query_id, e.vec_id AS neighbor_id, ${cosineSql("qv", "v")} AS cosine
-       |  FROM e JOIN assign USING (vec_id)
-       |  JOIN q ON assign.centroid_id = q.query_id
-       |  WHERE e.vec_id != query_id),
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, ${cosineSql("qv", "v")} AS cosine
+       |  FROM e JOIN assign m USING (vec_id)
+       |  JOIN probe p ON m.centroid_id = p.centroid_id
+       |  JOIN q ON p.query_id = q.query_id
+       |  WHERE e.vec_id != q.query_id),
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY cosine DESC, neighbor_id) AS rank
@@ -726,11 +778,17 @@ object OraclesML {
       |   for i in range(1, len(embedding) + 1)]) AS q
       |FROM embeddings, b""".stripMargin
 
-  /** Mirrors Similarity.annQuantized: quantize → bin-center dequantize →
-    * normalize → asymmetric brute-force scoring, every float expression in
-    * the same IEEE-754 operation order as the Spark side.
+  /** Mirrors Similarity.annQuantized's INTEGER-scored staged form: quantize
+    * to codes q ∈ [0,255] (stored int8 as b = q − 128), stage the bin-center
+    * dequantized norm per vector, fold the affine dequantization into
+    * per-query weights w_i = qv_i·s_i and correction c0 = Σ qv_i·(mn_i +
+    * 128.5·s_i), then score (Σ w_i·(q_i−128) + c0)/‖d‖ — every float
+    * expression in the same IEEE-754 operation order as the Spark side
+    * (s_i = (mx_i−mn_i)/255.0 computed before each use, exactly like the
+    * driver-fitted literal).
     */
-  val annQuantizedSql: String =
+  val annQuantizedSql: String = {
+    val sI = "((mxs[i] - mns[i]) / 255.0)"
     s"""WITH d AS (
        |  SELECT unnest(generate_series(1, len(embedding))) AS dim,
        |         unnest([CAST(x AS DOUBLE) for x in embedding]) AS x
@@ -741,26 +799,35 @@ object OraclesML {
        |  [CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
        |        ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
        |               / (mxs[i] - mns[i]) * 255.0) AS BIGINT) END
-       |   for i in range(1, len(embedding) + 1)] AS qv
+       |   for i in range(1, len(embedding) + 1)] AS qc
        |  FROM embeddings, b),
-       |dq AS (SELECT vec_id,
-       |  [CASE WHEN mxs[i] = mns[i] THEN mns[i]
-       |        ELSE mns[i] + (CAST(qv[i] AS DOUBLE) + 0.5) * (mxs[i] - mns[i]) / 255.0 END
-       |   for i in range(1, len(qv) + 1)] AS v0
+       |dv AS (SELECT vec_id, qc,
+       |  [mns[i] + (CAST(qc[i] AS DOUBLE) + 0.5) * $sI
+       |   for i in range(1, len(qc) + 1)] AS dvec
        |  FROM qd, b),
-       |c AS (SELECT vec_id, [x / n for x in v0] AS v FROM (
-       |  SELECT vec_id, v0, sqrt(${dotSql("v0", "v0")}) AS n FROM dq)),
+       |sc AS (SELECT vec_id, qc,
+       |  sqrt(list_reduce([dvec[i] * dvec[i] for i in range(1, 65)],
+       |                   (x, y) -> x + y)) AS dnorm
+       |  FROM dv),
        |$evecCte,
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |qw AS (SELECT query_id,
+       |  [qv[i] * $sI for i in range(1, 65)] AS w,
+       |  list_reduce([qv[i] * (mns[i] + 128.5 * $sI) for i in range(1, 65)],
+       |              (x, y) -> x + y) AS c0
+       |  FROM q, b),
        |scored AS (
-       |  SELECT query_id, vec_id AS neighbor_id, ${cosineSql("qv", "v")} AS cosine
-       |  FROM c CROSS JOIN q WHERE vec_id != query_id),
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    (list_reduce([w[i] * CAST(qc[i] - 128 AS DOUBLE) for i in range(1, 65)],
+       |                 (x, y) -> x + y) + c0) / dnorm AS cosine
+       |  FROM sc CROSS JOIN qw WHERE vec_id != query_id),
        |r AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
        |FROM r WHERE rank <= 5""".stripMargin
+  }
 
   /** Mirrors TextOps.vocabularyTopK (k=10, ties broken on token). */
   val vocabularyTopKSql: String =

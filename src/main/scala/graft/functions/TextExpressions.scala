@@ -118,14 +118,129 @@ case class RunLengthStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_run_stats"
 }
 
+/** Native MinHash kernel: ONE pass over the shingle array computing all
+  * `numHashes` seeded-md5 minima, replacing `numHashes` interpreted
+  * `transform(...) → array_min(...)` chains (each re-traversing the array
+  * through lambda dispatch — measured 109 s COLD for the 16-sig family at
+  * sf0.1 while the interpreter/JIT warms, vs ~2 s warm). The per-shingle
+  * md5 work is inherent; this removes the 16 redundant traversals and the
+  * interpreted dispatch entirely: codegen emits one call to the
+  * scalac-compiled [[MinHashKernel.compute]], which the JVM JITs like any
+  * hot method — no janino-compiled inner loop, no cold cliff.
+  *
+  * EXACT semantics of the declarative form it replaces, byte for byte:
+  * sig_j = min over non-null shingles s of md5hex(j + ":" + s), null when
+  * the array is empty or all-null (array_min ignores null elements);
+  * lexicographic hex min == unsigned-byte digest min (fixed width).
+  */
+case class MinHashSignatures(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<string> and numHashes > 0, got ${t.simpleString}")
+  }
+
+  // element j is null for a shingle-less document — same as array_min(empty)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashKernel.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.MinHashKernel.compute($arr, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash"
+}
+
+object MinHashKernel {
+  private val Hex = "0123456789abcdef".toCharArray
+
+  // seed prefixes "j:" as UTF-8, cached for the plausible seed range
+  private val Prefixes: Array[Array[Byte]] =
+    (0 until 64).map(j => s"$j:".getBytes("UTF-8")).toArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = Hex(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Unsigned lexicographic compare of two 16-byte digests. */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](numHashes)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { // null elements ignored, like array_min
+        val s = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < numHashes) {
+          md.reset()
+          md.update(if (j < Prefixes.length) Prefixes(j)
+                    else s"$j:".getBytes("UTF-8"))
+          md.update(s)
+          val d = md.digest()
+          if (mins(j) == null || less(d, mins(j))) mins(j) = d
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[AnyRef](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      if (mins(j) != null) out(j) = hex(mins(j))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextExpressions {
   val runStatsInfo = new ExpressionInfo(classOf[RunLengthStats].getName, "graft_run_stats")
+  val minhashInfo = new ExpressionInfo(classOf[MinHashSignatures].getName, "graft_minhash")
 
-  /** Register `graft_run_stats` on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `graft_run_stats` + `graft_minhash` on an existing session
+    * (idempotent). `graft_minhash(shingles[, numHashes])` — the optional
+    * second argument must be an integer literal (it sizes the signature
+    * array at plan time); default 16.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_run_stats"), runStatsInfo,
       { exprs: Seq[Expression] => RunLengthStats(exprs.head) })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash"), minhashInfo,
+      { exprs: Seq[Expression] =>
+        val n = exprs.lift(1)
+          .map(e => e.eval().asInstanceOf[Number].intValue())
+          .getOrElse(16)
+        MinHashSignatures(exprs.head, n) })
+  }
 
   /** Register Spark's internal Bloom kernels (`BloomFilterAggregate`,
     * `BloomFilterMightContain` — the runtime row-level-filtering pair,

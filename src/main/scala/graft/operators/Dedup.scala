@@ -53,13 +53,24 @@ object Dedup {
     * frame. Shingles ride along: every consumer that bands the signatures
     * also verifies candidates against the exact shingle sets, so the
     * combined frame is the natural unit to persist or stage.
+    *
+    * Signatures come from the codegen'd `graft_minhash` kernel — ONE array
+    * traversal computing all [[NumHashes]] seeded minima (semantically
+    * identical to NumHashes `array_min(transform(md5(j:s)))` chains, which
+    * it replaced after they measured 109 s cold / 16 redundant traversals
+    * at sf0.1 — see [[graft.functions.MinHashSignatures]]). Two-step
+    * select: the kernel alias is referenced NumHashes times below and
+    * CollapseProject keeps non-cheap multiply-referenced aliases staged,
+    * so the kernel runs once per row.
     */
   private def rawSignatures(shingleSets: DataFrame): DataFrame = {
-    val sigs = (0 until NumHashes).map { j =>
-      array_min(transform(col("shingles"),
-        s => md5(concat(lit(j.toString), lit(":"), s)))).as(s"sig_$j")
-    }
-    shingleSets.select(col("doc_id") +: col("shingles") +: sigs: _*)
+    graft.functions.TextExpressions.register(shingleSets.sparkSession)
+    val sigs = (0 until NumHashes).map(j =>
+      element_at(col("__sigs"), j + 1).as(s"sig_$j"))
+    shingleSets
+      .withColumn("__sigs",
+        call_function("graft_minhash", col("shingles"), lit(NumHashes)))
+      .select(col("doc_id") +: col("shingles") +: sigs: _*)
   }
 
   /** The full per-document dedup state — (doc_id, shingles, sig_0..15) — as

@@ -67,38 +67,110 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
-  /** IVF cluster assignment: nearest (max-cosine) of the first `nCentroids`
-    * vectors, ties broken by centroid id. Output: vec_id → centroid_id.
-    */
-  def ivfAssign(emb: DataFrame, nCentroids: Int = 8): DataFrame =
-    ivfAssignFrom(vectors(emb), nCentroids)
+  /** Lloyd iterations for IVF centroid training (spherical k-means). */
+  val KmeansIters = 3
 
-  private def ivfAssignFrom(e: DataFrame, nCentroids: Int): DataFrame = {
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("centroid_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("cos_c", cosine(col("cv"), col("v")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("cos_c").as("centroid_cosine"))
+  /** Fixed-point scale (2^20) for the centroid-update dimension sums.
+    * Double summation order across Spark partitions is NON-deterministic,
+    * so a plain avg() of doubles is neither run-to-run reproducible at
+    * scale nor oracle-exact; summing floor(x · 2^20) as LONGS is exact and
+    * order-free, and the ~1e-6 quantization of the *mean* is far below the
+    * voronoi-boundary noise k-means tolerates. The scale is part of the
+    * operator contract (the DuckDB oracle mirrors it).
+    */
+  val KmeansScale = 1048576L
+
+  /** Deterministic spherical k-means over the normalized corpus: init =
+    * the first `nCentroids` vectors (the seed), then `iters` Lloyd rounds
+    * of (map-side argmax assignment under LITERAL centroids) → (one
+    * (centroid, dim)-keyed fixed-point sum aggregate — k·dim output rows,
+    * partial-aggregated map-side, collected as metadata) → (driver-side
+    * mean + unit normalization). Empty clusters keep their previous
+    * centroid. No iteration ever shuffles the corpus: the per-round
+    * shuffle is the k·dim partial sums.
+    */
+  def trainCentroids(emb: DataFrame, nCentroids: Int = 8,
+                     iters: Int = KmeansIters): Seq[Array[Double]] = {
+    val e = vectors(emb)
+    var cents: Seq[Array[Double]] = e.filter(col("vec_id") < nCentroids)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getSeq[Double](1).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val rows = e
+        .select(bestCentroid(cents, col("v")).as("__best"), col("v"))
+        .select(-col("__best")("nid"), posexplode(col("v")))
+        .toDF("cid", "dim", "x")
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(floor(col("x") * lit(KmeansScale.toDouble))).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val updated = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        val mv = rs.sortBy(_.getInt(1)).map(r =>
+          (r.getLong(2).toDouble / KmeansScale.toDouble) / r.getLong(3).toDouble)
+        var acc = 0.0
+        mv.foreach(x => acc += x * x)
+        val nrm = math.sqrt(acc)
+        cid -> mv.map(_ / nrm)
+      }
+      cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
+    }
+    cents
   }
 
-  /** IVF top-k: queries are the centroids themselves (their cluster is their
-    * own id), searched only within their cluster's vectors. One shared
-    * normalized frame feeds assignment, membership, and queries.
+  /** Map-side argmax over literal centroids: struct max by (cosine, −id)
+    * picks the max-cosine centroid with ties to the LOWEST id — no window,
+    * no shuffle, the assignment is a scan-stage expression.
     */
-  def annIvf(emb: DataFrame, nCentroids: Int = 8, k: Int = 5): DataFrame = {
+  private def bestCentroid(cents: Seq[Array[Double]], v: Column): Column =
+    array_max(array(cents.zipWithIndex.map { case (cv, c) =>
+      struct(dot(typedlit(cv.toSeq), v).as("c"), lit(-c).as("nid"))
+    }: _*))
+
+  /** IVF cluster assignment under TRAINED centroids ([[trainCentroids]]:
+    * seeded with the first `nCentroids` vectors, [[KmeansIters]] Lloyd
+    * rounds — iteration count, seed and fixed-point scale are all part of
+    * the oracle contract). Ties break to the lowest centroid id. Output:
+    * vec_id → (centroid_id, centroid_cosine), computed entirely map-side.
+    */
+  def ivfAssign(emb: DataFrame, nCentroids: Int = 8,
+                iters: Int = KmeansIters): DataFrame = {
+    val cents = trainCentroids(emb, nCentroids, iters)
+    vectors(emb)
+      .select(col("vec_id"), bestCentroid(cents, col("v")).as("__best"))
+      .select(col("vec_id"),
+        (-col("__best")("nid")).cast("long").as("centroid_id"),
+        col("__best")("c").as("centroid_cosine"))
+  }
+
+  /** IVF top-k with MULTI-PROBE search: each query (vec_id < nQueries)
+    * probes its `nProbe` nearest trained centroids' cells and scores only
+    * their members — the recall knob every production IVF exposes
+    * (single-cell probing loses neighbors that sit just across a voronoi
+    * boundary). Cell membership is the map-side [[bestCentroid]] argmax
+    * (cells are disjoint, so no post-join dedup); the query frame — probe
+    * assignments exploded, nQueries·nProbe rows — broadcasts, and per-query
+    * top-k is the same partial-window form as [[annBruteForce]].
+    */
+  def annIvf(emb: DataFrame, nCentroids: Int = 8, k: Int = 5,
+             nProbe: Int = 2, nQueries: Int = 8,
+             iters: Int = KmeansIters): DataFrame = {
+    val cents = trainCentroids(emb, nCentroids, iters)
     val e = vectors(emb)
-    val assigned = ivfAssignFrom(e, nCentroids)
-      .select(col("vec_id"), col("centroid_id"))
-    val members = e.join(assigned, "vec_id")
-    val q = e.filter(col("vec_id") < nCentroids)
+    val members = e
+      .select(col("vec_id"), col("v"), bestCentroid(cents, col("v")).as("__best"))
+      .select(col("vec_id"), col("v"), (-col("__best")("nid")).as("centroid_id"))
+    // probe list: sort by (−cosine, id) ascending == cosine desc with
+    // low-id ties, take the first nProbe
+    val probeArr = slice(array_sort(array(cents.zipWithIndex.map { case (cv, c) =>
+      struct((-dot(typedlit(cv.toSeq), col("qv"))).as("nc"), lit(c).as("cid"))
+    }: _*)), 1, nProbe)
+    val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("query_id"), col("qv"), explode(probeArr).as("__p"))
+      .select(col("query_id"), col("qv"), col("__p")("cid").as("probe_cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    members.join(broadcast(q), col("centroid_id") === col("query_id"))
+    members.join(broadcast(q), col("centroid_id") === col("probe_cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("v")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -216,70 +288,126 @@ object Similarity {
   }
 
   /** Scalar (per-dimension min/max) 8-bit quantization — the memory scale
-    * path for ANN: a float corpus shrinks 4× (further with int8 SIMD
-    * scoring downstream), at a bounded reconstruction error of
-    * (mx−mn)/255 per dimension. Two jobs at any scale: (1) one
-    * posexplode → per-dimension min/max aggregate (shuffle keyed by
-    * dimension index — output rows = dimensionality, trivial), (2) one
-    * map-side pass quantizing every vector against the 1-row bounds frame
-    * (broadcast via crossJoin). Constant dimensions quantize to 0.
+    * path for ANN: a float corpus shrinks 4× (further with the int8 scoring
+    * kernel downstream), at a bounded reconstruction error of
+    * (mx−mn)/255 per dimension. Constant dimensions quantize to 0.
+    *
+    * The per-dimension bounds are FITTED ONCE ([[fitQuantBounds]]: one
+    * posexplode → dimension-keyed min/max aggregate — output rows =
+    * dimensionality) and collected to the driver as model metadata, the
+    * same bounded-metadata pattern as the watermark reads: every consumer
+    * (quantize, codes staging, search) then embeds the bounds as literals,
+    * so no plan ever re-runs the bounds aggregate and the search plan
+    * contains ZERO aggregates over the float corpus.
     *
     * Integer outputs only, and the scale arithmetic is the same
     * double-precision expression in both engines, so the oracle
     * hash-compare is exact.
     */
-  /** 1-row frame of per-dimension (min, max) arrays indexed by dimension —
-    * one posexplode → dimension-keyed aggregate; output rows =
-    * dimensionality, so the frame broadcasts at any corpus size.
+  case class QuantBounds(mns: Array[Double], mxs: Array[Double]) {
+    /** Per-dimension bin width (mx−mn)/255 — 0.0 for constant dimensions. */
+    def scales: Array[Double] =
+      mns.indices.map(i => (mxs(i) - mns(i)) / 255.0).toArray
+  }
+
+  /** One dimension-keyed aggregate over the corpus, collected as metadata
+    * (rows = dimensionality — 64 doubles here, never data-scale).
     */
-  private def quantBounds(emb: DataFrame): DataFrame =
-    emb.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+  def fitQuantBounds(emb: DataFrame): QuantBounds = {
+    val rows = emb.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("dim"), col("xf").cast("double").as("x"))
       .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      // arrays indexed by dimension: struct sort puts (dim, bound) in order
-      .agg(
-        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
-          s => s("mn")).as("__mns"),
-        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
-          s => s("mx")).as("__mxs"))
+      .orderBy(col("dim")).collect()
+    QuantBounds(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Quantization expression: code q_i = floor((x_i − mn_i)/(mx_i − mn_i) ·
+    * 255) ∈ [0, 255], 0 on constant dimensions — identical IEEE-754 op
+    * sequence to the oracle.
+    */
+  private def quantArr(qb: QuantBounds, embCol: Column): Column = {
+    val mns = typedlit(qb.mns.toSeq)
+    val mxs = typedlit(qb.mxs.toSeq)
+    transform(embCol, (x, i) => {
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)))
+    })
+  }
 
   def quantizeEmbeddings(emb: DataFrame): DataFrame =
-    emb.crossJoin(quantBounds(emb))
-      .select(col("vec_id"),
-        transform(col("embedding"), (x, i) => {
-          val mn = element_at(col("__mns"), i + 1)
-          val mx = element_at(col("__mxs"), i + 1)
-          when(mx === mn, lit(0L))
-            .otherwise(floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)))
-        }).as("qvec"))
+    quantizeEmbeddings(emb, fitQuantBounds(emb))
 
-  /** ANN over the quantized corpus — asymmetric distance: full-precision
-    * queries score against bin-center dequantized int8 codes (the standard
-    * SQ/PQ search form; the corpus holds 1/4 the bytes, the query loses no
-    * precision). Same broadcast-queries × map-side-scoring shape as
-    * [[annBruteForce]]; recall loss is bounded by the per-dimension
-    * half-bin error (mx−mn)/510.
+  def quantizeEmbeddings(emb: DataFrame, qb: QuantBounds): DataFrame =
+    emb.select(col("vec_id"), quantArr(qb, col("embedding")).as("qvec"))
+
+  /** The staged search corpus: int8 codes (zero-point −128, so q = b + 128)
+    * plus the per-vector norm of the bin-center dequantized vector — ONE
+    * double alongside 1 byte/dimension, everything the asymmetric search
+    * needs without ever touching the float corpus again. Materialize this
+    * frame once per corpus snapshot (à la `SignatureStore`) and
+    * [[annQuantized]]'s scan reads 1/4 the bytes of the float embeddings.
+    */
+  def quantizeCodes(emb: DataFrame, qb: QuantBounds): DataFrame = {
+    val mns = typedlit(qb.mns.toSeq)
+    val scl = typedlit(qb.scales.toSeq)
+    // two-step select: the quantization array is referenced twice below and
+    // CollapseProject keeps non-cheap multiply-referenced aliases staged
+    emb.select(col("vec_id"), quantArr(qb, col("embedding")).as("__q"))
+      .select(col("vec_id"),
+        transform(col("__q"), q => (q - 128).cast("tinyint")).as("codes"),
+        sqrt(aggregate(
+          transform(col("__q"), (q, i) =>
+            element_at(mns, i + 1)
+              + (q.cast("double") + lit(0.5)) * element_at(scl, i + 1)),
+          lit(0.0), (acc, d) => acc + d * d)).as("dnorm"))
+  }
+
+  /** ANN over the staged quantized corpus — asymmetric distance, scored in
+    * the integer domain: full-precision unit queries against int8 codes
+    * (the standard SQ search form; the corpus holds 1/4 the bytes, the
+    * query loses no precision). The bin-center dequantization
+    * d_i = mn_i + (q_i + 0.5)·s_i is affine in the code, so the cosine
+    * collapses to
+    *   cosine = (Σ_i w_i·b_i + c0) / ‖d‖,  w_i = qv_i·s_i,
+    *   c0 = Σ_i qv_i·(mn_i + 128.5·s_i),  b_i = q_i − 128 (int8),
+    * with w/c0 computed once per query (broadcast) and ‖d‖ staged next to
+    * the codes — the scan is one codegen'd `graft_dot_i8` byte loop per
+    * (query, vector), NO dequantized array<double> ever materializes, and
+    * the plan has no bounds aggregate at all (bounds are fitted metadata).
+    * Recall loss is bounded by the per-dimension half-bin error (mx−mn)/510.
     */
   def annQuantized(emb: DataFrame, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    graft.functions.VectorExpressions.register(emb.sparkSession)
-    val deq = quantizeEmbeddings(emb).crossJoin(quantBounds(emb))
-      .select(col("vec_id"),
-        transform(col("qvec"), (q, i) => {
-          val mn = element_at(col("__mns"), i + 1)
-          val mx = element_at(col("__mxs"), i + 1)
-          when(mx === mn, mn)
-            .otherwise(mn + (q.cast("double") + lit(0.5)) * (mx - mn) / lit(255.0))
-        }).as("dv"))
-    val c = deq.withColumn("n", norm(col("dv")))
-      .select(col("vec_id"), transform(col("dv"), x => x / col("n")).as("v"))
+    val qb = fitQuantBounds(emb)
     val q = vectors(emb).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
+    annQuantizedFrom(quantizeCodes(emb, qb), qb, q, k)
+  }
+
+  /** The search kernel over an (in-memory or staged — see
+    * [[graft.operators.QuantStore]]) codes frame: per-query weights and
+    * correction broadcast, map-side `graft_dot_i8` scoring, partial-window
+    * top-k. `unitQueries` = (query_id, qv) with UNIT query vectors.
+    */
+  private[operators] def annQuantizedFrom(staged: DataFrame, qb: QuantBounds,
+                                          unitQueries: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(staged.sparkSession)
+    val scl = typedlit(qb.scales.toSeq)
+    val mAdj = typedlit(
+      qb.mns.indices.map(i => qb.mns(i) + 128.5 * qb.scales(i)).toSeq)
+    val q = unitQueries.select(col("query_id"),
+      zip_with(col("qv"), scl, (a, b) => a * b).as("w"),
+      aggregate(zip_with(col("qv"), mAdj, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x).as("c0"))
+    val wnd = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    c.crossJoin(broadcast(q))
+    staged.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("v")))
-      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cosine",
+        (call_function("graft_dot_i8", col("w"), col("codes")) + col("c0"))
+          / col("dnorm"))
+      .withColumn("rank", row_number().over(wnd).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }

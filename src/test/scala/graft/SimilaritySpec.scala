@@ -30,23 +30,49 @@ class SimilaritySpec extends SparkSpec {
     assert(!r.exists(_.getAs[Long]("neighbor_id") == 0L))
   }
 
-  test("annIvf returns the brute-force answer when neighbors share the query cluster") {
+  test("annIvf with probes covering every cell equals brute force; single probe searches own cell") {
     val df = emb(
-      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), // centroids
-      10L -> Seq(0.95f, 0.05f), 11L -> Seq(0.9f, 0.1f), // cluster 0
-      20L -> Seq(0.05f, 0.95f)) // cluster 1
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), // seeds
+      10L -> Seq(0.95f, 0.05f), 11L -> Seq(0.9f, 0.1f), // near seed 0
+      20L -> Seq(0.05f, 0.95f)) // near seed 1
+    // nProbe=2 over 2 cells = exhaustive → must equal the brute-force answer
     val ivf = Similarity.annIvf(df, nCentroids = 2, k = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    val bf = Similarity.annBruteForce(df, k = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(ivf.toSet == bf.toSet && ivf.length == bf.length)
+    // single probe: query 1 searches only its own (trained) cell → {20}
+    val one = Similarity.annIvf(df, nCentroids = 2, k = 2, nProbe = 1).collect()
       .groupBy(_.getAs[Long]("query_id"))
-    assert(ivf(0L).map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 11L))
-    assert(ivf(1L).map(_.getAs[Long]("neighbor_id")).toSeq == Seq(20L))
+    assert(one(1L).map(_.getAs[Long]("neighbor_id")).toSeq == Seq(20L))
   }
 
-  test("ivfAssign sends every vector to its max-cosine centroid") {
+  test("ivfAssign sends every vector to its max-cosine trained centroid") {
     val df = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), 5L -> Seq(0.2f, 0.8f))
     val a = Similarity.ivfAssign(df, nCentroids = 2).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    // training pulls centroid 1 toward the {1, 5} mean; memberships stay stable
     assert(a(5L) == 1L)
     assert(a(0L) == 0L && a(1L) == 1L)
+  }
+
+  test("trained multi-probe IVF recall is at least the untrained single-probe baseline") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.annBruteForce(emb)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val rs = exact.map { case (q, n) =>
+        got.getOrElse(q, Set.empty).intersect(n).size.toDouble / n.size }
+      rs.sum / rs.size
+    }
+    val trained = recall(Similarity.annIvf(emb))
+    val baseline = recall(Similarity.annIvf(emb, nProbe = 1, iters = 0))
+    assert(trained >= baseline, s"trained=$trained baseline=$baseline")
   }
 
   test("embeddingNearDupsBanded agrees with the all-pairs baseline on found pairs; cap bounds degenerate buckets") {
