@@ -143,7 +143,10 @@ object SparkEntry {
     // vector both carry full oracles (the fake decode is deterministic
     // byte arithmetic, mirrored in SQL)
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMetaQuery(s, dir)),
-    "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir))
+    "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir)),
+    // REAL codec path (javax.imageio round-trip) — deliberately NO oracle:
+    // a PNG decode is not SQL-expressible, the driver records rows-only
+    "q_media_decode" -> ((s, dir) => Multimodal.mediaDecodeQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

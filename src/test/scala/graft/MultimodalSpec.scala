@@ -39,6 +39,50 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).forall(_ % 4 == 0))
   }
 
+  test("ImageDecoder round-trips a real PNG fixture: dims, histogram mass, black image") {
+    // hand-built fixture: 8x6 gradient image encoded through the real codec
+    val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val g = (x * 32) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val png = out.toByteArray
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val back = Multimodal.ImageDecoder.decode(png)
+    assert(back.getWidth == 8 && back.getHeight == 6)
+    val f = Multimodal.ImageDecoder.featuresOf(back, 8)
+    // histogram fractions sum to 1; gradient gray values 0,32,...,224 land
+    // one-per-bucket → uniform 1/8 mass
+    assert(math.abs(f.sum - 1f) < 1e-6)
+    assert(f.forall(v => math.abs(v - 0.125f) < 1e-6))
+    // all-black: every pixel in bucket 0
+    val black = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(black, "png", bout)
+    val bf = Multimodal.ImageDecoder.features(bout.toByteArray, 8)
+    assert(bf(0) == 1f && bf.drop(1).forall(_ == 0f))
+    // corrupt payload fails loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageDecoder.decode(Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("imageTable synthesizes real PNGs and mediaDecodeQuery recovers the true dimensions") {
+    val rows = Multimodal.imageTable(docs).collect()
+    assert(rows.forall(_.kind == "image"))
+    assert(rows.forall(r => r.payload.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val meta = Multimodal.mediaTable(docs).select("media_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val decoded = rows.map { r =>
+      val img = Multimodal.ImageDecoder.decode(r.payload)
+      r.media_id -> ((img.getWidth, img.getHeight))
+    }.toMap
+    assert(decoded == meta)
+  }
+
   test("resizeMeta: scales longest side to maxSide, drops payload") {
     val r = Multimodal.resizeMeta(Multimodal.mediaTable(docs), maxSide = 32).collect()
     assert(r.forall(x => x.getAs[Int]("out_width") <= 32 && x.getAs[Int]("out_height") <= 32))
