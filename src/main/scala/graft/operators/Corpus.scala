@@ -111,6 +111,14 @@ object Corpus {
     * expose them ([[graft.functions.TextExpressions.registerBloom]]).
     * `numBits` defaults to ~9.6 bits/item at the `expectedItems` estimate
     * (~1% fpp); an under-estimate only raises fpp — never correctness.
+    *
+    * CONF DEPENDENCY: `BloomFilterAggregate` silently clamps `numBits` to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 67108864
+    * = 8 MB), so above ~6.7M expected held-out shingles the real fpp
+    * degrades past the advertised ~1% and the shuffle-pruning benefit
+    * erodes — correctness never changes (the semi-join stays exact). At
+    * 100 TB, raise that conf alongside `expectedItems` (held-out sets are
+    * bounded by the eval suites, so 8 MB covers most real deployments).
     */
   def decontaminateBloom(docs: DataFrame, k: Int = 8,
                          expectedItems: Long = 1L << 20): DataFrame = {
