@@ -121,31 +121,50 @@ object Dedup {
     buckets.join(counts.filter(col("bucket_n") <= cap), keys).drop("bucket_n")
   }
 
+  /** THE shared band-join kernel — every LSH family (MinHash bands, n-gram
+    * re-bands, sign-LSH buckets, banded embedding LSH) generates candidate
+    * pairs through this one path, so the skew cap, the null-bucket drop,
+    * and the persist policy live in exactly one place.
+    *
+    * `buckets` must be (id, band_id, band_val) in that column order. Null
+    * band values (signature-less rows) never co-bucket. The frame is
+    * PERSISTED because it is read three times (the count aggregate in
+    * [[capBuckets]], then both sides of the self-join) and the bucket
+    * expressions feeding it — seeded-md5 signatures, 48-plane sign dots —
+    * are the most expensive map-side work in their modules; without the
+    * persist each reference recomputes them from the scan up. Cache
+    * lifecycle: the caller's session owns the entries (Bench/Verify
+    * clearCache between queries; [[SignatureStore]]/staged forms are the
+    * cross-query alternative). Output: distinct (aName < bName) id pairs —
+    * ids only, so band explosion never multiplies payload columns.
+    */
+  private[graft] def bandPairs(buckets: DataFrame, cap: Int,
+                               aName: String, bName: String): DataFrame = {
+    val b = buckets.toDF("id", "band_id", "band_val")
+      .filter(col("band_val").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val capped = capBuckets(b, Seq("band_id", "band_val"), cap)
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as(aName), col("b.id").as(bName))
+      .distinct()
+  }
+
   /** Candidate pairs from banded signature equality: docs sharing any of the
-    * NumHashes/rowsPerBand band buckets pair up (Σ bucket², never n²), with
-    * oversized buckets dropped by [[capBuckets]].
+    * NumHashes/rowsPerBand band buckets pair up (Σ bucket², never n²), via
+    * the shared [[bandPairs]] kernel.
     */
   private def bandedCandidates(sigs: DataFrame, rowsPerBand: Int, cap: Int): DataFrame = {
     val numBands = NumHashes / rowsPerBand
     val bandCols = (0 until numBands).map(b =>
       struct(lit(b).as("band_id"), bandHash(b, rowsPerBand).as("band_hash")))
-    // Persisted: the bucket frame is read three times (the count aggregate in
-    // capBuckets, then both sides of the self-join). Without the persist each
-    // reference re-runs the 16 seeded-md5 signature transforms — the most
-    // expensive expression in the module — from the parquet scan up.
-    val buckets = sigs.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-      .filter(col("band_hash").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val capped = capBuckets(buckets, Seq("band_id", "band_hash"), cap)
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.band_id") === col("b.band_id")
-          && col("a.band_hash") === col("b.band_hash")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    bandPairs(
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash")),
+      cap, "doc_a", "doc_b")
   }
 
   /** Shared banded-LSH + exact-Jaccard pipeline, self-contained form. The

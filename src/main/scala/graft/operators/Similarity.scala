@@ -253,14 +253,18 @@ object Similarity {
     */
   def lshNearDups(emb: DataFrame, threshold: Double = 0.4,
                   cap: Int = Dedup.MaxBucketSize): DataFrame = {
-    val e = Dedup.capBuckets(
-      vectors(emb).withColumn("bucket", bucketExpr(col("v"))), Seq("bucket"), cap)
-    val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    e.join(b, Seq("bucket"))
-      .filter(col("vec_id") < col("vec_b"))
-      .withColumn("cosine", cosine(col("v"), col("vb")))
+    val bk = vectors(emb).withColumn("bucket", bucketExpr(col("v")))
+    val pairs = Dedup.bandPairs(
+      bk.select(col("vec_id"), lit(0).as("band_id"), col("bucket")),
+      cap, "vec_a", "vec_b")
+    // single band → a pair has exactly one shared bucket; join it (and the
+    // vectors) back per surviving pair, so the pair stream stays ids-only
+    val va = bk.select(col("vec_id").as("vec_a"), col("bucket"), col("v").as("va"))
+    val vb = bk.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    pairs.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
-      .select(col("vec_id").as("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
   }
 
   /** Banded sign-LSH near-dup pairs — the registered replacement for the
@@ -280,17 +284,11 @@ object Similarity {
     val bandCols = (0 until NumSimBands).map(b =>
       struct(lit(b).as("band_id"),
         substring(col("sig"), b * BandBits + 1, BandBits).as("band_val")))
-    val buckets = e.withColumn("sig", sig)
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("vec_id"), col("band.band_id"), col("band.band_val"))
-    val capped = Dedup.capBuckets(buckets, Seq("band_id", "band_val"), cap)
-    val pairs = capped.as("a")
-      .join(capped.as("b"),
-        col("a.band_id") === col("b.band_id")
-          && col("a.band_val") === col("b.band_val")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val pairs = Dedup.bandPairs(
+      e.withColumn("sig", sig)
+        .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("vec_id"), col("band.band_id"), col("band.band_val")),
+      cap, "vec_a", "vec_b")
     val va = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val vb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     pairs.join(va, "vec_a").join(vb, "vec_b")
