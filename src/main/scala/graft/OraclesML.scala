@@ -837,4 +837,95 @@ object OraclesML {
        |  PARTITION BY lang ORDER BY n_occurrences DESC, token) AS rank FROM c)
        |SELECT lang, token, n_occurrences, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 10""".stripMargin
+
+  /** Mirrors TextOps.chunkDedup (k=8): DuckDB's inclusive 1-based list slice
+    * `w[a:b]` clamps at len(w) exactly like Spark's length-clamped
+    * `slice(w, start, 8)`, so the trailing partial chunk agrees.
+    */
+  val chunkDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, array_to_string(w[(i-1)*8+1:i*8], ' ') AS chunk
+       |  FROM toks,
+       |    unnest(generate_series(1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(i)),
+       |occ AS (
+       |  SELECT doc_id, count(*) OVER (PARTITION BY md5(chunk)) AS n FROM chunks)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) FILTER (WHERE n > 1) AS BIGINT) AS n_dup_chunks,
+       |  round_even(CAST(count(*) FILTER (WHERE n > 1) AS DOUBLE) / count(*), 4)
+       |    AS dup_chunk_ratio
+       |FROM occ GROUP BY doc_id""".stripMargin
+
+  /** Mirrors Dedup.canonicalDocs: the [[dedupGroupsSql]] component chain +
+    * quality argmax (quality DESC, node ASC) per component.
+    */
+  val canonicalDocsSql: String =
+    s"""WITH groups AS (SELECT * FROM ($dedupGroupsSql) gg),
+       |q AS ($textQualitySql),
+       |ranked AS (
+       |  SELECT g.component, g.node, q.quality_score,
+       |    row_number() OVER (PARTITION BY g.component
+       |                       ORDER BY q.quality_score DESC, g.node) AS rn,
+       |    count(*) OVER (PARTITION BY g.component) AS n_members,
+       |    max(q.quality_score) OVER (PARTITION BY g.component) AS best_q
+       |  FROM groups g JOIN q ON g.node = q.doc_id)
+       |SELECT component, node AS canonical_doc,
+       |  CAST(n_members AS BIGINT) AS n_members, best_q AS best_quality
+       |FROM ranked WHERE rn = 1""".stripMargin
+
+  /** Mirrors Sampling.budgetSample (budget=800): hash-ordered running token
+    * total per source, keep while the doc's start offset is inside the
+    * budget.
+    */
+  val budgetSampleSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '${TextOps.tokenPattern}')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, sum(n_tokens) OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+       |  FROM t)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+       |FROM c WHERE cum - n_tokens < 800 GROUP BY source""".stripMargin
+
+  /** Mirrors TextOps.syntheticPiiDocs + piiScrub: identical pattern text
+    * (Java-regex ∩ RE2), counts on the raw text, sequential redaction with
+    * the 'g' flag matching Spark's replace-all.
+    */
+  val piiScrubSql: String = {
+    val em = TextOps.emailPattern
+    val ip = TextOps.ipv4Pattern
+    val ph = TextOps.phonePattern
+    s"""WITH raw AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0
+       |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+       |           || CAST((doc_id // 7) % 256 AS VARCHAR) || '.1'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+       |         ELSE '' END AS raw
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id, raw,
+       |    regexp_replace(regexp_replace(regexp_replace(raw,
+       |      '$em', '[EMAIL]', 'g'),
+       |      '$ip', '[IP]', 'g'),
+       |      '$ph', '[PHONE]', 'g') AS r3
+       |  FROM raw)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$em')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$ip')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(raw, '$ph')) AS BIGINT) AS n_phones,
+       |  md5(r3) AS redacted_hash,
+       |  CAST(length(r3) AS BIGINT) AS n_chars_redacted
+       |FROM red""".stripMargin
+  }
 }

@@ -67,6 +67,12 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir))),
     "q_repetition_stats" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
     "q_vocab_topk" -> ((s, dir) => TextOps.vocabularyTopK(Tables.documents(s, dir))),
+    // Chunk-granularity (paragraph-style) cross-doc duplication stats
+    "q_chunk_dedup" -> ((s, dir) => TextOps.chunkDedup(Tables.documents(s, dir))),
+    // PII scrub over deterministically synthesized raw docs (the corpus is
+    // PII-free word salad; the synthesis seam mirrors q_parse_klines)
+    "q_pii_scrub" -> ((s, dir) =>
+      TextOps.piiScrub(TextOps.syntheticPiiDocs(Tables.documents(s, dir)))),
     // Training-data pipeline: dedup
     "q_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "q_minhash_signatures" -> ((s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir))),
@@ -74,6 +80,8 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> ((s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_groups" -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir))),
+    // Canonical member per near-dup group: quality argmax, tie → min doc_id
+    "q_canonical_docs" -> ((s, dir) => Dedup.canonicalDocs(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     // Composed corpus-prep flagship: quality gate -> exact dedup -> near-dup
     // groups -> per-(lang, source) stats, one declared DAG
@@ -83,6 +91,8 @@ object SparkEntry {
     // Bloom-prefiltered form: same exact result (no false negatives; the
     // semi-join removes false positives), so it shares the exact oracle
     "q_decontaminate_bloom" -> ((s, dir) => operators.Corpus.decontaminateBloom(Tables.documents(s, dir))),
+    // Data mixing: per-source token-budget-capped deterministic sample
+    "q_budget_sample" -> ((s, dir) => Sampling.budgetSample(Tables.documents(s, dir))),
     "q_train_split" -> ((s, dir) => Sampling.trainValTestSplit(
       Tables.documents(s, dir), col("doc_id"))
       .groupBy(col("lang"), col("split"))
@@ -183,6 +193,10 @@ object SparkEntry {
     "q_tfidf_top_terms" -> OraclesML.tfidfTopTermsSql,
     "q_repetition_stats" -> OraclesML.repetitionStatsSql,
     "q_vocab_topk" -> OraclesML.vocabularyTopKSql,
+    "q_chunk_dedup" -> OraclesML.chunkDedupSql,
+    "q_pii_scrub" -> OraclesML.piiScrubSql,
+    "q_canonical_docs" -> OraclesML.canonicalDocsSql,
+    "q_budget_sample" -> OraclesML.budgetSampleSql,
     "q_exact_dedup" -> OraclesML.exactDedupSql,
     "q_minhash_signatures" -> OraclesML.minhashSignaturesSql,
     "q_minhash_lsh_pairs" -> OraclesML.minhashLshPairsSql,

@@ -415,6 +415,32 @@ object Dedup {
     connectedComponents(minhashLshPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b")))
 
+  /** Canonical-document selection per near-dup group — the step a corpus
+    * build runs AFTER grouping: instead of [[Corpus.cleanCorpusStats]]'s
+    * keep-the-minimum rule, keep the highest-[[TextOps.qualityScore]] member
+    * (ties → lowest doc_id, so selection is total and deterministic).
+    * Output per component: the canonical doc, member count, and the winning
+    * quality score.
+    *
+    * Scale shape: the group frame is tiny relative to the corpus (only docs
+    * in ≥1 pair enter components), the quality join is keyed on doc_id, and
+    * the argmax is a single `max_by` over a struct ordering — one groupBy,
+    * no window sort. The 4-dp-rounded score is bit-identical in both
+    * engines, so the tie rule fires at exactly the same boundaries.
+    */
+  def canonicalDocs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val groups = dedupGroups(docs, threshold)
+    val quality = docs.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("__q"))
+    groups.join(quality, groups("node") === quality("doc_id"))
+      .groupBy(col("component"))
+      .agg(
+        max_by(col("node"), struct(col("__q"), (-col("node")).as("neg")))
+          .as("canonical_doc"),
+        count(lit(1)).as("n_members"),
+        max(col("__q")).as("best_quality"))
+  }
+
   /** 64-bit SimHash over distinct whitespace tokens, emitted as a 64-char
     * '0'/'1' string (portable across engines — no integer hash needed). Bit b
     * (hex digit p = b/4, bit j = 3-b%4 of that digit) is 1 when the sum of

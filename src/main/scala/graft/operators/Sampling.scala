@@ -37,6 +37,35 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Token-budget-capped deterministic sampling per source — the data-mixing
+    * primitive: each source contributes documents in key-hash order (an
+    * unbiased deterministic shuffle, same trick as [[deterministicSample]])
+    * until its token budget fills; a doc is kept when its START offset falls
+    * inside the budget (`cum − own < budget`, the [[Corpus.packBins]] fill
+    * rule), so each source overshoots by at most one document and the kept
+    * set is a stable prefix: growing the corpus only APPENDS candidates to
+    * the hash order's tail, it never evicts an already-kept early-hash doc
+    * unless new docs hash ahead of it — and re-runs are row-identical.
+    * Output per source: docs kept and tokens kept (the mixing report).
+    *
+    * Scale shape: one window cumsum keyed on source (single shuffle), then
+    * the per-source agg reuses that partitioning — same plan family as
+    * [[Corpus.packBins]]. Tokens are the regex tokenizer's count, so mixing
+    * and packing account in the same unit.
+    */
+  def budgetSample(docs: DataFrame, budget: Long = 800): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"),
+      lit(TextOps.tokenPattern), lit(0))).cast("long")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("source"), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") - col("n_tokens") < budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tokens")).as("tokens_kept"))
+  }
+
   /** Deterministic train/val/test assignment by hash-space thresholds: the
     * same hex-prefix trick as [[deterministicSample]], with two cut points
     * (defaults 'cc' = 204/256 ≈ 79.7% train, 'e6' = 230/256 → ≈10.2% val,

@@ -204,6 +204,91 @@ object TextOps {
         .as("dup_trigram_tokens"))
   }
 
+  /** Chunk-granularity (paragraph-style) duplication stats — the Dolma/CCNet
+    * "duplicate paragraph" signal adapted to this corpus's newline-free
+    * documents: text is cut into non-overlapping `k`-token chunks and a
+    * chunk occurrence counts as duplicated when its text appears more than
+    * once in the WHOLE corpus (cross-doc boilerplate and intra-doc repeats
+    * both count — complementary to [[repetitionStats]], which is strictly
+    * intra-document). Output per doc: chunk count, duplicated-occurrence
+    * count, and the 4-dp duplication ratio the downstream filter gates on.
+    *
+    * Scale shape: explode → one count-window keyed on the chunk md5 (single
+    * shuffle, no join-back — the [[Corpus]] exact-dedup lesson) → one doc_id
+    * agg. Shuffle volume is bounded by chunk count × 32-byte hash, not by
+    * text bytes; genuinely hot chunks (empty boilerplate) are real data
+    * skew that AQE splits, not a plan defect.
+    */
+  def chunkDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    val w = tokens(col("text"))
+    val nChunks = floor((size(w) + (k - 1)) / lit(k)).cast("int")
+    val chunks = docs.select(col("doc_id"),
+      explode(when(size(w) >= 1,
+        transform(sequence(lit(1), nChunks),
+          i => concat_ws(" ", slice(w, (i - 1) * k + 1, lit(k)))))
+        .otherwise(array().cast("array<string>"))).as("chunk"))
+    val occ = chunks.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(md5(col("chunk")))))
+    occ.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_ratio",
+        bround(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+  }
+
+  /** PII patterns — deliberately Java-regex ∩ RE2 (no lookarounds, no
+    * backrefs) so the Spark scrub and the DuckDB oracle run the IDENTICAL
+    * pattern text.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+\\d{9,15}"
+
+  /** Deterministic PII-bearing raw docs synthesized from the corpus (the
+    * test tables are PII-free word salad): doc_id-derived emails / IPv4s /
+    * phone numbers appended on residue classes, so counts vary per doc and
+    * the whole synthesis is a pure column expression mirrored in the
+    * oracle — the same seam pattern as
+    * [[graft.sources.PayloadDecode.syntheticKlinePayloads]].
+    */
+  def syntheticPiiDocs(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id, concat(
+      col("text"),
+      when(id % 3 === 0,
+        concat(lit(" contact user"), id, lit("@example.com"))).otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit(" from 10."), id % 256, lit("."),
+          floor(id / 7).cast("long") % 256, lit(".1"))).otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" call +1555"),
+          lpad((id % 10000).cast("string"), 7, "0"))).otherwise(lit("")))
+      .as("raw"))
+  }
+
+  /** PII detection + redaction over a (doc_id, raw) frame: per-pattern match
+    * counts on the ORIGINAL text, then sequential redaction (email → IPv4 →
+    * phone; the replacement tokens cannot re-match a later pattern). The
+    * redacted text is emitted as md5 + length so the oracle hash-compares
+    * the full scrub without shipping document bodies through the gate.
+    * Map-side only — scales linearly with input splits, like the other
+    * per-row text metrics.
+    */
+  def piiScrub(raw: DataFrame): DataFrame = {
+    val r1 = regexp_replace(col("raw"), emailPattern, "[EMAIL]")
+    val r2 = regexp_replace(r1, ipv4Pattern, "[IP]")
+    val r3 = regexp_replace(r2, phonePattern, "[PHONE]")
+    def n(p: String) =
+      size(regexp_extract_all(col("raw"), lit(p), lit(0))).cast("long")
+    raw.select(col("doc_id"),
+      n(emailPattern).as("n_emails"),
+      n(ipv4Pattern).as("n_ipv4"),
+      n(phonePattern).as("n_phones"),
+      md5(r3).as("redacted_hash"),
+      length(r3).cast("long").as("n_chars_redacted"))
+  }
+
   /** Per-language top-k vocabulary by occurrence count — the corpus-level
     * token frequency table BPE-style tokenizer training starts from. Ties
     * break on the token string so the LIMIT is deterministic.

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+
+/** Round-6 curation operators: chunk-level dedup, PII scrub, canonical-doc
+  * selection — edge semantics on hand-built documents.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("chunkDedup: cross-doc and intra-doc duplicate chunks, partial tail") {
+    val toks = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d = docs(
+      (1L, "a b c d e f g h i j"), // chunks: "a..h", "i j" (partial tail)
+      (2L, "a b c d e f g h"),     // one chunk, equal to doc 1's first
+      (3L, (1 to 16).map(i => s"p$i").mkString(" ")), // 2 unique chunks
+      (4L, s"$toks $toks"))        // the same chunk twice, intra-doc
+    val out = TextOps.chunkDedup(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_chunks"), x.getAs[Long]("n_dup_chunks"),
+          x.getAs[Double]("dup_chunk_ratio")))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(4L) == ((2L, 2L, 1.0)))
+  }
+
+  test("piiScrub: counts on raw text, sequential redaction, exact hash") {
+    val raw = Seq(
+      (1L, "reach me at bob.smith@corp.io or 192.168.1.10 or +12025550199 end"),
+      (2L, "no pii here, v1.2.3.4 is a version not an address"))
+      .toDF("doc_id", "raw")
+    val r = TextOps.piiScrub(raw).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_emails") == 1L)
+    assert(r(1L).getAs[Long]("n_ipv4") == 1L)
+    assert(r(1L).getAs[Long]("n_phones") == 1L)
+    val redacted = "reach me at [EMAIL] or [IP] or [PHONE] end"
+    assert(r(1L).getAs[String]("redacted_hash") == md5hex(redacted))
+    assert(r(1L).getAs[Long]("n_chars_redacted") == redacted.length.toLong)
+    // "v1.2.3.4": no word boundary between 'v' and '1', and no 4-octet run
+    // starts at a boundary — the version string must survive unredacted
+    assert(r(2L).getAs[Long]("n_emails") + r(2L).getAs[Long]("n_ipv4")
+      + r(2L).getAs[Long]("n_phones") == 0L)
+    assert(r(2L).getAs[String]("redacted_hash")
+      == md5hex("no pii here, v1.2.3.4 is a version not an address"))
+  }
+
+  test("syntheticPiiDocs: residue classes inject varied, deterministic PII") {
+    val d = docs((60L, "base text"), (7L, "other text"))
+    val out = TextOps.piiScrub(TextOps.syntheticPiiDocs(d)).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // 60 ≡ 0 mod 3, 4, and 5 → one of each kind appended
+    assert(out(60L).getAs[Long]("n_emails") == 1L)
+    assert(out(60L).getAs[Long]("n_ipv4") == 1L)
+    assert(out(60L).getAs[Long]("n_phones") == 1L)
+    // 7 hits no residue class → nothing appended, nothing found
+    assert(out(7L).getAs[Long]("n_emails") == 0L)
+    assert(out(7L).getAs[Long]("n_ipv4") == 0L)
+    assert(out(7L).getAs[Long]("n_phones") == 0L)
+  }
+
+  test("canonicalDocs: quality argmax beats the min-id rule; ties → min id") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // near-dup of base with two tokens turned into pure punctuation — same
+    // shingle mass (jaccard well above 0.5) but a lower quality score
+    val worse = (1 to 40)
+      .map(i => if (i == 20 || i == 21) "@@@@" else s"w$i").mkString(" ")
+    // worse doc gets the LOWER id: a min-id rule would pick 1; quality picks 2
+    val d = docs((1L, worse), (2L, base), (10L, base), (11L, base))
+    val out = Dedup.canonicalDocs(d).collect()
+      .map(x => (x.getAs[Long]("component"),
+        x.getAs[Long]("canonical_doc"), x.getAs[Long]("n_members")))
+    // components: {1,2} canonical 2 (higher quality), {10,11} canonical 10
+    // (identical text → equal quality → tie falls to min doc_id)... unless
+    // all four near-dup into ONE component (10/11 duplicate base exactly, so
+    // they pair with 2 as well) — then the canonical is the best-quality
+    // member with the lowest id among {2,10,11}
+    assert(out.length == 1)
+    val (_, canonical, n) = out.head
+    assert(n == 4L)
+    assert(canonical == 2L) // highest quality (base text), lowest id of those
+  }
+}

@@ -29,6 +29,29 @@ class SamplingSpec extends SparkSpec {
     assert(s.exceptAll(again).isEmpty)
   }
 
+  test("budgetSample: greedy hash-ordered fill, ≤ one-doc overshoot, stable") {
+    def corpus(rows: (Long, String, Int)*) =
+      rows.map { case (id, src, n) => (id, Seq.fill(n)("tok").mkString(" "), src) }
+        .toDF("doc_id", "text", "source")
+    // source s: five 100-token docs, budget 250 → start offsets 0/100/200/
+    // 300/400 regardless of hash order (equal sizes) → exactly 3 kept
+    // source t: two 200-token docs → starts 0/200, both < 250 → both kept
+    // (the second overshoots the budget — by less than one document)
+    val d = corpus((1L to 5L).map(i => (i, "s", 100)) :+ (6L, "t", 200) :+ (7L, "t", 200): _*)
+    val out = Sampling.budgetSample(d, budget = 250).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs_kept"), r.getAs[Long]("tokens_kept")))).toMap
+    assert(out("s") == ((3L, 300L)))
+    assert(out("t") == ((2L, 400L)))
+    // budget beyond the total keeps everything
+    val all = Sampling.budgetSample(d, budget = 100000).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs_kept")).toMap
+    assert(all == Map("s" -> 5L, "t" -> 2L))
+    // pure function of the keys: reruns are row-identical
+    val again = Sampling.budgetSample(d, budget = 250)
+    assert(Sampling.budgetSample(d, budget = 250).exceptAll(again).isEmpty)
+  }
+
   test("train/val/test split: near-nominal fractions, stable under corpus growth") {
     val split = Sampling.trainValTestSplit(docs, col("doc_id"))
     val byFrac = split.groupBy("split").count().collect()
