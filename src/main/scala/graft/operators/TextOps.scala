@@ -281,12 +281,18 @@ object TextOps {
     val r3 = regexp_replace(r2, phonePattern, "[PHONE]")
     def n(p: String) =
       size(regexp_extract_all(col("raw"), lit(p), lit(0))).cast("long")
+    // two-step select: `__red` feeds both md5 and length, and CollapseProject
+    // declines to merge projects that reference a non-cheap expression twice
+    // — so the 3-regex redaction chain runs once per row, not twice (the
+    // q_doc_fingerprint lesson)
     raw.select(col("doc_id"),
       n(emailPattern).as("n_emails"),
       n(ipv4Pattern).as("n_ipv4"),
       n(phonePattern).as("n_phones"),
-      md5(r3).as("redacted_hash"),
-      length(r3).cast("long").as("n_chars_redacted"))
+      r3.as("__red"))
+    .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+      md5(col("__red")).as("redacted_hash"),
+      length(col("__red")).cast("long").as("n_chars_redacted"))
   }
 
   /** Per-language top-k vocabulary by occurrence count — the corpus-level
