@@ -394,6 +394,46 @@ object OraclesML {
        |${bandedPairsCtes(Dedup.NumHashes / Dedup.NumBands)}
        |SELECT * FROM ($jaccardVerify) WHERE n_union > 0 AND jaccard >= 0.5""".stripMargin
 
+  /** Incremental batch-vs-corpus near-dups (Dedup.incrementalNearDups):
+    * batch = doc_id % 10 = 7, corpus = the rest. Same bands/sigs CTEs as the
+    * self-join family; the asymmetric join caps the CORPUS bucket (QUALIFY
+    * over corpus bands mirrors capBuckets — exact, since the Spark side's
+    * semi-join prune keeps whole buckets); best corpus match per new doc.
+    */
+  val incrementalNearDupsSql: String = {
+    val rows = Dedup.NumHashes / Dedup.NumBands
+    val bandRows = (0 until Dedup.NumBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandExpr(b, rows)} AS band_hash FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesCte,
+       |$distinctShinglesCte,
+       |$sigsCte,
+       |bands AS (
+       |  $bandRows),
+       |nb AS (
+       |  SELECT * FROM bands WHERE band_hash IS NOT NULL AND doc_id % 10 = 7),
+       |cb AS (
+       |  SELECT * FROM bands WHERE band_hash IS NOT NULL AND doc_id % 10 <> 7
+       |  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= ${Dedup.MaxBucketSize}),
+       |cands AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
+       |  FROM nb n JOIN cb c ON n.band_id = c.band_id AND n.band_hash = c.band_hash),
+       |verified AS (
+       |  SELECT p.new_id, p.dup_of,
+       |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+       |    CAST(len(list_distinct(a.s || b.s)) AS BIGINT) AS n_union,
+       |    CASE WHEN len(list_distinct(a.s || b.s)) > 0
+       |         THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |              / len(list_distinct(a.s || b.s)) END AS jaccard
+       |  FROM cands p
+       |  JOIN dsh a ON p.new_id = a.doc_id
+       |  JOIN dsh b ON p.dup_of = b.doc_id)
+       |SELECT new_id, dup_of, n_common, n_union, jaccard
+       |FROM verified WHERE n_union > 0 AND jaccard >= 0.5
+       |QUALIFY row_number() OVER (PARTITION BY new_id
+       |                           ORDER BY jaccard DESC, dup_of) = 1""".stripMargin
+  }
+
   /** Connected components over the LSH pair graph via a recursive CTE:
     * component(node) = least(node, min over transitively reachable nodes) —
     * same fixpoint the Spark min-label propagation converges to.

@@ -80,6 +80,14 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> ((s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
     "q_dedup_groups" -> ((s, dir) => Dedup.dedupGroups(Tables.documents(s, dir))),
+    // Incremental batch-vs-corpus near-dups: new docs (doc_id % 10 = 7)
+    // checked against staged signatures of the rest — the corpus never shuffles
+    "q_incremental_neardups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 === 7),
+        Dedup.shingleSignatures(docs.filter(col("doc_id") % 10 =!= 7)))
+    }),
     // Canonical member per near-dup group: quality argmax, tie → min doc_id
     "q_canonical_docs" -> ((s, dir) => Dedup.canonicalDocs(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
@@ -203,6 +211,7 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> OraclesML.ngramJaccardPairsSql,
     "q_simhash" -> OraclesML.simhashSql,
     "q_dedup_groups" -> OraclesML.dedupGroupsSql,
+    "q_incremental_neardups" -> OraclesML.incrementalNearDupsSql,
     "q_simhash_pairs" -> OraclesML.simhashPairsSql,
     "q_corpus_clean" -> OraclesML.corpusCleanSql,
     "q_pack_bins" -> OraclesML.packBinsSql,

@@ -153,19 +153,28 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, band_id, band_val) exploded band buckets of a
+    * [[shingleSignatures]] frame — the input shape of [[bandPairs]] and of
+    * the asymmetric batch-vs-corpus join in [[incrementalNearDups]]. Null
+    * band values (signature-less docs) are dropped here so neither consumer
+    * co-buckets them.
+    */
+  private def explodedBands(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val numBands = NumHashes / rowsPerBand
+    val bandCols = (0 until numBands).map(b =>
+      struct(lit(b).as("band_id"), bandHash(b, rowsPerBand).as("band_hash")))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_val"))
+      .filter(col("band_val").isNotNull)
+  }
+
   /** Candidate pairs from banded signature equality: docs sharing any of the
     * NumHashes/rowsPerBand band buckets pair up (Σ bucket², never n²), via
     * the shared [[bandPairs]] kernel.
     */
-  private def bandedCandidates(sigs: DataFrame, rowsPerBand: Int, cap: Int): DataFrame = {
-    val numBands = NumHashes / rowsPerBand
-    val bandCols = (0 until numBands).map(b =>
-      struct(lit(b).as("band_id"), bandHash(b, rowsPerBand).as("band_hash")))
-    bandPairs(
-      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_hash")),
-      cap, "doc_a", "doc_b")
-  }
+  private def bandedCandidates(sigs: DataFrame, rowsPerBand: Int, cap: Int): DataFrame =
+    bandPairs(explodedBands(sigs, rowsPerBand), cap, "doc_a", "doc_b")
 
   /** Shared banded-LSH + exact-Jaccard pipeline, self-contained form. The
     * [[shingleSignatures]] frame is PERSISTED: it is referenced three times
@@ -414,6 +423,66 @@ object Dedup {
   def dedupGroups(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     connectedComponents(minhashLshPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b")))
+
+  /** INCREMENTAL near-dup detection — the production shape of LSH dedup at
+    * 100 TB: an incoming batch of new documents is checked against an
+    * EXISTING corpus whose (doc_id, shingles, sig_0..15) state is already
+    * staged (a [[SignatureStore]] snapshot, or any [[shingleSignatures]]
+    * frame). Output: one row per duplicated new doc — its best corpus match
+    * (highest verified Jaccard, ties → lowest corpus doc_id) with the exact
+    * overlap counts. New docs with no corpus match ≥ `threshold` are absent
+    * (they are the keepers).
+    *
+    * Scale shape — the corpus is NEVER shuffled:
+    *  1. batch bands are small (a batch is ~1e4–1e6 docs against 1e10); the
+    *     distinct bucket keys broadcast;
+    *  2. corpus band rows are pruned by a broadcast LEFT SEMI join on the
+    *     bucket key — evaluated map-side inside the corpus scan stage;
+    *  3. the skew cap stays EXACT after pruning: the semi-join keys on the
+    *     full bucket key, so it keeps or drops whole buckets — counting the
+    *     surviving rows per bucket equals counting the original corpus
+    *     bucket ([[capBuckets]] over the pruned frame, a metadata-sized
+    *     aggregate, replaces a full-corpus aggregate);
+    *  4. candidate (new_id, dup_of) pairs and the verification joins are all
+    *     bounded by Σ(batch-touched bucket sizes), capped — broadcast-sized.
+    * Semantics match the self-join family: same bands, same cap meaning
+    * (corpus bucket size), same exact-Jaccard verification.
+    */
+  def incrementalNearDups(batchDocs: DataFrame, corpusSigs: DataFrame,
+                          threshold: Double = 0.5,
+                          cap: Int = MaxBucketSize): DataFrame = {
+    val rowsPerBand = NumHashes / NumBands
+    val batchSigs = shingleSignatures(batchDocs).persist(StorageLevel.MEMORY_AND_DISK)
+    val batchBands = explodedBands(batchSigs, rowsPerBand)
+    val corpusBands = explodedBands(corpusSigs, rowsPerBand)
+    val touched = corpusBands.join(
+      broadcast(batchBands.select(col("band_id"), col("band_val")).distinct()),
+      Seq("band_id", "band_val"), "leftsemi")
+    val capped = capBuckets(touched, Seq("band_id", "band_val"), cap)
+    val candidates = batchBands.as("n")
+      .join(capped.as("c"), Seq("band_id", "band_val"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+      .distinct()
+    val sn = batchSigs.select(col("doc_id").as("new_id"), col("shingles").as("sn"))
+    val sc = corpusSigs.select(col("doc_id").as("dup_of"), col("shingles").as("sc"))
+    val spread = candidates.repartition(
+      candidates.sparkSession.sparkContext.defaultParallelism,
+      col("new_id"), col("dup_of"))
+    val verified = spread.join(sn, "new_id").join(sc, "dup_of")
+      .withColumn("n_common", size(array_intersect(col("sn"), col("sc"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("sn"), col("sc"))).cast("long"))
+      .withColumn("jaccard",
+        when(col("n_union") > 0, col("n_common").cast("double") / col("n_union")))
+      .filter(col("n_union") > 0 && col("jaccard") >= threshold)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("dup_of"))
+    verified
+      .withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1)
+      .select(col("new_id"), col("dup_of"), col("n_common"), col("n_union"),
+        col("jaccard"))
+  }
 
   /** Canonical-document selection per near-dup group — the step a corpus
     * build runs AFTER grouping: instead of [[Corpus.cleanCorpusStats]]'s

@@ -150,6 +150,33 @@ class DedupTextSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("quality_score")))
   }
 
+  test("incrementalNearDups: best corpus match per new doc, keepers absent") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val oneOff = (1 to 40).map(i => if (i == 20) "X" else s"w$i").mkString(" ")
+    val threeOff = (1 to 40).map(i => if (i % 13 == 0) "Y" else s"w$i").mkString(" ")
+    val corpus = docs((1L, oneOff), (2L, threeOff), (3L, "p q r s t u v"))
+    val batch = docs((101L, base), (102L, (200 to 240).map(i => s"z$i").mkString(" ")))
+    val r = Dedup.incrementalNearDups(batch, Dedup.shingleSignatures(corpus))
+      .collect()
+    // 102 has no corpus match → absent; 101 matches both 1 and 2, keeps the
+    // higher-jaccard match (doc 1, a single changed token)
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("new_id") == 101L)
+    assert(row.getAs[Long]("dup_of") == 1L)
+    assert(row.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("incrementalNearDups prunes the corpus via a broadcast semi-join") {
+    val corpus = docs((1L, (1 to 40).map(i => s"w$i").mkString(" ")))
+    val batch = docs((101L, (1 to 40).map(i => s"w$i").mkString(" ")))
+    val plan = Dedup.incrementalNearDups(batch, Dedup.shingleSignatures(corpus))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "corpus must be pruned by a semi-join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the batch bucket keys must broadcast — the corpus side never shuffles for the prune")
+  }
+
   test("langId picks marker-language, priority order on ties, und on none") {
     val d = docs(
       (1L, "the house of cards"), // en markers: the, of
