@@ -434,6 +434,90 @@ object OraclesML {
        |                           ORDER BY jaccard DESC, dup_of) = 1""".stripMargin
   }
 
+  /** Sequential dedup ingest (Dedup.sequentialIngest, 3 waves split by
+    * doc_id % 3): per wave, drop docs with a verified near-dup (jaccard ≥
+    * 0.5) in the accumulated store, then within-wave connected components
+    * keep each component's minimum doc_id. The per-wave CTE blocks are
+    * generated by the same loop the Spark fold runs; each wave's CC is the
+    * [[dedupGroupsSql]] recursive-CTE pattern over that wave's survivors.
+    */
+  val ingestDedupSql: String = {
+    val n = 3
+    val cap = Dedup.MaxBucketSize
+    val rows = Dedup.NumHashes / Dedup.NumBands
+    val bandRows = (0 until Dedup.NumBands)
+      .map(b => s"SELECT doc_id, $b AS band_id, ${bandExpr(b, rows)} AS band_hash FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    val jacc = s"""CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / len(list_distinct(a.s || b.s))""".stripMargin
+    def block(i: Int): String = {
+      val rem =
+        if (i == 0)
+          s"""rem_$i AS (
+             |  SELECT doc_id FROM sigs WHERE doc_id % $n = $i)"""
+        else
+          s"""storeb_$i AS (
+             |  SELECT b.doc_id, b.band_id, b.band_hash
+             |  FROM allbands b JOIN store_${i - 1} s USING (doc_id)
+             |  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= $cap),
+             |dup_$i AS (
+             |  SELECT DISTINCT p.new_id AS doc_id FROM (
+             |    SELECT DISTINCT nb.doc_id AS new_id, c.doc_id AS dup_of
+             |    FROM allbands nb JOIN storeb_$i c
+             |      ON nb.band_id = c.band_id AND nb.band_hash = c.band_hash
+             |    WHERE nb.doc_id % $n = $i) p
+             |  JOIN dsh a ON p.new_id = a.doc_id
+             |  JOIN dsh b ON p.dup_of = b.doc_id
+             |  WHERE len(list_distinct(a.s || b.s)) > 0
+             |    AND $jacc >= 0.5),
+             |rem_$i AS (
+             |  SELECT doc_id FROM sigs WHERE doc_id % $n = $i
+             |    AND doc_id NOT IN (SELECT doc_id FROM dup_$i))"""
+      s"""$rem,
+         |remb_$i AS (
+         |  SELECT b.doc_id, b.band_id, b.band_hash
+         |  FROM allbands b JOIN rem_$i r USING (doc_id)
+         |  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= $cap),
+         |wv_$i AS (
+         |  SELECT p.doc_a, p.doc_b FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM remb_$i a JOIN remb_$i b
+         |      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         |         AND a.doc_id < b.doc_id) p
+         |  JOIN dsh a ON p.doc_a = a.doc_id
+         |  JOIN dsh b ON p.doc_b = b.doc_id
+         |  WHERE len(list_distinct(a.s || b.s)) > 0
+         |    AND $jacc >= 0.5),
+         |sym_$i AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM wv_$i
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM wv_$i),
+         |reach_$i(src, dst) AS (
+         |  SELECT a, b FROM sym_$i
+         |  UNION
+         |  SELECT r.src, s.b FROM reach_$i r JOIN sym_$i s ON r.dst = s.a),
+         |noncanon_$i AS (
+         |  SELECT src AS doc_id FROM reach_$i
+         |  GROUP BY src HAVING least(src, min(dst)) <> src),
+         |keep_$i AS (
+         |  SELECT doc_id FROM rem_$i
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon_$i)),
+         |store_$i AS (${
+        if (i == 0) "SELECT doc_id FROM keep_0"
+        else s"SELECT doc_id FROM store_${i - 1} UNION ALL SELECT doc_id FROM keep_$i"})"""
+    }
+    val finalSel = (0 until n)
+      .map(i => s"SELECT doc_id, CAST($i AS BIGINT) AS batch_id FROM keep_$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE $shinglesCte,
+       |$distinctShinglesCte,
+       |$sigsCte,
+       |allbands AS (
+       |  SELECT * FROM (
+       |  $bandRows) t WHERE band_hash IS NOT NULL),
+       |${(0 until n).map(block).mkString(",\n")}
+       |$finalSel""".stripMargin
+  }
+
   /** Connected components over the LSH pair graph via a recursive CTE:
     * component(node) = least(node, min over transitively reachable nodes) —
     * same fixpoint the Spark min-label propagation converges to.

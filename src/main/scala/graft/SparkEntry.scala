@@ -88,6 +88,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 7),
         Dedup.shingleSignatures(docs.filter(col("doc_id") % 10 =!= 7)))
     }),
+    // Sequential ingest loop: 3 arrival waves (doc_id % 3), each deduped
+    // against everything kept so far plus itself — greedy first-arrival-wins
+    "q_ingest_dedup" -> ((s, dir) => Dedup.sequentialIngest(Tables.documents(s, dir))),
     // Canonical member per near-dup group: quality argmax, tie → min doc_id
     "q_canonical_docs" -> ((s, dir) => Dedup.canonicalDocs(Tables.documents(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
@@ -212,6 +215,7 @@ object SparkEntry {
     "q_simhash" -> OraclesML.simhashSql,
     "q_dedup_groups" -> OraclesML.dedupGroupsSql,
     "q_incremental_neardups" -> OraclesML.incrementalNearDupsSql,
+    "q_ingest_dedup" -> OraclesML.ingestDedupSql,
     "q_simhash_pairs" -> OraclesML.simhashPairsSql,
     "q_corpus_clean" -> OraclesML.corpusCleanSql,
     "q_pack_bins" -> OraclesML.packBinsSql,

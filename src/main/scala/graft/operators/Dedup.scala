@@ -450,9 +450,20 @@ object Dedup {
     */
   def incrementalNearDups(batchDocs: DataFrame, corpusSigs: DataFrame,
                           threshold: Double = 0.5,
-                          cap: Int = MaxBucketSize): DataFrame = {
+                          cap: Int = MaxBucketSize): DataFrame =
+    incrementalNearDupsFromSigs(
+      shingleSignatures(batchDocs).persist(StorageLevel.MEMORY_AND_DISK),
+      corpusSigs, threshold, cap)
+
+  /** [[incrementalNearDups]] off an already-built (and ideally persisted or
+    * staged) batch signature frame — the form [[ingestTick]] and
+    * [[SignatureStore.ingestBatch]] call so the batch's
+    * tokenize→shingle→md5 pass runs exactly once per tick.
+    */
+  private[operators] def incrementalNearDupsFromSigs(
+      batchSigs: DataFrame, corpusSigs: DataFrame,
+      threshold: Double, cap: Int): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
-    val batchSigs = shingleSignatures(batchDocs).persist(StorageLevel.MEMORY_AND_DISK)
     val batchBands = explodedBands(batchSigs, rowsPerBand)
     val corpusBands = explodedBands(corpusSigs, rowsPerBand)
     val touched = corpusBands.join(
@@ -482,6 +493,65 @@ object Dedup {
       .filter(col("__rk") === 1)
       .select(col("new_id"), col("dup_of"), col("n_common"), col("n_union"),
         col("jaccard"))
+  }
+
+  /** One tick of the dedup-ingest loop: drop batch docs that near-dup the
+    * store ([[incrementalNearDupsFromSigs]]), then dedup the survivors
+    * AGAINST EACH OTHER (banded pairs + connected components, keep each
+    * component's minimum doc_id) — without the within-batch step two copies
+    * of a new document would both enter the store. Returns the keepers'
+    * full signature rows, ready to append to the store. `storeSigs = None`
+    * is the bootstrap tick (empty store → within-batch dedup only).
+    */
+  private[operators] def ingestTick(batchSigs: DataFrame,
+                                    storeSigs: Option[DataFrame],
+                                    threshold: Double,
+                                    cap: Int): DataFrame = {
+    val rem = storeSigs match {
+      case Some(store) =>
+        val dupIds = incrementalNearDupsFromSigs(batchSigs, store, threshold, cap)
+          .select(col("new_id").as("doc_id"))
+        batchSigs.join(dupIds, Seq("doc_id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      case None => batchSigs
+    }
+    val nonCanonical = connectedComponents(
+      pairsFromShingleSigs(rem, NumHashes / NumBands, threshold, cap)
+        .select(col("doc_a"), col("doc_b")))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    rem.join(nonCanonical, Seq("doc_id"), "left_anti")
+  }
+
+  /** Sequential dedup ingest, pure-DataFrame form: split `docs` into
+    * `nBatches` arrival waves by `doc_id % nBatches` and run [[ingestTick]]
+    * for each in order — every wave is deduplicated against everything kept
+    * so far plus itself, exactly the greedy first-arrival-wins contract of
+    * a corpus that grows batch by batch. Output: (doc_id, batch_id) of the
+    * kept documents.
+    *
+    * Scale: each tick's keepers are persisted and the store is their union,
+    * so tick i re-reads cached signature partitions, never recomputes the
+    * history. The disk-backed production form of the same loop is
+    * [[SignatureStore.ingestBatch]] (store = a staged snapshot, each tick
+    * appends); this in-memory form exists for single-plan use and as the
+    * oracle-checkable contract the store-backed loop is spec-tested against.
+    */
+  def sequentialIngest(docs: DataFrame, nBatches: Int = 3,
+                       threshold: Double = 0.5,
+                       cap: Int = MaxBucketSize): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
+    var store: Option[DataFrame] = None
+    val kept = (0 until nBatches).map { i =>
+      val batchSigs = shingleSignatures(
+        docs.filter(col("doc_id") % nBatches === i))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val keep = ingestTick(batchSigs, store, threshold, cap)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      store = Some(store.map(_.union(keep)).getOrElse(keep))
+      keep.select(col("doc_id"), lit(i.toLong).as("batch_id"))
+    }
+    kept.reduce(_.union(_))
   }
 
   /** Canonical-document selection per near-dup group — the step a corpus

@@ -41,6 +41,37 @@ object SignatureStore {
   def read(spark: SparkSession, root: String): DataFrame =
     ManifestTable.read(spark, root)
 
+  /** One production dedup-ingest tick against the staged store: build the
+    * incoming batch's signatures once, run [[Dedup.ingestTick]] (drop docs
+    * near-dupping the store, then within-batch dedup of the survivors), and
+    * APPEND the keepers' signature rows as a new snapshot — the state the
+    * next batch dedups against. The store itself is never rewritten or
+    * shuffled: the corpus side of the check is the broadcast-semi-join
+    * prune of [[Dedup.incrementalNearDupsFromSigs]], and the commit adds
+    * files without touching the previous snapshot's (readers pinned to it
+    * keep their files — vacuum retention). Returns the committed version.
+    *
+    * Deduplicated against the same contract as [[Dedup.sequentialIngest]]:
+    * running ticks over doc_id-split waves yields byte-identical store
+    * contents (asserted in `SignatureStoreSpec`).
+    */
+  def ingestBatch(batchDocs: DataFrame, root: String,
+                  threshold: Double = 0.5,
+                  cap: Int = Dedup.MaxBucketSize): Long = {
+    val spark = batchDocs.sparkSession
+    val batchSigs = Dedup.shingleSignatures(batchDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no snapshot yet = bootstrap tick: within-batch dedup only
+    val store = ManifestTable.currentVersion(spark, root).map(_ => read(spark, root))
+    val keep = Dedup.ingestTick(batchSigs, store, threshold, cap)
+    val staging = s"$root/_staging/${UUID.randomUUID()}"
+    keep.write.mode(SaveMode.Overwrite).parquet(staging)
+    val added = ManifestTable.publishFiles(spark, root, staging)
+    val version = ManifestTable.commitReplace(spark, root, Seq.empty, added)
+    ManifestTable.vacuum(spark, root)
+    version
+  }
+
   /** [[Dedup.minhashLshPairs]] off the stage: same banding, verification,
     * and bucket cap — byte-identical output to the self-contained query.
     */

@@ -33,4 +33,50 @@ class SignatureStoreSpec extends SparkSpec {
       assert(sameRows(SignatureStore.read(spark, root), staged))
     } finally spark.catalog.clearCache()
   }
+
+  test("ingestBatch ticks reproduce sequentialIngest's kept set exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    try {
+      val n = 3
+      var tick1Files: Seq[String] = Seq.empty
+      (0 until n).foreach { i =>
+        val v = SignatureStore.ingestBatch(docs.filter(col("doc_id") % n === i), root)
+        assert(v == i + 1L, s"tick $i committed version $v")
+        if (i == 0) tick1Files = ManifestTable.liveFiles(spark, root)
+      }
+      val storeIds = SignatureStore.read(spark, root).select("doc_id")
+      val pureIds = Dedup.sequentialIngest(docs, n).select("doc_id")
+      assert(sameRows(storeIds, pureIds),
+        "store-backed ingest diverged from the pure sequential fold")
+      // every batch tick appends, never rewrites: tick-1 files still live
+      val live = ManifestTable.liveFiles(spark, root)
+      assert(tick1Files.nonEmpty && tick1Files.forall(live.contains),
+        "append tick dropped prior files")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("ingestBatch drops within-batch near-dups, not just store matches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest2").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val oneOff = (1 to 40).map(i => if (i == 3) "X" else s"w$i").mkString(" ")
+    def frame(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    try {
+      // bootstrap tick: 11 and 12 near-dup each other -> keep min (11)
+      SignatureStore.ingestBatch(frame((11L, base), (12L, oneOff)), root)
+      val kept1 = SignatureStore.read(spark, root)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept1 == Seq(11L))
+      // second tick: 21 dups the store, 22 is novel -> only 22 appended
+      SignatureStore.ingestBatch(frame((21L, base),
+        (22L, (100 to 140).map(i => s"z$i").mkString(" "))), root)
+      val kept2 = SignatureStore.read(spark, root)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept2 == Seq(11L, 22L))
+    } finally spark.catalog.clearCache()
+  }
 }
