@@ -279,6 +279,47 @@ object OraclesML {
        |WHERE e.split = 'train'
        |GROUP BY 1""".stripMargin
 
+  /** Corpus.contaminationScores: per-train-doc held-out shingle overlap
+    * fraction + the >= 0.2 flag. Same split rule and shingle CTEs as
+    * [[decontaminateSql]]; the fraction is one integer/integer double
+    * division (bit-stable cross-engine).
+    */
+  val contaminationScoresSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+       |         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    list_distinct([array_to_string(w[i:i+7], ' ') for i in range(1, len(w) - 6)]) AS sh
+       |  FROM (SELECT doc_id, $W AS w FROM documents)),
+       |e AS (SELECT doc_id, split, unnest(sh) AS shingle FROM s),
+       |held AS (SELECT DISTINCT shingle FROM e WHERE split <> 'train'),
+       |m AS (
+       |  SELECT e.doc_id, count(*) AS n_contaminated
+       |  FROM e JOIN held USING (shingle)
+       |  WHERE e.split = 'train' GROUP BY 1)
+       |SELECT s.doc_id,
+       |  CAST(len(s.sh) AS BIGINT) AS n_shingles,
+       |  coalesce(m.n_contaminated, 0) AS n_contaminated,
+       |  CASE WHEN len(s.sh) > 0
+       |       THEN CAST(coalesce(m.n_contaminated, 0) AS DOUBLE) / len(s.sh)
+       |  END AS contamination,
+       |  coalesce(CAST(coalesce(m.n_contaminated, 0) AS DOUBLE) / nullif(len(s.sh), 0) >= 0.2,
+       |           FALSE) AS flagged
+       |FROM s LEFT JOIN m USING (doc_id)
+       |WHERE s.split = 'train'""".stripMargin
+
+  /** Sampling.trainingOrder: dense 0-based rank in seeded-hash order. The
+    * oracle's window form is the semantic contract; the Spark side computes
+    * the same total order scalably (range partition + offset stamping).
+    */
+  val trainingOrderSql: String =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (
+      |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |    AS BIGINT) AS train_rank
+      |FROM documents""".stripMargin
+
   val variantPropsSql: String =
     """SELECT event_type,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,

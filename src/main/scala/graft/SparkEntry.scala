@@ -102,8 +102,12 @@ object SparkEntry {
     // Bloom-prefiltered form: same exact result (no false negatives; the
     // semi-join removes false positives), so it shares the exact oracle
     "q_decontaminate_bloom" -> ((s, dir) => operators.Corpus.decontaminateBloom(Tables.documents(s, dir))),
+    // Graded decontamination: per-train-doc held-out overlap fraction + flag
+    "q_contamination_scores" -> ((s, dir) => operators.Corpus.contaminationScores(Tables.documents(s, dir))),
     // Data mixing: per-source token-budget-capped deterministic sample
     "q_budget_sample" -> ((s, dir) => Sampling.budgetSample(Tables.documents(s, dir))),
+    // Global training order: dense seeded-hash rank without a one-partition window
+    "q_training_order" -> ((s, dir) => Sampling.trainingOrder(Tables.documents(s, dir))),
     "q_train_split" -> ((s, dir) => Sampling.trainValTestSplit(
       Tables.documents(s, dir), col("doc_id"))
       .groupBy(col("lang"), col("split"))
@@ -208,6 +212,7 @@ object SparkEntry {
     "q_pii_scrub" -> OraclesML.piiScrubSql,
     "q_canonical_docs" -> OraclesML.canonicalDocsSql,
     "q_budget_sample" -> OraclesML.budgetSampleSql,
+    "q_training_order" -> OraclesML.trainingOrderSql,
     "q_exact_dedup" -> OraclesML.exactDedupSql,
     "q_minhash_signatures" -> OraclesML.minhashSignaturesSql,
     "q_minhash_lsh_pairs" -> OraclesML.minhashLshPairsSql,
@@ -221,6 +226,7 @@ object SparkEntry {
     "q_pack_bins" -> OraclesML.packBinsSql,
     "q_decontaminate" -> OraclesML.decontaminateSql,
     "q_decontaminate_bloom" -> OraclesML.decontaminateSql,
+    "q_contamination_scores" -> OraclesML.contaminationScoresSql,
     "q_train_split" -> OraclesML.trainSplitSql,
     "q_ann_bruteforce" -> OraclesML.annBruteForceSql,
     "q_ivf_assign" -> OraclesML.ivfAssignSql,

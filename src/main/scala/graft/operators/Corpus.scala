@@ -142,4 +142,43 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_shingles"))
   }
+
+  /** Per-document contamination SCORE for every train document — the
+    * graded form of [[decontaminate]]: how much of each train doc's
+    * distinct-`k`-shingle set appears in the held-out split, as a fraction,
+    * plus the flag at `flagAt` (the usual policy is "drop above X% overlap",
+    * not "drop on any hit" — one shared boilerplate sentence shouldn't kill
+    * a document). Docs with fewer than `k` tokens have no shingles:
+    * fraction null, never flagged.
+    *
+    * Scale shape: the heavy side is identical to [[decontaminate]] (explode
+    * → distinct held-out set → one shingle-keyed semi-join, Bloom-prunable
+    * the same way); the extra join-back of per-doc match counts onto the
+    * train docs is broadcast-sized (bounded by contaminated docs, which
+    * decontamination presumes are rare).
+    */
+  def contaminationScores(docs: DataFrame, k: Int = 8,
+                          flagAt: Double = 0.2): DataFrame = {
+    val split = Sampling.trainValTestSplit(docs, col("doc_id"))
+    val withSh = split.select(col("doc_id"), col("split"),
+      array_distinct(
+        Shingles.shingles(TextOps.tokens(col("text")), k)).as("sh"))
+    val shingled = withSh.select(col("doc_id"), col("split"),
+      explode(col("sh")).as("shingle"))
+    val held = shingled.filter(col("split") =!= "train")
+      .select(col("shingle")).distinct()
+    val matched = shingled.filter(col("split") === "train")
+      .join(held, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    withSh.filter(col("split") === "train")
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          col("n_contaminated").cast("double") / col("n_shingles")))
+      .withColumn("flagged",
+        col("contamination").isNotNull && col("contamination") >= flagAt)
+  }
 }

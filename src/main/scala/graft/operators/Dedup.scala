@@ -463,6 +463,26 @@ object Dedup {
   private[operators] def incrementalNearDupsFromSigs(
       batchSigs: DataFrame, corpusSigs: DataFrame,
       threshold: Double, cap: Int): DataFrame = {
+    val verified = incrementalVerified(batchSigs, corpusSigs, threshold, cap)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("dup_of"))
+    verified
+      .withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1)
+      .select(col("new_id"), col("dup_of"), col("n_common"), col("n_union"),
+        col("jaccard"))
+  }
+
+  /** Verified batch-vs-corpus near-dup matches (all pairs, unranked) — the
+    * shared core of [[incrementalNearDupsFromSigs]] (which ranks to the
+    * best match per new doc) and [[ingestTick]] (which only needs the
+    * distinct duplicated ids, so the ranking window would be wasted work
+    * on every ingest tick).
+    */
+  private def incrementalVerified(
+      batchSigs: DataFrame, corpusSigs: DataFrame,
+      threshold: Double, cap: Int): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val batchBands = explodedBands(batchSigs, rowsPerBand)
     val corpusBands = explodedBands(corpusSigs, rowsPerBand)
@@ -485,14 +505,7 @@ object Dedup {
       .withColumn("jaccard",
         when(col("n_union") > 0, col("n_common").cast("double") / col("n_union")))
       .filter(col("n_union") > 0 && col("jaccard") >= threshold)
-    val best = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("new_id"))
-      .orderBy(col("jaccard").desc, col("dup_of"))
     verified
-      .withColumn("__rk", row_number().over(best))
-      .filter(col("__rk") === 1)
-      .select(col("new_id"), col("dup_of"), col("n_common"), col("n_union"),
-        col("jaccard"))
   }
 
   /** One tick of the dedup-ingest loop: drop batch docs that near-dup the
@@ -509,8 +522,10 @@ object Dedup {
                                     cap: Int): DataFrame = {
     val rem = storeSigs match {
       case Some(store) =>
-        val dupIds = incrementalNearDupsFromSigs(batchSigs, store, threshold, cap)
-          .select(col("new_id").as("doc_id"))
+        // ids only — the best-match ranking of the public operator is
+        // wasted work here, any verified match disqualifies the doc
+        val dupIds = incrementalVerified(batchSigs, store, threshold, cap)
+          .select(col("new_id").as("doc_id")).distinct()
         batchSigs.join(dupIds, Seq("doc_id"), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
       case None => batchSigs
@@ -541,13 +556,18 @@ object Dedup {
                        threshold: Double = 0.5,
                        cap: Int = MaxBucketSize): DataFrame = {
     require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
+    ensureCheckpointDir(docs)
     var store: Option[DataFrame] = None
     val kept = (0 until nBatches).map { i =>
       val batchSigs = shingleSignatures(
         docs.filter(col("doc_id") % nBatches === i))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val keep = ingestTick(batchSigs, store, threshold, cap)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // checkpoint, not just persist: wave i's keepers feed wave i+1's
+      // store, so without lineage truncation each wave's plan embeds every
+      // previous wave's full DAG — analysis/codegen cost grows
+      // quadratically with the wave count even though the data is cached
+      // (the same trap the connectedComponents loop checkpoints against)
+      val keep = ingestTick(batchSigs, store, threshold, cap).checkpoint()
       store = Some(store.map(_.union(keep)).getOrElse(keep))
       keep.select(col("doc_id"), lit(i.toLong).as("batch_id"))
     }

@@ -80,4 +80,42 @@ object Sampling {
     df.withColumn("split",
       when(h < trainHex, "train").when(h < valHex, "val").otherwise("test"))
   }
+
+  /** Deterministic GLOBAL training order: every document gets a dense rank
+    * 0..n−1 in seeded-hash order — the corpus-wide shuffle a training run
+    * fixes before sharding into data-loader files, reproducible
+    * row-for-row across reruns and cluster layouts.
+    *
+    * Scale shape: a naive `row_number() OVER (ORDER BY hash)` collapses
+    * the corpus into ONE window partition — dead at any scale. Here the
+    * frame is range-repartitioned and sorted on (hash, doc_id), partition
+    * ROW COUNTS (one long per partition — metadata, like the watermark
+    * collects) become rank offsets, and each partition stamps its rows
+    * with offset+index. Range boundaries come from sampling and may move
+    * between runs, but the stamped order is a pure function of the total
+    * (hash, doc_id) order — boundary placement only changes which executor
+    * stamps a row, never its rank.
+    */
+  def trainingOrder(docs: DataFrame, seed: String = "graft"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = docs
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))).as("__h"))
+      .repartitionByRange(parts, col("__h"), col("doc_id"))
+      .sortWithinPartitions(col("__h"), col("doc_id"))
+      .as[(Long, String)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var next = offsets.value(i)
+        it.map { case (id, _) => val r = (id, next); next += 1L; r }
+      }
+      .toDF("doc_id", "train_rank")
+  }
 }

@@ -34,4 +34,29 @@ class BloomDecontaminateSpec extends SparkSpec {
     val bloom = asMap(Corpus.decontaminateBloom(docs, expectedItems = 4L))
     assert(bloom === exact)
   }
+
+  test("contaminationScores: fractions agree with the hit counts; shingle-less rows unflagged") {
+    import org.apache.spark.sql.functions.col
+    val scored = Corpus.contaminationScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val exact = asMap(Corpus.decontaminate(docs))
+    // every train doc appears exactly once; counts match the exact form
+    assert(scored.nonEmpty)
+    exact.foreach { case (id, n) =>
+      assert(scored(id).getAs[Long]("n_contaminated") == n, s"doc $id")
+    }
+    scored.values.foreach { r =>
+      val (nSh, nC) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"))
+      if (nSh == 0L) {
+        assert(r.isNullAt(r.fieldIndex("contamination")))
+        assert(!r.getAs[Boolean]("flagged"))
+      } else {
+        val frac = r.getAs[Double]("contamination")
+        assert(frac == nC.toDouble / nSh)
+        assert(r.getAs[Boolean]("flagged") == (frac >= 0.2))
+      }
+    }
+    // uncontaminated train docs are present with a zero count
+    assert(scored.values.exists(_.getAs[Long]("n_contaminated") == 0L))
+  }
 }

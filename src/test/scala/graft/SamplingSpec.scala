@@ -69,4 +69,21 @@ class SamplingSpec extends SparkSpec {
       .filter(col("split") =!= col("split2"))
     assert(moved.count() == 0L)
   }
+
+  test("trainingOrder: dense 0..n-1 ranks equal to the (hash, id) total order") {
+    val ranked = Sampling.trainingOrder(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("train_rank")).toMap
+    assert(ranked.size == 4000)
+    assert(ranked.values.toSeq.sorted == (0L until 4000L))
+    // ranks match the reference total order computed locally
+    def h(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expected = (1L to 4000L).sortBy(id => (h(id), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(ranked == expected)
+    spark.catalog.clearCache()
+  }
 }
