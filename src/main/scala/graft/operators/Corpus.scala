@@ -25,7 +25,29 @@ object Corpus {
     * compared against the 4-dp-rounded quality score (bit-identical in both
     * engines), so the gate boundary is exact.
     */
-  def cleanCorpusStats(docs: DataFrame, minQuality: Double = 0.70): DataFrame = {
+  def cleanCorpusStats(docs: DataFrame, minQuality: Double = 0.70): DataFrame =
+    cleanStats(docs, minQuality,
+      deduped => Dedup.minhashLshPairs(deduped))
+
+  /** [[cleanCorpusStats]] off a staged [[SignatureStore]] snapshot: the
+    * near-dup stage reads the materialized (doc_id, shingles, sig_0..15)
+    * rows — restricted to the quality/exact-dedup survivors by one
+    * doc_id-keyed semi-join — instead of re-running tokenize → shingle →
+    * seeded-md5 over the corpus (the most expensive map-side pass of the
+    * whole pipeline, already paid once at `SignatureStore.build`).
+    * Byte-identical output to the self-contained form (spec-asserted):
+    * banding a filtered subset of the staged rows equals banding
+    * signatures computed on that subset, because signatures are per-doc.
+    */
+  def cleanCorpusStatsStaged(docs: DataFrame, staged: DataFrame,
+                             minQuality: Double = 0.70): DataFrame =
+    cleanStats(docs, minQuality,
+      deduped => Dedup.pairsFromShingleSigs(
+        staged.join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        Dedup.NumHashes / Dedup.NumBands, 0.5, Dedup.MaxBucketSize))
+
+  private def cleanStats(docs: DataFrame, minQuality: Double,
+                         pairsOf: DataFrame => DataFrame): DataFrame = {
     // inline per-row gate — no metrics self-join; the filter runs inside
     // the scan stage and prunes before any shingling work
     val clean = docs.filter(TextOps.qualityScore(col("text")) >= minQuality)
@@ -40,7 +62,7 @@ object Corpus {
     // member of each component; docs in no pair never enter the graph and
     // survive by the null branch
     val groups = Dedup.connectedComponents(
-      Dedup.minhashLshPairs(deduped).select(col("doc_a"), col("doc_b")))
+      pairsOf(deduped).select(col("doc_a"), col("doc_b")))
     val survivors = deduped
       .join(groups, deduped("doc_id") === groups("node"), "left")
       .filter(col("node").isNull || col("component") === col("doc_id"))
@@ -163,18 +185,23 @@ object Corpus {
     val withSh = split.select(col("doc_id"), col("split"),
       array_distinct(
         Shingles.shingles(TextOps.tokens(col("text")), k)).as("sh"))
-    val shingled = withSh.select(col("doc_id"), col("split"),
-      explode(col("sh")).as("shingle"))
-    val held = shingled.filter(col("split") =!= "train")
-      .select(col("shingle")).distinct()
-    val matched = shingled.filter(col("split") === "train")
-      .join(held, Seq("shingle"), "left_semi")
+    // explode_OUTER + the per-doc size carried through: shingle-less docs
+    // keep a null-shingle row (they must appear in the output), n_shingles
+    // rides along so no join-back onto the train docs is needed, and the
+    // shingle pass runs exactly once per row subset (one train, one held)
+    val shingled = withSh.filter(col("split") === "train")
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("shingle"))
+    val held = withSh.filter(col("split") =!= "train")
+      .select(explode(col("sh")).as("shingle")).distinct()
+      .withColumn("__hit", lit(1L))
+    // one shuffle join + one aggregate computes BOTH counts (vs the
+    // semi-join + count + join-back form: same shuffled volume on the
+    // heavy side, one fewer pass over the corpus text)
+    shingled.join(held, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_contaminated"))
-    withSh.filter(col("split") === "train")
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
-      .join(matched, Seq("doc_id"), "left")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
       .withColumn("contamination",
         when(col("n_shingles") > 0,
           col("n_contaminated").cast("double") / col("n_shingles")))

@@ -57,6 +57,18 @@ class SignatureStoreSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("staged cleanCorpusStats equals the self-contained pipeline") {
+    import graft.operators.Corpus
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_ccstage").toString
+    try {
+      SignatureStore.build(docs, root)
+      val staged = SignatureStore.read(spark, root)
+      assert(sameRows(Corpus.cleanCorpusStatsStaged(docs, staged),
+        Corpus.cleanCorpusStats(docs)), "staged corpus-clean diverged")
+    } finally spark.catalog.clearCache()
+  }
+
   test("ingestBatch drops within-batch near-dups, not just store matches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ingest2").toString
