@@ -320,6 +320,17 @@ object OraclesML {
       |    AS BIGINT) AS train_rank
       |FROM documents""".stripMargin
 
+  /** Sampling.shardStats: round-robin shards over the training order. */
+  val shardStatsSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |    row_number() OVER (
+      |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+      |  FROM documents)
+      |SELECT rk % 8 AS shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM r GROUP BY 1""".stripMargin
+
   val variantPropsSql: String =
     """SELECT event_type,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
@@ -841,6 +852,43 @@ object OraclesML {
        |JOIN e ea ON p.vec_a = ea.vec_id
        |JOIN e eb ON p.vec_b = eb.vec_id
        |WHERE ${dotSql("ea.v", "eb.v")} >= 0.4""".stripMargin
+  }
+
+  /** Mirrors Similarity.incrementalEmbeddingNearDups: batch = vec_id % 5
+    * = 4 vs the rest, same 48-plane sign bands as the self-join family;
+    * the QUALIFY cap over corpus bands equals the Spark side's cap over
+    * the semi-join-pruned frame (whole buckets survive the prune); best
+    * corpus match per new vector.
+    */
+  val incrementalEmbeddingNearDupsSql: String = {
+    val sim = graft.operators.Similarity
+    val bits = sim.bandPlanes.map { w =>
+      s"(CASE WHEN ${dotSql("v", s"(${planeLit(w)})")} > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val bandRows = (0 until sim.NumSimBands)
+      .map(b => s"SELECT vec_id, $b AS band_id, substr(sig, ${b * sim.BandBits + 1}, ${sim.BandBits}) AS band_val FROM sg")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $evecCte,
+       |sg AS (SELECT vec_id, $bits AS sig FROM e),
+       |bands AS (
+       |  $bandRows),
+       |nb AS (SELECT * FROM bands WHERE vec_id % 5 = 4),
+       |cb AS (
+       |  SELECT * FROM bands WHERE vec_id % 5 <> 4
+       |  QUALIFY count(*) OVER (PARTITION BY band_id, band_val) <= ${operators.Dedup.MaxBucketSize}),
+       |pairs AS (
+       |  SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS dup_of
+       |  FROM nb n JOIN cb c
+       |    ON n.band_id = c.band_id AND n.band_val = c.band_val),
+       |verified AS (
+       |  SELECT p.new_id, p.dup_of, ${dotSql("ea.v", "eb.v")} AS cosine
+       |  FROM pairs p
+       |  JOIN e ea ON p.new_id = ea.vec_id
+       |  JOIN e eb ON p.dup_of = eb.vec_id
+       |  WHERE ${dotSql("ea.v", "eb.v")} >= 0.4)
+       |SELECT new_id, dup_of, cosine FROM verified
+       |QUALIFY row_number() OVER (PARTITION BY new_id
+       |                           ORDER BY cosine DESC, dup_of) = 1""".stripMargin
   }
 
   /** Mirrors Multimodal.mediaMetaQuery: the deterministic half of the

@@ -108,6 +108,8 @@ object SparkEntry {
     "q_budget_sample" -> ((s, dir) => Sampling.budgetSample(Tables.documents(s, dir))),
     // Global training order: dense seeded-hash rank without a one-partition window
     "q_training_order" -> ((s, dir) => Sampling.trainingOrder(Tables.documents(s, dir))),
+    // Round-robin loader shards over the training order, per-shard totals
+    "q_shard_stats" -> ((s, dir) => Sampling.shardStats(Tables.documents(s, dir))),
     "q_train_split" -> ((s, dir) => Sampling.trainValTestSplit(
       Tables.documents(s, dir), col("doc_id"))
       .groupBy(col("lang"), col("split"))
@@ -120,6 +122,13 @@ object SparkEntry {
     "q_embedding_neardups" -> ((s, dir) => Similarity.embeddingNearDupsBanded(Tables.embeddings(s, dir))),
     "q_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir))),
     "q_lsh_neardups" -> ((s, dir) => Similarity.lshNearDups(Tables.embeddings(s, dir))),
+    // Incremental embedding dedup: new vectors (vec_id % 5 = 4) vs the rest
+    "q_incremental_embedding_neardups" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.incrementalEmbeddingNearDups(
+        emb.filter(col("vec_id") % 5 === 4),
+        emb.filter(col("vec_id") % 5 =!= 4))
+    }),
     // registered in exploded (vec_id, dim, q) form: the driver's frame
     // compare sorts scalar columns, not array cells
     "q_quantize_embeddings" -> ((s, dir) =>
@@ -213,6 +222,7 @@ object SparkEntry {
     "q_canonical_docs" -> OraclesML.canonicalDocsSql,
     "q_budget_sample" -> OraclesML.budgetSampleSql,
     "q_training_order" -> OraclesML.trainingOrderSql,
+    "q_shard_stats" -> OraclesML.shardStatsSql,
     "q_exact_dedup" -> OraclesML.exactDedupSql,
     "q_minhash_signatures" -> OraclesML.minhashSignaturesSql,
     "q_minhash_lsh_pairs" -> OraclesML.minhashLshPairsSql,
@@ -234,6 +244,7 @@ object SparkEntry {
     "q_embedding_neardups" -> OraclesML.embeddingNearDupsSql,
     "q_lsh_buckets" -> OraclesML.lshBucketsSql,
     "q_lsh_neardups" -> OraclesML.lshNearDupsSql,
+    "q_incremental_embedding_neardups" -> OraclesML.incrementalEmbeddingNearDupsSql,
     "q_quantize_embeddings" -> OraclesML.quantizeEmbeddingsSql,
     "q_ann_quantized" -> OraclesML.annQuantizedSql,
     "q_json_props" -> OraclesML.jsonPropsSql,

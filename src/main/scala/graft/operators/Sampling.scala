@@ -96,6 +96,30 @@ object Sampling {
     * (hash, doc_id) order — boundary placement only changes which executor
     * stamps a row, never its rank.
     */
+  /** Data-loader shard assignment: round-robin over the [[trainingOrder]]
+    * rank (`shard = rank % nShards`), so shards are balanced to ±1 doc
+    * WITHOUT knowing the corpus size (contiguous blocks would need a
+    * count first) and each shard sees documents in a hash-shuffled order —
+    * exactly what per-worker loader files want.
+    */
+  def shardAssignments(docs: DataFrame, nShards: Int = 8,
+                       seed: String = "graft"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    trainingOrder(docs, seed)
+      .withColumn("shard", col("train_rank") % nShards)
+  }
+
+  /** Per-shard doc/char totals — the loader-manifest summary a sharded
+    * export records next to the files.
+    */
+  def shardStats(docs: DataFrame, nShards: Int = 8,
+                 seed: String = "graft"): DataFrame =
+    shardAssignments(docs, nShards, seed)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+
   def trainingOrder(docs: DataFrame, seed: String = "graft"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

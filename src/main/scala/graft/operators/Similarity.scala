@@ -278,23 +278,71 @@ object Similarity {
   def embeddingNearDupsBanded(emb: DataFrame, threshold: Double = 0.4,
                               cap: Int = Dedup.MaxBucketSize): DataFrame = {
     val e = vectors(emb)
-    val sig = concat(bandPlanes.map { w =>
-      when(dot(col("v"), array(w.map(lit): _*)) > 0, "1").otherwise("0")
-    }: _*)
-    val bandCols = (0 until NumSimBands).map(b =>
-      struct(lit(b).as("band_id"),
-        substring(col("sig"), b * BandBits + 1, BandBits).as("band_val")))
-    val pairs = Dedup.bandPairs(
-      e.withColumn("sig", sig)
-        .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("vec_id"), col("band.band_id"), col("band.band_val")),
-      cap, "vec_a", "vec_b")
+    val pairs = Dedup.bandPairs(signBands(e), cap, "vec_a", "vec_b")
     val va = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val vb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     pairs.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** (vec_id, band_id, band_val) sign-LSH band rows of a [[vectors]] frame
+    * — the input shape of [[Dedup.bandPairs]] and of the asymmetric
+    * batch-vs-corpus prune in [[incrementalEmbeddingNearDups]].
+    */
+  private def signBands(e: DataFrame): DataFrame = {
+    val sig = concat(bandPlanes.map { w =>
+      when(dot(col("v"), array(w.map(lit): _*)) > 0, "1").otherwise("0")
+    }: _*)
+    val bandCols = (0 until NumSimBands).map(b =>
+      struct(lit(b).as("band_id"),
+        substring(col("sig"), b * BandBits + 1, BandBits).as("band_val")))
+    e.withColumn("sig", sig)
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("vec_id"), col("band.band_id").as("band_id"),
+        col("band.band_val").as("band_val"))
+      .filter(col("band_val").isNotNull)
+  }
+
+  /** INCREMENTAL embedding near-dup detection — the embedding twin of
+    * [[Dedup.incrementalNearDups]]: a batch of new vectors is checked
+    * against an existing corpus, reporting each duplicated new vector's
+    * best corpus match (highest exact cosine ≥ `threshold`, ties → lowest
+    * corpus vec_id). Same asymmetric scale shape: the batch's distinct
+    * band keys broadcast, the corpus band rows are pruned by a map-side
+    * LEFT SEMI join (the corpus never shuffles), the skew cap counts the
+    * PRUNED buckets (exact — the semi-join keeps or drops whole buckets),
+    * and everything downstream is bounded by Σ(batch-touched capped
+    * buckets).
+    */
+  def incrementalEmbeddingNearDups(batchEmb: DataFrame, corpusEmb: DataFrame,
+                                   threshold: Double = 0.4,
+                                   cap: Int = Dedup.MaxBucketSize): DataFrame = {
+    val nb = vectors(batchEmb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = vectors(corpusEmb)
+    val batchBands = signBands(nb)
+    val touched = signBands(cb).join(
+      broadcast(batchBands.select(col("band_id"), col("band_val")).distinct()),
+      Seq("band_id", "band_val"), "leftsemi")
+    val capped = Dedup.capBuckets(touched, Seq("band_id", "band_val"), cap)
+    val candidates = batchBands.as("n")
+      .join(capped.as("c"), Seq("band_id", "band_val"))
+      .select(col("n.vec_id").as("new_id"), col("c.vec_id").as("dup_of"))
+      .distinct()
+    val va = nb.select(col("vec_id").as("new_id"), col("v").as("va"))
+    val vb = cb.select(col("vec_id").as("dup_of"), col("v").as("vb"))
+    val verified = candidates.join(va, "new_id").join(vb, "dup_of")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id"))
+      .orderBy(col("cosine").desc, col("dup_of"))
+    verified
+      .withColumn("__rk", row_number().over(best))
+      .filter(col("__rk") === 1)
+      .select(col("new_id"), col("dup_of"), col("cosine"))
   }
 
   /** Scalar (per-dimension min/max) 8-bit quantization — the memory scale

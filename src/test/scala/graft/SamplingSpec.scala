@@ -86,4 +86,12 @@ class SamplingSpec extends SparkSpec {
     assert(ranked == expected)
     spark.catalog.clearCache()
   }
+
+  test("shardAssignments: balanced to ±1 without a corpus count, stable") {
+    val byShard = Sampling.shardAssignments(docs, nShards = 7).collect()
+      .groupBy(_.getAs[Long]("shard")).view.mapValues(_.length).toMap
+    assert(byShard.keySet == (0L until 7L).toSet)
+    assert(byShard.values.max - byShard.values.min <= 1)
+    spark.catalog.clearCache()
+  }
 }

@@ -115,4 +115,25 @@ class SimilaritySpec extends SparkSpec {
     val full = graft.functions.DotProduct(rhs, rhs)
     assert(full.eval(null) == 25.0)
   }
+
+  test("incrementalEmbeddingNearDups: best corpus match per new vector, corpus pruned by broadcast semi-join") {
+    val corpus = emb(
+      1L -> Seq(1f, 0f, 0f),      // exact dup of new 101
+      2L -> Seq(0.95f, 0.05f, 0f), // weaker match for 101
+      3L -> Seq(0f, 1f, 0f))
+    val batch = emb(
+      101L -> Seq(1f, 0f, 0f),
+      102L -> Seq(0f, 0f, 1f))    // orthogonal to everything -> keeper
+    val out = Similarity.incrementalEmbeddingNearDups(batch, corpus)
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("new_id") == 101L)
+    assert(rows.head.getAs[Long]("dup_of") == 1L) // cosine 1.0 beats the 0.95 neighbor
+    assert(rows.head.getAs[Double]("cosine") == 1.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "corpus must be pruned by a semi-join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "batch band keys must broadcast; the corpus never shuffles for the prune")
+    spark.catalog.clearCache()
+  }
 }
