@@ -372,6 +372,50 @@ object OraclesML {
        |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, score
        |FROM ranked WHERE term_rank <= 3""".stripMargin
 
+  /** Mirrors TextOps.bm25TopDocs (k1=1.2, b=0.75, k=5): the (k1+1) and
+    * (1−b) factors are written as the same ARITHMETIC as the Spark side
+    * (not pre-evaluated decimals — 1.2+1.0 rounds differently than the
+    * literal "2.2" parses). All counts are integer-valued doubles (exact),
+    * each query has two terms (IEEE addition is commutative), and the rank
+    * orders by the rounded score — so the compare is bit-exact.
+    */
+  val bm25TopDocsSql: String = {
+    val qvals = graft.operators.TextOps.Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val terms = graft.operators.TextOps.Bm25Queries
+      .flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH lens AS (
+       |  SELECT doc_id, CAST(len($W) AS DOUBLE) AS dl FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_total,
+       |         sum(dl) / count(*) AS avgdl FROM lens),
+       |q(query_id, term) AS (VALUES $qvals),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest($W) AS term FROM documents)
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    round_even(sum(
+       |      ln(1.0 + (n_total - df + 0.5) / (df + 0.5))
+       |      * (tf * (1.2 + 1.0)
+       |         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))), 4) AS score
+       |  FROM tf t
+       |  JOIN dfreq USING (term)
+       |  JOIN lens USING (doc_id)
+       |  CROSS JOIN stats
+       |  JOIN q ON q.term = t.term
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  doc_id, score
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   val exactDedupSql: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
       |FROM documents GROUP BY 1""".stripMargin
@@ -586,6 +630,32 @@ object OraclesML {
        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
        |SELECT src AS node, least(src, min(dst)) AS component
        |FROM reach GROUP BY src""".stripMargin
+
+  /** Corpus.dedupRates: per-(lang, source) exact/near-dup removal counts
+    * and survival rate. The near-dup chain is [[dedupGroupsSql]]
+    * re-pointed at the exact-dedup keepers (same single-substitution
+    * retarget as [[corpusCleanSql]]).
+    */
+  val dedupRatesSql: String = {
+    val groupsOverKept = dedupGroupsSql.replace("FROM documents", "FROM kept")
+    s"""WITH exact_keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |kept AS (SELECT d.* FROM documents d JOIN exact_keep k USING (doc_id)),
+       |cc AS ($groupsOverKept),
+       |nr AS (SELECT node AS doc_id FROM cc WHERE node <> component),
+       |t AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+       |ke AS (SELECT lang, source, count(*) AS n_exact_kept FROM kept GROUP BY 1, 2),
+       |ng AS (SELECT lang, source, count(*) AS n_near_removed
+       |       FROM kept JOIN nr USING (doc_id) GROUP BY 1, 2)
+       |SELECT t.lang, t.source, t.n_docs,
+       |  t.n_docs - coalesce(ke.n_exact_kept, 0) AS n_exact_removed,
+       |  coalesce(ng.n_near_removed, 0) AS n_near_removed,
+       |  round_even(CAST(coalesce(ke.n_exact_kept, 0) - coalesce(ng.n_near_removed, 0)
+       |    AS DOUBLE) / t.n_docs, 4) AS survival_rate
+       |FROM t
+       |LEFT JOIN ke USING (lang, source)
+       |LEFT JOIN ng USING (lang, source)""".stripMargin
+  }
 
   /** Composed corpus-preparation pipeline (quality gate → exact dedup →
     * near-dup groups → stats), mirroring `Corpus.cleanCorpusStats` stage

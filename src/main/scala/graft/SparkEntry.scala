@@ -65,6 +65,8 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "q_doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.documents(s, dir))),
     "q_tfidf_top_terms" -> ((s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir))),
+    // BM25 ranked retrieval over the fixed query set
+    "q_bm25_topdocs" -> ((s, dir) => TextOps.bm25TopDocs(Tables.documents(s, dir))),
     "q_repetition_stats" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
     "q_vocab_topk" -> ((s, dir) => TextOps.vocabularyTopK(Tables.documents(s, dir))),
     // Chunk-granularity (paragraph-style) cross-doc duplication stats
@@ -97,6 +99,8 @@ object SparkEntry {
     // Composed corpus-prep flagship: quality gate -> exact dedup -> near-dup
     // groups -> per-(lang, source) stats, one declared DAG
     "q_corpus_clean" -> ((s, dir) => operators.Corpus.cleanCorpusStats(Tables.documents(s, dir))),
+    // Dedup observability: per-(lang, source) removal counts + survival rate
+    "q_dedup_rates" -> ((s, dir) => operators.Corpus.dedupRates(Tables.documents(s, dir))),
     "q_pack_bins" -> ((s, dir) => operators.Corpus.packBins(Tables.documents(s, dir))),
     "q_decontaminate" -> ((s, dir) => operators.Corpus.decontaminate(Tables.documents(s, dir))),
     // Bloom-prefiltered form: same exact result (no false negatives; the
@@ -215,6 +219,7 @@ object SparkEntry {
     "q_lang_id" -> OraclesML.langIdSql,
     "q_doc_fingerprint" -> OraclesML.fingerprintSql,
     "q_tfidf_top_terms" -> OraclesML.tfidfTopTermsSql,
+    "q_bm25_topdocs" -> OraclesML.bm25TopDocsSql,
     "q_repetition_stats" -> OraclesML.repetitionStatsSql,
     "q_vocab_topk" -> OraclesML.vocabularyTopKSql,
     "q_chunk_dedup" -> OraclesML.chunkDedupSql,
@@ -233,6 +238,7 @@ object SparkEntry {
     "q_ingest_dedup" -> OraclesML.ingestDedupSql,
     "q_simhash_pairs" -> OraclesML.simhashPairsSql,
     "q_corpus_clean" -> OraclesML.corpusCleanSql,
+    "q_dedup_rates" -> OraclesML.dedupRatesSql,
     "q_pack_bins" -> OraclesML.packBinsSql,
     "q_decontaminate" -> OraclesML.decontaminateSql,
     "q_decontaminate_bloom" -> OraclesML.decontaminateSql,

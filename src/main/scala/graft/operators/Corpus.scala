@@ -46,6 +46,41 @@ object Corpus {
         staged.join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi"),
         Dedup.NumHashes / Dedup.NumBands, 0.5, Dedup.MaxBucketSize))
 
+  /** Dedup observability: per (lang, source) — how many documents the
+    * exact and near-dup stages each remove, and the survival rate. The
+    * numbers a corpus build publishes per tick to catch a source gone
+    * degenerate (a crawler re-emitting one page, a boilerplate explosion)
+    * before it trains. Same kernels as [[cleanCorpusStats]] minus the
+    * quality gate, so rates reconcile with the pipeline's own decisions.
+    */
+  def dedupRates(docs: DataFrame): DataFrame = {
+    val keepFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exactKept = docs
+      .withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1).drop("__rn")
+    val nearRemoved = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(exactKept).select(col("doc_a"), col("doc_b")))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val total = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val kept = exactKept.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_exact_kept"))
+    val near = exactKept.join(nearRemoved, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_near_removed"))
+    total.join(kept, Seq("lang", "source"), "left")
+      .join(near, Seq("lang", "source"), "left")
+      .withColumn("n_exact_kept", coalesce(col("n_exact_kept"), lit(0L)))
+      .withColumn("n_near_removed", coalesce(col("n_near_removed"), lit(0L)))
+      .withColumn("n_exact_removed", col("n_docs") - col("n_exact_kept"))
+      .withColumn("survival_rate", bround(
+        (col("n_exact_kept") - col("n_near_removed")).cast("double") / col("n_docs"), 4))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_exact_removed"), col("n_near_removed"), col("survival_rate"))
+  }
+
   private def cleanStats(docs: DataFrame, minQuality: Double,
                          pairsOf: DataFrame => DataFrame): DataFrame = {
     // inline per-row gate — no metrics self-join; the filter runs inside

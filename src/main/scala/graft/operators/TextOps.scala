@@ -146,6 +146,67 @@ object TextOps {
       .select(col("doc_id"), col("term_rank"), col("term"), col("score"))
   }
 
+  /** The fixed query set of the registered BM25 query — common testdata
+    * vocabulary, two terms each (multi-term scoring exercises the per-query
+    * sum).
+    */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"),
+    1L -> Seq("data", "stream"),
+    2L -> Seq("hash", "scan"))
+
+  /** BM25 ranked retrieval (Okapi, k1=1.2 b=0.75): top-`k` documents per
+    * query, score = Σ_terms idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)), 4-dp rounded (ln is
+    * correctly-rounded on both engines — same contract as
+    * [[tfidfTopTerms]]). Ranking ties break on doc_id, and the rank orders
+    * by the ROUNDED score, so cross-engine low-bit sum differences can
+    * never reorder the top-k.
+    *
+    * Shape at scale — the inverted-index-free scoring pass: only tokens
+    * matching a query term leave the scan stage (the `isin` prune runs
+    * map-side), so the (doc, term) tf aggregate shuffles hits, not the
+    * corpus; document frequencies and corpus stats are metadata-sized
+    * broadcasts; the per-doc length join touches only scoring candidates.
+    */
+  def bm25TopDocs(docs: DataFrame,
+                  queries: Seq[(Long, Seq[String])] = Bm25Queries,
+                  k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val lens = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_total"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      // (k1 + 1) and (1 − b) as ARITHMETIC on both engines, not precomputed
+      // Scala literals: 1.2 + 1.0 rounds differently than the decimal "2.2"
+      // parses, and the oracle writes the same expressions textually
+      .withColumn("tnorm", col("tf") * (lit(k1) + lit(1.0))
+        / (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(bround(sum(col("idf") * col("tnorm")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Document fingerprinting: full-content md5 plus the minimum 3-word
     * shingle hash (a 1-hash winnowing fingerprint — robust to doc reordering
     * at the granularity of shingles).
