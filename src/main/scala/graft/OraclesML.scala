@@ -1139,6 +1139,25 @@ object OraclesML {
        |    AS dup_chunk_ratio
        |FROM occ GROUP BY doc_id""".stripMargin
 
+  /** Mirrors TextOps.scrubBoilerplate (k=8, maxOcc=1): chunks over the
+    * occurrence cap drop, survivors re-join in document order; the
+    * FILTERed ordered string_agg is the SQL form of the Spark side's
+    * null-skipping collect_list + array_sort.
+    */
+  val scrubBoilerplateSql: String =
+    s"""WITH toks AS (SELECT doc_id, $W AS w FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i AS idx, array_to_string(w[(i-1)*8+1:i*8], ' ') AS chunk
+       |  FROM toks,
+       |    unnest(generate_series(1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(i)),
+       |occ AS (
+       |  SELECT *, count(*) OVER (PARTITION BY md5(chunk)) AS n FROM chunks)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) FILTER (WHERE n > 1) AS BIGINT) AS n_removed_chunks,
+       |  coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE n <= 1), '')
+       |    AS clean_text
+       |FROM occ GROUP BY doc_id""".stripMargin
+
   /** Mirrors Dedup.canonicalDocs: the [[dedupGroupsSql]] component chain +
     * quality argmax (quality DESC, node ASC) per component.
     */

@@ -71,6 +71,8 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, dir) => TextOps.vocabularyTopK(Tables.documents(s, dir))),
     // Chunk-granularity (paragraph-style) cross-doc duplication stats
     "q_chunk_dedup" -> ((s, dir) => TextOps.chunkDedup(Tables.documents(s, dir))),
+    // C4-style boilerplate removal: over-shared chunks dropped, text reassembled
+    "q_scrub_boilerplate" -> ((s, dir) => TextOps.scrubBoilerplate(Tables.documents(s, dir))),
     // PII scrub over deterministically synthesized raw docs (the corpus is
     // PII-free word salad; the synthesis seam mirrors q_parse_klines)
     "q_pii_scrub" -> ((s, dir) =>
@@ -223,6 +225,7 @@ object SparkEntry {
     "q_repetition_stats" -> OraclesML.repetitionStatsSql,
     "q_vocab_topk" -> OraclesML.vocabularyTopKSql,
     "q_chunk_dedup" -> OraclesML.chunkDedupSql,
+    "q_scrub_boilerplate" -> OraclesML.scrubBoilerplateSql,
     "q_pii_scrub" -> OraclesML.piiScrubSql,
     "q_canonical_docs" -> OraclesML.canonicalDocsSql,
     "q_budget_sample" -> OraclesML.budgetSampleSql,

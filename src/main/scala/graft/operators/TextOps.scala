@@ -298,6 +298,42 @@ object TextOps {
         bround(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
   }
 
+  /** C4-style boilerplate REMOVAL (the transform [[chunkDedup]] is the
+    * stats for): drop every k-token chunk whose corpus-wide occurrence
+    * exceeds `maxOcc` (shared headers/footers/navigation), reassemble the
+    * survivors in document order. Zero-token docs are absent (no chunks),
+    * fully-boilerplate docs come back with empty `clean_text` — the
+    * downstream quality gate drops those.
+    *
+    * Shape at scale: one chunk-hash-keyed window counts occurrences (the
+    * same single shuffle as [[chunkDedup]]); reassembly is a per-doc
+    * aggregate — `collect_list` is bounded by the document's own chunk
+    * count, never corpus-sized state.
+    */
+  def scrubBoilerplate(docs: DataFrame, k: Int = 8, maxOcc: Int = 1): DataFrame = {
+    val w = tokens(col("text"))
+    val nChunks = floor((size(w) + (k - 1)) / lit(k)).cast("int")
+    val chunks = docs.select(col("doc_id"),
+      explode(when(size(w) >= 1,
+        transform(sequence(lit(1), nChunks),
+          i => struct(i.as("idx"),
+            concat_ws(" ", slice(w, (i - 1) * k + 1, lit(k))).as("chunk"))))
+        .otherwise(array().cast("array<struct<idx:int,chunk:string>>"))).as("c"))
+      .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+    val occ = chunks.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(md5(col("chunk")))))
+    occ.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__n") > maxOcc, 1L).otherwise(0L)).as("n_removed_chunks"),
+        // when(...) with no otherwise -> null; collect_list skips nulls, so
+        // only surviving chunks are gathered, re-ordered by their index
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__n") <= maxOcc, struct(col("idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+  }
+
   /** PII patterns — deliberately Java-regex ∩ RE2 (no lookarounds, no
     * backrefs) so the Spark scrub and the DuckDB oracle run the IDENTICAL
     * pattern text.

@@ -35,6 +35,40 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((2L, 2L, 1.0)))
   }
 
+  test("scrubBoilerplate: shared chunks drop, survivors keep document order") {
+    val boiler = (1 to 8).map(i => s"nav$i").mkString(" ")
+    val d = docs(
+      (1L, s"$boiler a b c d e f g h tail one"),  // boiler + unique + tail
+      (2L, s"$boiler only shared here"),          // boiler + unique tail
+      (3L, boiler))                               // fully boilerplate
+    val out = TextOps.scrubBoilerplate(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_chunks"), x.getAs[Long]("n_removed_chunks"),
+          x.getAs[String]("clean_text")))).toMap
+    // doc 1: 3 chunks (boiler, "a..h", "tail one"); boiler removed, the
+    // survivors reassemble in original order
+    assert(out(1L) == ((3L, 1L, "a b c d e f g h tail one")))
+    assert(out(2L) == ((2L, 1L, "only shared here")))
+    // fully-boilerplate doc survives as a row with empty clean_text
+    assert(out(3L) == ((1L, 1L, "")))
+  }
+
+  test("scrubBoilerplate: maxOcc threshold and intra-doc repeats count") {
+    val chunk = (1 to 8).map(i => s"c$i").mkString(" ")
+    // chunk appears twice inside doc 1 and once in doc 2 → 3 occurrences
+    val d = docs((1L, s"$chunk $chunk"), (2L, s"$chunk unique bit"))
+    val keep2 = TextOps.scrubBoilerplate(d, maxOcc = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Long]("n_removed_chunks")).toMap
+    assert(keep2 == Map(1L -> 0L, 2L -> 0L)) // under the cap: nothing drops
+    val drop = TextOps.scrubBoilerplate(d, maxOcc = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_removed_chunks"),
+          x.getAs[String]("clean_text")))).toMap
+    assert(drop(1L) == ((2L, "")))
+    assert(drop(2L) == ((1L, "unique bit")))
+  }
+
   test("piiScrub: counts on raw text, sequential redaction, exact hash") {
     val raw = Seq(
       (1L, "reach me at bob.smith@corp.io or 192.168.1.10 or +12025550199 end"),
