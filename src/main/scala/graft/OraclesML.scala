@@ -1139,6 +1139,37 @@ object OraclesML {
        |    AS dup_chunk_ratio
        |FROM occ GROUP BY doc_id""".stripMargin
 
+  /** Mirrors TextOps.perplexityScores (trainMod=10, trainLt=3,
+    * threshold=3.5): add-one bigram LM trained per language on the
+    * doc_id%10<3 slice, every doc scored by bigram cross-entropy. The
+    * per-doc sum runs over CAST(floor(ln·1e7) AS BIGINT) — order-free
+    * exact longs, the Spark side's fixed-point contract — and the BIGINT
+    * cast on the sum avoids DuckDB's HUGEINT dtype drift.
+    */
+  val perplexityScoresSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang, $W AS w FROM documents),
+       |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2
+       |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+       |cb AS (SELECT lang, w1, w2, count(*) AS cb FROM bg
+       |  WHERE doc_id % 10 < 3 GROUP BY 1, 2, 3),
+       |cu AS (SELECT lang, w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1, 2),
+       |v AS (SELECT lang, count(DISTINCT tok) AS v
+       |  FROM (SELECT lang, unnest(w) AS tok FROM toks WHERE doc_id % 10 < 3)
+       |  GROUP BY 1),
+       |ll AS (SELECT doc_id, bg.lang,
+       |    CAST(floor(ln((CAST(coalesce(cb, 0) AS DOUBLE) + 1.0)
+       |      / (CAST(coalesce(cu, 0) AS DOUBLE) + CAST(v AS DOUBLE))) * 1.0e7)
+       |      AS BIGINT) AS q
+       |  FROM bg LEFT JOIN cb USING (lang, w1, w2)
+       |    LEFT JOIN cu USING (lang, w1) JOIN v USING (lang)),
+       |agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(q) AS BIGINT) AS sq
+       |  FROM ll GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_bigrams,
+       |  round_even(-(CAST(sq AS DOUBLE) / 1.0e7) / n_bigrams, 4) AS cross_entropy,
+       |  round_even(-(CAST(sq AS DOUBLE) / 1.0e7) / n_bigrams, 4) <= 3.5 AS keep
+       |FROM agg""".stripMargin
+
   /** Mirrors TextOps.scrubBoilerplate (k=8, maxOcc=1): chunks over the
     * occurrence cap drop, survivors re-join in document order; the
     * FILTERed ordered string_agg is the SQL form of the Spark side's

@@ -73,6 +73,9 @@ object SparkEntry {
     "q_chunk_dedup" -> ((s, dir) => TextOps.chunkDedup(Tables.documents(s, dir))),
     // C4-style boilerplate removal: over-shared chunks dropped, text reassembled
     "q_scrub_boilerplate" -> ((s, dir) => TextOps.scrubBoilerplate(Tables.documents(s, dir))),
+    // CCNet-style LM perplexity filter: per-lang bigram model on a reference
+    // slice, every doc scored by cross-entropy, keep flag on the rounded score
+    "q_perplexity_filter" -> ((s, dir) => TextOps.perplexityScores(Tables.documents(s, dir))),
     // PII scrub over deterministically synthesized raw docs (the corpus is
     // PII-free word salad; the synthesis seam mirrors q_parse_klines)
     "q_pii_scrub" -> ((s, dir) =>
@@ -226,6 +229,7 @@ object SparkEntry {
     "q_vocab_topk" -> OraclesML.vocabularyTopKSql,
     "q_chunk_dedup" -> OraclesML.chunkDedupSql,
     "q_scrub_boilerplate" -> OraclesML.scrubBoilerplateSql,
+    "q_perplexity_filter" -> OraclesML.perplexityScoresSql,
     "q_pii_scrub" -> OraclesML.piiScrubSql,
     "q_canonical_docs" -> OraclesML.canonicalDocsSql,
     "q_budget_sample" -> OraclesML.budgetSampleSql,

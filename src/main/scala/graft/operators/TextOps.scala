@@ -298,6 +298,78 @@ object TextOps {
         bround(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
   }
 
+  /** CCNet-style language-model perplexity filtering (Wenzek et al. 2020
+    * §4.3, with an add-one bigram LM standing in for KenLM): a per-language
+    * bigram model is trained on a deterministic REFERENCE slice
+    * (`doc_id % trainMod < trainLt` — the stand-in for CCNet's Wikipedia),
+    * then EVERY document is scored by its per-bigram cross-entropy under
+    * that model,
+    *   H(d) = −(1/n) Σ ln((c(w1,w2) + 1)/(c(w1·) + V)),
+    * with V = the language's train-slice vocabulary and c(w1·) the bigram
+    * continuation total (so unseen (w1,w2) backs off to 1/(c(w1·)+V) and a
+    * fully-unseen w1 to 1/V — plain Laplace). Documents with fewer than two
+    * tokens have no bigrams and are absent, same contract as the shingle
+    * operators. `keep` gates on the ROUNDED cross-entropy so cross-engine
+    * low bits can never flip the policy bit.
+    *
+    * Numeric parity: each bigram's ln is correctly rounded on both engines
+    * (the [[tfidfTopTerms]]/[[bm25TopDocs]] contract) and everything
+    * feeding it is exact integer-valued doubles, so the per-term value is
+    * bit-identical — but a per-doc SUM of doubles is addition-order
+    * dependent and Spark partial aggregation orders nondeterministically.
+    * Same fix as the k-means dimension sums ([[Similarity.KmeansScale]]):
+    * sum floor(ln·10^7) as LONGS — order-free, exact, and the 1e-7
+    * quantization is three decades below the 4-dp output rounding. The
+    * scale is part of the oracle contract.
+    *
+    * Scale shape: the model tables are token-vocabulary-bounded (Heaps'
+    * law), NOT corpus-bounded — `cb` aggregates the train slice's bigrams
+    * once, `cu` and `v` derive from frames already vocabulary-sized. The
+    * scoring stream is O(corpus tokens) rows of four short columns through
+    * two equi shuffle joins (bigram counts may outgrow a broadcast at real
+    * vocabulary sizes; the per-lang V frame does broadcast) and one final
+    * doc-keyed aggregate. No quadratic step, no driver collect.
+    */
+  def perplexityScores(docs: DataFrame, trainMod: Int = 10, trainLt: Int = 3,
+                       threshold: Double = 3.5): DataFrame = {
+    val w = tokens(col("text"))
+    val bg = docs.select(col("doc_id"), col("lang"),
+      explode(when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val isTrain = col("doc_id") % trainMod < trainLt
+    // persisted: cb feeds both the score join and the cu derivation, and
+    // Catalyst duplicates unpersisted common subtrees — without this the
+    // train slice is exploded and aggregated twice (same caller-clearCache
+    // lifecycle contract as the Dedup signature persists)
+    val cb = bg.filter(isTrain)
+      .groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // continuation totals and vocabulary derive from already-aggregated or
+    // train-slice-only frames — neither re-scans the full corpus
+    val cu = cb.groupBy(col("lang"), col("w1")).agg(sum(col("cb")).as("cu"))
+    val vocab = docs.filter(isTrain)
+      .select(col("lang"), explode(w).as("tok"))
+      .groupBy(col("lang")).agg(count_distinct(col("tok")).as("v"))
+    bg.join(cb, Seq("lang", "w1", "w2"), "left")
+      .join(cu, Seq("lang", "w1"), "left")
+      .join(broadcast(vocab), Seq("lang"))
+      .withColumn("__q", floor(log(
+        (coalesce(col("cb"), lit(0L)).cast("double") + lit(1.0))
+          / (coalesce(col("cu"), lit(0L)).cast("double") + col("v").cast("double")))
+        * lit(1.0e7)).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("__sq"))
+      .withColumn("cross_entropy",
+        bround(-(col("__sq").cast("double") / lit(1.0e7)) / col("n_bigrams"), 4))
+      .withColumn("keep", col("cross_entropy") <= threshold)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("cross_entropy"), col("keep"))
+  }
+
   /** C4-style boilerplate REMOVAL (the transform [[chunkDedup]] is the
     * stats for): drop every k-token chunk whose corpus-wide occurrence
     * exceeds `maxOcc` (shared headers/footers/navigation), reassemble the

@@ -69,6 +69,23 @@ class CurationSpec extends SparkSpec {
     assert(drop(2L) == ((1L, "unique bit")))
   }
 
+  test("perplexityScores: hand-computed Laplace bigram cross-entropy") {
+    // train slice = doc_id % 10 < 3 → only doc 0. Model (lang en):
+    // cb: (a,b)=2, (b,a)=1; cu: a=2, b=1; V = |{a,b}| = 2
+    val d = docs((0L, "a b a b"), (5L, "z z z"), (6L, "lone"))
+    val out = TextOps.perplexityScores(d, threshold = 0.5).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Double]("cross_entropy"),
+          x.getAs[Boolean]("keep")))).toMap
+    // doc 0: p(a,b)=(2+1)/(2+2), p(b,a)=(1+1)/(1+2);
+    // q = floor(ln(p)·1e7) = −2876821, −4054652 → CE = 9808294/1e7/3
+    assert(out(0L) == ((3L, 0.3269, true)))
+    // doc 5: (z,z) twice, fully unseen → p = 1/V = 0.5 each
+    assert(out(5L) == ((2L, 0.6931, false)))
+    // doc 6: one token, no bigrams → absent
+    assert(!out.contains(6L) && out.size == 2)
+  }
+
   test("piiScrub: counts on raw text, sequential redaction, exact hash") {
     val raw = Seq(
       (1L, "reach me at bob.smith@corp.io or 192.168.1.10 or +12025550199 end"),
