@@ -860,6 +860,30 @@ object OraclesML {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** Mirrors Similarity.semDedup (nCentroids=8, threshold=0.35): trained
+    * k-means assignment (the shared [[kmeansCtes]] contract), then inside
+    * each cluster a vector is dropped when ANY lower-id member's cosine
+    * clears the threshold. max over doubles is order-free, so
+    * max_lower_cosine compares exact.
+    */
+  val semDedupSql: String =
+    s"""WITH $evecCte,
+       |${kmeansCtes(KIters)},
+       |assign AS (
+       |  SELECT vec_id, centroid_id, v FROM (
+       |    SELECT e.vec_id, c.centroid_id, e.v,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${cosineSql("cv", "v")} DESC, c.centroid_id) AS rn
+       |    FROM e CROSS JOIN cents_$KIters c) WHERE rn = 1),
+       |best AS (
+       |  SELECT a.vec_id, max(${cosineSql("a.v", "b.v")}) AS max_lower_cosine
+       |  FROM assign a JOIN assign b
+       |    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+       |  GROUP BY 1)
+       |SELECT a.vec_id, a.centroid_id, best.max_lower_cosine,
+       |  coalesce(best.max_lower_cosine < 0.35, TRUE) AS kept
+       |FROM assign a LEFT JOIN best USING (vec_id)""".stripMargin
+
   val jsonPropsSql: String =
     """SELECT event_type, count(*) AS n,
       |  CAST(sum(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -129,6 +129,8 @@ object SparkEntry {
     "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(Tables.embeddings(s, dir))),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvf(Tables.embeddings(s, dir))),
     "q_embedding_neardups" -> ((s, dir) => Similarity.embeddingNearDupsBanded(Tables.embeddings(s, dir))),
+    // SemDeDup: paraphrase-level dedup inside trained k-means clusters
+    "q_semdedup" -> ((s, dir) => Similarity.semDedup(Tables.embeddings(s, dir))),
     "q_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(Tables.embeddings(s, dir))),
     "q_lsh_neardups" -> ((s, dir) => Similarity.lshNearDups(Tables.embeddings(s, dir))),
     // Incremental embedding dedup: new vectors (vec_id % 5 = 4) vs the rest
@@ -255,6 +257,7 @@ object SparkEntry {
     "q_ivf_assign" -> OraclesML.ivfAssignSql,
     "q_ann_ivf" -> OraclesML.annIvfSql,
     "q_embedding_neardups" -> OraclesML.embeddingNearDupsSql,
+    "q_semdedup" -> OraclesML.semDedupSql,
     "q_lsh_buckets" -> OraclesML.lshBucketsSql,
     "q_lsh_neardups" -> OraclesML.lshNearDupsSql,
     "q_incremental_embedding_neardups" -> OraclesML.incrementalEmbeddingNearDupsSql,

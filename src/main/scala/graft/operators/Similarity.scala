@@ -190,6 +190,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): SEMANTIC deduplication — cluster the
+    * corpus with the trained k-means ([[trainCentroids]], the exact model
+    * the IVF queries mirror), then inside each cluster drop every vector
+    * that has a lower-id member with cosine ≥ `threshold`. Unlike the
+    * sign-LSH near-dup path (which targets literal near-copies), the
+    * cluster scope catches paraphrase-level duplicates at far lower τ
+    * without any global pair generation. One-pass pairwise rule (a vector
+    * compares against ALL lower-id cluster members, kept or not) — no
+    * sequential dependency, so the whole operator is one self-join + one
+    * aggregate; strictly more aggressive than the published greedy form on
+    * chains a<b<c where only adjacent pairs clear τ.
+    *
+    * Output: every vector with its cluster, its max cosine to any lower-id
+    * cluster member (NULL for the cluster's min id — max is order-free, so
+    * exact cross-engine), and the keep bit.
+    *
+    * Scale shape: the self-join is keyed on centroid_id — Σ cluster²
+    * pairwise work, the same bound as IVF cell search; nCentroids grows
+    * with the corpus to hold cells flat, and a skew-heavy cluster is real
+    * data skew AQE splits. No global quadratic step; centroids are literal
+    * expressions, so assignment is map-side on the one persisted
+    * normalized frame.
+    */
+  def semDedup(emb: DataFrame, nCentroids: Int = 8, threshold: Double = 0.35,
+               iters: Int = KmeansIters): DataFrame = {
+    val e = vectors(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCentroidsFrom(e, nCentroids, iters)
+    val m = e.select(col("vec_id"), col("v"),
+      (-bestCentroid(cents, col("v"))("nid")).cast("long").as("centroid_id"))
+    val lower = m.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("v").as("vb"))
+    val best = m.join(lower, Seq("centroid_id"))
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("cos", cosine(col("v"), col("vb")))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("max_lower_cosine"))
+    m.join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("max_lower_cosine"),
+        coalesce(col("max_lower_cosine") < threshold, lit(true)).as("kept"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
     * Local baseline is the quadratic join; at scale the same verification
     * kernel runs on LSH/IVF candidate buckets instead (see [[lshNearDups]]).

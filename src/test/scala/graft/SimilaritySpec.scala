@@ -93,6 +93,31 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.embeddingNearDupsBanded(many).count() == 105L)
   }
 
+  test("semDedup: lower-id rule inside clusters, aggressive on chains, cluster min-id kept") {
+    // seeds (iters=0 keeps them): c0 = id0 at 0°, c1 = id1 at 270°.
+    // id2 at 60° and id3 at 120° both land in cluster 0.
+    val df = emb(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0f, -1f),
+      2L -> Seq(0.5f, 0.8660254f),
+      3L -> Seq(-0.5f, 0.8660254f))
+    val out = Similarity.semDedup(df, nCentroids = 2, threshold = 0.35, iters = 0)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("centroid_id"), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getAs[Boolean]("kept")))).toMap
+    // cluster min-ids have no lower-id member → NULL, kept
+    assert(out(0L) == ((0L, None, true)))
+    assert(out(1L) == ((1L, None, true)))
+    // id2: cos vs id0 = 0.5 ≥ τ → dropped
+    assert(out(2L)._1 == 0L && !out(2L)._3)
+    assert(math.abs(out(2L)._2.get - 0.5) < 1e-6)
+    // id3: cos vs id0 = −0.5, vs id2 = 0.5 → dropped even though its only
+    // ≥τ lower neighbor (id2) was itself dropped — the one-pass pairwise
+    // rule, aggressive on chains by contract
+    assert(out(3L)._1 == 0L && !out(3L)._3)
+    assert(math.abs(out(3L)._2.get - 0.5) < 1e-6)
+  }
+
   test("graft_dot propagates a null element as NULL, not 0.0 (codegen + interpreted)") {
     graft.functions.VectorExpressions.register(spark)
     // codegen path (Project under whole-stage codegen)
