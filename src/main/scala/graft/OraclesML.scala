@@ -331,6 +331,26 @@ object OraclesML {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM r GROUP BY 1""".stripMargin
 
+  /** Mirrors Sampling.mixtureWeights (α fixed at 0.5 → sqrt, correctly
+    * rounded on both engines; denominator = Σ floor(sqrt(share)·1e9) as
+    * exact BIGINTs — the fixed-point contract).
+    */
+  val mixtureWeightsSql: String =
+    s"""WITH s AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len($W)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM s),
+       |q AS (
+       |  SELECT s.*, tt,
+       |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / tt) * 1.0e9) AS BIGINT) AS q
+       |  FROM s CROSS JOIN t)
+       |SELECT source, n_docs, n_tokens,
+       |  round_even(CAST(n_tokens AS DOUBLE) / tt, 4) AS token_share,
+       |  round_even(CAST(q AS DOUBLE)
+       |    / CAST(sum(q) OVER () AS BIGINT), 4) AS mix_weight
+       |FROM q""".stripMargin
+
   val variantPropsSql: String =
     """SELECT event_type,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
@@ -1162,6 +1182,26 @@ object OraclesML {
        |  round_even(CAST(count(*) FILTER (WHERE n > 1) AS DOUBLE) / count(*), 4)
        |    AS dup_chunk_ratio
        |FROM occ GROUP BY doc_id""".stripMargin
+
+  /** Mirrors TextOps.classifierScores: the identical integer weight
+    * literals (md5-derived, shared from the operator object), hex bucket
+    * parse via DuckDB's 0x-cast, exact long accumulation.
+    */
+  val classifierScoresSql: String = {
+    val wlist = graft.operators.TextOps.ClassifierWeights.mkString("[", ", ", "]")
+    s"""WITH tok AS (SELECT doc_id, unnest($W) AS t FROM documents),
+       |b AS (SELECT doc_id,
+       |    $wlist[CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+       |           % ${graft.operators.TextOps.ClassifierBuckets} + 1 AS INT)] AS w
+       |  FROM tok),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(w) AS BIGINT) AS raw_score
+       |  FROM b GROUP BY 1)
+       |SELECT doc_id, n_tokens, raw_score,
+       |  round_even(CAST(raw_score AS DOUBLE) / n_tokens, 4) AS score,
+       |  raw_score > 0 AS label
+       |FROM agg""".stripMargin
+  }
 
   /** Mirrors TextOps.perplexityScores (trainMod=10, trainLt=3,
     * threshold=3.5): add-one bigram LM trained per language on the

@@ -76,6 +76,10 @@ object SparkEntry {
     // CCNet-style LM perplexity filter: per-lang bigram model on a reference
     // slice, every doc scored by cross-entropy, keep flag on the rounded score
     "q_perplexity_filter" -> ((s, dir) => TextOps.perplexityScores(Tables.documents(s, dir))),
+    // temperature-based domain mixture weights (α=0.5 rebalance per source)
+    "q_mixture_weights" -> ((s, dir) => Sampling.mixtureWeights(Tables.documents(s, dir))),
+    // fastText-style hashed linear classifier inference (exact integer path)
+    "q_classifier_scores" -> ((s, dir) => TextOps.classifierScores(Tables.documents(s, dir))),
     // PII scrub over deterministically synthesized raw docs (the corpus is
     // PII-free word salad; the synthesis seam mirrors q_parse_klines)
     "q_pii_scrub" -> ((s, dir) =>
@@ -232,6 +236,8 @@ object SparkEntry {
     "q_chunk_dedup" -> OraclesML.chunkDedupSql,
     "q_scrub_boilerplate" -> OraclesML.scrubBoilerplateSql,
     "q_perplexity_filter" -> OraclesML.perplexityScoresSql,
+    "q_mixture_weights" -> OraclesML.mixtureWeightsSql,
+    "q_classifier_scores" -> OraclesML.classifierScoresSql,
     "q_pii_scrub" -> OraclesML.piiScrubSql,
     "q_canonical_docs" -> OraclesML.canonicalDocsSql,
     "q_budget_sample" -> OraclesML.budgetSampleSql,

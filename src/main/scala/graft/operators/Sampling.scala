@@ -120,6 +120,38 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
 
+  /** Temperature-based domain mixture weights (the UnifiedQA/PaLM
+    * `p_i^α / Σ p_j^α` rule at α = 0.5): per source, the token share and
+    * the re-balanced sampling weight that upweights small domains without
+    * letting any single giant source dominate an epoch.
+    *
+    * α is FIXED at 0.5 so the power is `sqrt` — correctly rounded in
+    * IEEE-754 on both engines, unlike libm `pow`, which carries no
+    * cross-engine bit guarantee. The normalizing denominator sums
+    * floor(sqrt(share)·10^9) as LONGS (the [[Similarity.KmeansScale]]
+    * fixed-point contract) so the Σ is addition-order-free; every output
+    * double is then a deterministic function of exact integers.
+    *
+    * Scale shape: one groupBy(source) aggregate (partial map-side, output
+    * rows = number of sources), a broadcast scalar for corpus totals, and
+    * a whole-frame window over the source-count-sized frame — nothing
+    * downstream of the scan is corpus-sized.
+    */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("__t"))
+    val q = floor(sqrt(col("n_tokens").cast("double") / col("__t"))
+      * lit(1.0e9)).cast("long")
+    perSource.crossJoin(broadcast(total))
+      .withColumn("__q", q)
+      .withColumn("__denom", sum(col("__q")).over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        bround(col("n_tokens").cast("double") / col("__t"), 4).as("token_share"),
+        bround(col("__q").cast("double") / col("__denom"), 4).as("mix_weight"))
+  }
+
   def trainingOrder(docs: DataFrame, seed: String = "graft"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -298,6 +298,51 @@ object TextOps {
         bround(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
   }
 
+  /** Feature-hash bucket count and the md5-derived integer weight table of
+    * [[classifierScores]]. Weights are INTEGERS in [−15, 15] so every
+    * per-document accumulation is exact long arithmetic — no float fold,
+    * no ordering concern, bit-free cross-engine parity. The md5 derivation
+    * stands in for offline training (the inference seam is what runs at
+    * corpus scale; a trained model would just swap these literals).
+    */
+  val ClassifierBuckets = 64
+  lazy val ClassifierWeights: Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until ClassifierBuckets).map { b =>
+      val h = md.digest(s"w:$b".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 31 - 15
+    }
+  }
+
+  /** fastText-style hashed linear classifier INFERENCE (Joulin et al. 2017,
+    * the quality-filter form used by GPT-3/LLaMA-style curation): each
+    * token hashes into one of [[ClassifierBuckets]] feature buckets
+    * (first 8 md5 hex chars mod buckets — DuckDB parses the same hex), the
+    * document's raw score is Σ w[bucket(tok)] over token OCCURRENCES, and
+    * the classifier emits the length-normalized score plus the keep label.
+    * Integer weights make raw exact; `label` compares the LONG raw score
+    * (not the rounded double), so the decision bit is arithmetic-exact.
+    *
+    * Scale shape: weights are a literal array (zero broadcast, zero join —
+    * the lookup is an `element_at` in the scan stage), so the whole
+    * operator is one explode + one doc-keyed aggregate. Inference cost is
+    * O(corpus tokens) with no model-side shuffle at any corpus size.
+    */
+  def classifierScores(docs: DataFrame): DataFrame = {
+    val wts = typedlit(ClassifierWeights)
+    val bucket = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % ClassifierBuckets
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        element_at(wts, (bucket + 1).cast("int")).as("__w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("raw_score"))
+      .select(col("doc_id"), col("n_tokens"), col("raw_score"),
+        bround(col("raw_score").cast("double") / col("n_tokens"), 4).as("score"),
+        (col("raw_score") > 0L).as("label"))
+  }
+
   /** CCNet-style language-model perplexity filtering (Wenzek et al. 2020
     * §4.3, with an add-one bigram LM standing in for KenLM): a per-language
     * bigram model is trained on a deterministic REFERENCE slice

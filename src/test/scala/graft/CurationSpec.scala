@@ -69,6 +69,27 @@ class CurationSpec extends SparkSpec {
     assert(drop(2L) == ((1L, "unique bit")))
   }
 
+  test("classifierScores: SQL hash path equals the JVM weight derivation, exact label bit") {
+    def bucket(tok: String): Int =
+      (java.lang.Long.parseLong(md5hex(tok).take(8), 16)
+        % TextOps.ClassifierBuckets).toInt
+    def raw(toks: Seq[String]): Long =
+      toks.map(t => TextOps.ClassifierWeights(bucket(t))).sum
+    val t1 = Seq("alpha", "beta", "gamma", "alpha")
+    val t2 = Seq("") // empty text → the single empty-string token
+    val d = docs((1L, t1.mkString(" ")), (2L, ""))
+    val out = TextOps.classifierScores(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("raw_score"),
+          r.getAs[Double]("score"), r.getAs[Boolean]("label")))).toMap
+    val r1 = raw(t1)
+    assert(out(1L) == ((4L, r1,
+      BigDecimal(r1 / 4.0).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+      r1 > 0)))
+    val r2 = raw(t2)
+    assert(out(2L) == ((1L, r2, r2.toDouble, r2 > 0)))
+  }
+
   test("perplexityScores: hand-computed Laplace bigram cross-entropy") {
     // train slice = doc_id % 10 < 3 → only doc 0. Model (lang en):
     // cb: (a,b)=2, (b,a)=1; cu: a=2, b=1; V = |{a,b}| = 2

@@ -87,6 +87,20 @@ class SamplingSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("mixtureWeights: sqrt temperature rebalance, exact 3:1 fixed-point split") {
+    // 9 tokens vs 1 token → shares 0.9/0.1; sqrt ratio 3:1, and the 1e9
+    // fixed-point floors land exactly on the 3:1 integers → weights .75/.25
+    val d = Seq(
+      (1L, (1 to 9).map(i => s"t$i").mkString(" "), "big"),
+      (2L, "x", "small")).toDF("doc_id", "text", "source")
+    val out = Sampling.mixtureWeights(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("token_share"), r.getAs[Double]("mix_weight")))).toMap
+    assert(out("big") == ((1L, 9L, 0.9, 0.75)))
+    assert(out("small") == ((1L, 1L, 0.1, 0.25)))
+  }
+
   test("shardAssignments: balanced to ±1 without a corpus count, stable") {
     val byShard = Sampling.shardAssignments(docs, nShards = 7).collect()
       .groupBy(_.getAs[Long]("shard")).view.mapValues(_.length).toMap
