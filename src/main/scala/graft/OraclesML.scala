@@ -1183,6 +1183,67 @@ object OraclesML {
        |    AS dup_chunk_ratio
        |FROM occ GROUP BY doc_id""".stripMargin
 
+  /** Unrolled BPE merge rounds mirroring Bpe.trainMerges: word table once,
+    * then per round (pair counts from the double-space symbol encoding →
+    * 1-row argmax with (cnt DESC, l, r) ties → literal replace via scalar
+    * subqueries). The same single-pass-per-round replace contract as the
+    * Spark side.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""w_0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS sym,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($W) AS w FROM documents) WHERE w != ''
+       |  GROUP BY 1)""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s""",
+         |p_$r AS MATERIALIZED (
+         |  SELECT s[i] AS l, s[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(sym), '  ') AS s, freq FROM w_$p),
+         |    unnest(generate_series(1, len(s) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |m_$r AS MATERIALIZED (SELECT l, r, cnt FROM p_$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |w_$r AS MATERIALIZED (
+         |  SELECT replace(sym,
+         |      ' ' || (SELECT l FROM m_$r) || '  ' || (SELECT r FROM m_$r) || ' ',
+         |      ' ' || (SELECT l || r FROM m_$r) || ' ') AS sym, freq
+         |  FROM w_$p)""".stripMargin
+    }
+    sb.result()
+  }
+
+  /** Mirrors Bpe.trainMerges (8 merges). */
+  val bpeMergesSql: String = {
+    val rounds = graft.operators.Bpe.NumMerges
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m_$r")
+      .mkString("\n|UNION ALL ")
+    s"""WITH ${bpeCtes(rounds)}
+       |$union""".stripMargin
+  }
+
+  /** Mirrors Bpe.applyMerges under the trained merge table: the identical
+    * single-pass replace chain replayed in rank order over every token.
+    */
+  val bpeSegmentSql: String = {
+    val rounds = graft.operators.Bpe.NumMerges
+    val enc = "' ' || array_to_string(string_split(tok, ''), '  ') || ' '"
+    val chain = (1 to rounds).foldLeft(enc) { (c, r) =>
+      s"""replace($c,
+         |    ' ' || (SELECT l FROM m_$r) || '  ' || (SELECT r FROM m_$r) || ' ',
+         |    ' ' || (SELECT l || r FROM m_$r) || ' ')""".stripMargin
+    }
+    s"""WITH ${bpeCtes(rounds)}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(trim($chain), '  '))) AS BIGINT)
+       |    AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest($W) AS tok FROM documents)
+       |WHERE tok != ''
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Mirrors TextOps.classifierScores: the identical integer weight
     * literals (md5-derived, shared from the operator object), hex bucket
     * parse via DuckDB's 0x-cast, exact long accumulation.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TimeExprs
 import org.apache.spark.sql.functions.{col, count, lit, posexplode, sum}
 
-import graft.operators.{AsOf, Dedup, Maintenance, Multimodal, Ohlc, Options, Relational, Sampling, Similarity, TextOps}
+import graft.operators.{AsOf, Bpe, Dedup, Maintenance, Multimodal, Ohlc, Options, Relational, Sampling, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -80,6 +80,16 @@ object SparkEntry {
     "q_mixture_weights" -> ((s, dir) => Sampling.mixtureWeights(Tables.documents(s, dir))),
     // fastText-style hashed linear classifier inference (exact integer path)
     "q_classifier_scores" -> ((s, dir) => TextOps.classifierScores(Tables.documents(s, dir))),
+    // BPE tokenizer training: 8 merge rounds over the vocabulary-bounded
+    // word table; the learned merge table is the result
+    "q_bpe_merges" -> ((s, dir) => Bpe.trainMerges(Tables.documents(s, dir))),
+    // BPE apply: per-doc token counts under the trained merges
+    "q_bpe_segment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val m = Bpe.trainMerges(d).orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.applyMerges(d, m)
+    }),
     // PII scrub over deterministically synthesized raw docs (the corpus is
     // PII-free word salad; the synthesis seam mirrors q_parse_klines)
     "q_pii_scrub" -> ((s, dir) =>
@@ -238,6 +248,8 @@ object SparkEntry {
     "q_perplexity_filter" -> OraclesML.perplexityScoresSql,
     "q_mixture_weights" -> OraclesML.mixtureWeightsSql,
     "q_classifier_scores" -> OraclesML.classifierScoresSql,
+    "q_bpe_merges" -> OraclesML.bpeMergesSql,
+    "q_bpe_segment" -> OraclesML.bpeSegmentSql,
     "q_pii_scrub" -> OraclesML.piiScrubSql,
     "q_canonical_docs" -> OraclesML.canonicalDocsSql,
     "q_budget_sample" -> OraclesML.budgetSampleSql,

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Bpe
+
+/** BPE training/apply edge semantics on hand-built corpora. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*) =
+    texts.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("trainMerges: frequency argmax, merged symbols feed later rounds") {
+    // "ccc"×2: round 1 merges (c,c) with 4 pair occurrences; the word
+    // becomes [cc, c], so round 2 merges (cc, c) — hierarchy via the
+    // round-1 output symbol
+    val m = Bpe.trainMerges(docs((1L, "ccc ccc")), numMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq((1L, "c", "c", "cc", 4L), (2L, "cc", "c", "ccc", 2L)))
+  }
+
+  test("trainMerges: tie-break on (count desc, lhs, rhs)") {
+    // (a,b) and (b,a) both occur twice in "abab"; lexicographic tie → (a,b)
+    val m = Bpe.trainMerges(docs((1L, "abab")), numMerges = 1).collect()
+    assert((m(0).getString(1), m(0).getString(2)) == (("a", "b")))
+  }
+
+  test("applyMerges: greedy left-to-right single pass per merge") {
+    // "aaa" under merge (a,a): greedy left gives [aa, a] — 2 BPE tokens
+    val out = Bpe.applyMerges(
+      docs((1L, "aaa ab"), (2L, "b")), Seq(("a", "a"), ("a", "b"))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    // doc 1: "aaa" → [aa, a] (2), "ab" → [ab] (1) → 3 BPE tokens
+    assert(out(1L) == ((2L, 3L)))
+    // doc 2: single char, no merge applies
+    assert(out(2L) == ((1L, 1L)))
+  }
+
+  test("applyMerges replay matches training segmentation on the train corpus") {
+    val d = docs((1L, "ccc ccc cd"))
+    val merges = Bpe.trainMerges(d, numMerges = 2).orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = Bpe.applyMerges(d, merges).collect()
+    // "ccc"→[ccc] after both merges; "cd"→[c, d]
+    assert(out(0).getAs[Long]("n_bpe_tokens") == 1L + 1L + 2L)
+  }
+}
