@@ -205,7 +205,9 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir)),
     // REAL codec path (javax.imageio round-trip) — deliberately NO oracle:
     // a PNG decode is not SQL-expressible, the driver records rows-only
-    "q_media_decode" -> ((s, dir) => Multimodal.mediaDecodeQuery(s, dir))
+    "q_media_decode" -> ((s, dir) => Multimodal.mediaDecodeQuery(s, dir)),
+    // REAL audio codec path (javax.sound WAV round-trip) — rows-only too
+    "q_audio_decode" -> ((s, dir) => Multimodal.audioDecodeQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

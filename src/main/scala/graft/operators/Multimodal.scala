@@ -153,6 +153,108 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL audio decoder through the same [[Decoder]] seam: javax.sound's
+    * built-in WAV reader (headless-safe — file parsing, no audio device).
+    * Features are the `dim`-bucket |amplitude| histogram as fractions of
+    * the sample count (the audio analog of [[ImageDecoder]]'s luminance
+    * histogram — order-free, deterministic). Undecodable payloads fail
+    * loudly, same stance as the image path.
+    */
+  object AudioDecoder extends Decoder {
+    /** (format, 16-bit little-endian mono samples) of a WAV payload. */
+    def decode(payload: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Short]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono WAV, got $fmt")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (fmt, samples)
+    }
+
+    def featuresOf(samples: Array[Short], dim: Int): Array[Float] = {
+      val hist = new Array[Long](dim)
+      var i = 0
+      while (i < samples.length) {
+        val amp = math.min(32767, math.abs(samples(i).toInt))
+        hist(math.min(dim - 1, amp * dim / 32768)) += 1L
+        i += 1
+      }
+      hist.map(c => c.toFloat / samples.length)
+    }
+
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val (_, samples) = decode(payload)
+      featuresOf(samples, dim)
+    }
+  }
+
+  /** Decoded-audio row: format metadata read back from the REAL WAV header
+    * plus amplitude summary features.
+    */
+  case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Long,
+                          n_bytes: Long, peak: Int, f0: Float, f_last: Float)
+
+  /** Deterministic REAL WAV payloads (this container ships no audio files):
+    * sample i of row id is the 16-bit value ((id·31 + i·7) mod 256 − 128)·256,
+    * written through the genuine javax.sound WAV encoder — RIFF header,
+    * PCM_SIGNED 16-bit mono at the row's sample_rate. One encoder pass per
+    * partition, map-side only.
+    */
+  def audioTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mediaTable(docs).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.width * 16
+        val raw = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((r.media_id * 31 + i * 7) % 256) - 128).toInt * 256
+          raw(2 * i) = (s & 0xff).toByte
+          raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        r.copy(kind = "audio", payload = out.toByteArray, sample_rate = 16000)
+      }
+    }
+  }
+
+  /** Driver query for the real audio path: synthesize WAVs → decode with
+    * [[AudioDecoder]] → format metadata read back from the header +
+    * amplitude features. Rows-only like [[mediaDecodeQuery]] (a RIFF
+    * round-trip has no SQL oracle); `MultimodalSpec` pins the semantics.
+    */
+  def audioDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(graft.Tables.documents(spark, dir)).mapPartitions { rows =>
+      rows.map { r =>
+        val (fmt, samples) = AudioDecoder.decode(r.payload)
+        val f = AudioDecoder.featuresOf(samples, 16)
+        var peak = 0
+        var i = 0
+        while (i < samples.length) {
+          peak = math.max(peak, math.abs(samples(i).toInt)); i += 1
+        }
+        DecodedAudio(r.media_id, fmt.getSampleRate.toInt, samples.length.toLong,
+          r.payload.length.toLong, peak, f(0), f(15))
+      }
+    }.toDF()
+  }
+
   /** Synthesized media table over `documents`: text bytes as the payload,
     * deterministic metadata. Stands in for a real (path, bytes, metadata)
     * ingest of images/audio.

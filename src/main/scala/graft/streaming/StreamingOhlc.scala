@@ -153,6 +153,60 @@ object StreamingOhlc {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
 
+  /** Last event-time position per instrument, carried across micro-batches. */
+  case class LastSeen(ts: Long, trade_id: Long)
+
+  /** A detected feed gap: consecutive trades (event-time order) further
+    * apart than the alert threshold.
+    */
+  case class GapAlert(instrument_name: String, prev_ts: java.sql.Timestamp,
+                      ts: java.sql.Timestamp, gap_seconds: Long)
+
+  /** Streaming gap ALERTS via flatMapGroupsWithState — the streaming twin of
+    * the batch LAG detector ([[graft.operators.Maintenance.gapDetect]]) and
+    * the trigger feeding the reference's gap-repair deployment
+    * (`binance_1m.py:404-507`; batch repair stays
+    * [[graft.operators.GapRepair]]). flatMap (not map) because a group
+    * legitimately emits ZERO alerts on a healthy batch and SEVERAL after an
+    * outage — the one stateful shape `mapGroupsWithState`'s 1-output
+    * contract can't express.
+    *
+    * Within a batch events are sorted by event-time key; the gap check runs
+    * against the carried [[LastSeen]] state, so a gap spanning micro-batch
+    * boundaries (the common case — the feed went quiet BETWEEN ticks) is
+    * caught exactly once. Out-of-order stragglers older than the state's
+    * position never advance it (no retro-alerts; same late-data stance as
+    * the batch detector's per-instrument event-time sort). State is one
+    * (long, long) per instrument — O(instruments), not O(events).
+    */
+  def gapAlerts(trades: Dataset[TradeEvent],
+                minGapSeconds: Long = 3600): Dataset[GapAlert] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades.groupByKey(_.instrument_name)
+      .flatMapGroupsWithState[LastSeen, GapAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (inst, events, state: GroupState[LastSeen]) =>
+          import scala.math.Ordering.Implicits._
+          val sorted = events.toSeq.sortBy(e => (e.timestamp.getTime, e.trade_id))
+          var last = state.getOption
+          val alerts = Seq.newBuilder[GapAlert]
+          sorted.foreach { e =>
+            val k = (e.timestamp.getTime, e.trade_id)
+            last.foreach { l =>
+              val gap = (e.timestamp.getTime - l.ts) / 1000L
+              if (k > ((l.ts, l.trade_id)) && gap >= minGapSeconds)
+                alerts += GapAlert(inst, new java.sql.Timestamp(l.ts),
+                  e.timestamp, gap)
+            }
+            if (last.forall(l => k > ((l.ts, l.trade_id))))
+              last = Some(LastSeen(e.timestamp.getTime, e.trade_id))
+          }
+          last.foreach(state.update)
+          alerts.result().iterator
+      }
+  }
+
   /** Output-mode helper: hourly OHLC is meant for update mode (late data
     * within the watermark overwrites its bucket, mirroring upserts).
     */

@@ -83,6 +83,50 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded == meta)
   }
 
+  test("AudioDecoder round-trips a real WAV fixture: format, samples, histogram mass") {
+    // hand-built WAV: 16 samples of a known ramp through the REAL encoder
+    val samples = (0 until 16).map(i => (i * 2048 - 16384).toShort).toArray
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = (s & 0xff).toByte; raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val (rfmt, rsamples) = Multimodal.AudioDecoder.decode(out.toByteArray)
+    assert(rfmt.getSampleRate == 16000f)
+    assert(rsamples.toSeq == samples.toSeq) // bit-exact PCM round-trip
+    val f = Multimodal.AudioDecoder.featuresOf(rsamples, 8)
+    assert(math.abs(f.sum - 1f) < 1e-6)
+    // silence: all mass in bucket 0
+    val sf = Multimodal.AudioDecoder.featuresOf(new Array[Short](32), 8)
+    assert(sf(0) == 1f && sf.drop(1).forall(_ == 0f))
+    // corrupt payload fails loudly
+    intercept[Exception] {
+      Multimodal.AudioDecoder.decode(Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("audioTable synthesizes real WAVs and audioDecodeQuery reads back the header") {
+    val rows = Multimodal.audioTable(docs).collect()
+    assert(rows.forall(_.kind == "audio"))
+    assert(rows.forall(r => new String(r.payload.take(4), "US-ASCII") == "RIFF"))
+    val meta = Multimodal.mediaTable(docs).select("media_id", "width")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (fmt, samples) = Multimodal.AudioDecoder.decode(r.payload)
+      assert(fmt.getSampleRate == 16000f)
+      // sample count = width·16, the synthesis contract
+      assert(samples.length == meta(r.media_id) * 16)
+      // waveform matches the deterministic generator
+      val expected0 = (((r.media_id * 31) % 256) - 128).toInt * 256
+      assert(samples(0).toInt == expected0)
+    }
+  }
+
   test("resizeMeta: scales longest side to maxSide, drops payload") {
     val r = Multimodal.resizeMeta(Multimodal.mediaTable(docs), maxSide = 32).collect()
     assert(r.forall(x => x.getAs[Int]("out_width") <= 32 && x.getAs[Int]("out_height") <= 32))

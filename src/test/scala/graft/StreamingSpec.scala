@@ -149,6 +149,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState gap alerts: cross-batch gaps fire once, stragglers never retro-alert") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TradeEvent]
+    val q = StreamingOhlc.gapAlerts(mem.toDS(), minGapSeconds = 3600)
+      .writeStream.format("memory").queryName("gap_alerts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // healthy batch: 1-minute spacing → zero alerts (the flatMap case)
+      mem.addData(trade("2024-01-01 10:00:00", 100.0, 1),
+        trade("2024-01-01 10:01:00", 101.0, 2))
+      q.processAllAvailable()
+      assert(spark.table("gap_alerts").count() == 0L)
+      // the feed goes quiet BETWEEN micro-batches: next event 3h later →
+      // exactly one alert, against the carried state
+      mem.addData(trade("2024-01-01 13:01:00", 102.0, 3))
+      q.processAllAvailable()
+      val a = spark.table("gap_alerts").collect()
+      assert(a.length == 1)
+      assert(a(0).getAs[String]("instrument_name") == "BTC")
+      assert(a(0).getAs[Long]("gap_seconds") == 3L * 3600)
+      // a straggler OLDER than the state's position: no alert, no state
+      // regression (the next in-order event measures from 13:01, not 09:00)
+      mem.addData(trade("2024-01-01 09:00:00", 99.0, 0))
+      q.processAllAvailable()
+      assert(spark.table("gap_alerts").count() == 1L)
+      mem.addData(trade("2024-01-01 15:01:00", 103.0, 4))
+      q.processAllAvailable()
+      val b = spark.table("gap_alerts")
+        .orderBy(org.apache.spark.sql.functions.col("ts")).collect()
+      assert(b.length == 2)
+      assert(b(1).getAs[Long]("gap_seconds") == 2L * 3600)
+      // per-instrument isolation: a different instrument starts fresh
+      mem.addData(trade("2024-01-01 23:00:00", 1.0, 5, inst = "ETH"))
+      q.processAllAvailable()
+      assert(spark.table("gap_alerts").count() == 2L)
+    } finally q.stop()
+  }
+
   test("payload decode runs unchanged on a stream: raw kline JSON -> typed bars") {
     // the ingest shape end to end: a paged fetch lands raw payload strings,
     // decode is a pure projection, so the SAME operator serves readStream
