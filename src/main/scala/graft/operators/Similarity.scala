@@ -146,12 +146,24 @@ object Similarity {
                 iters: Int = KmeansIters): DataFrame = {
     val e = vectors(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCentroidsFrom(e, nCentroids, iters)
+    ivfAssignFrom(e, trainCentroidsFrom(e, nCentroids, iters))
+  }
+
+  /** Assignment under ALREADY-TRAINED centroids (self-contained queries
+    * train in-query; [[CentroidStore]] consumers pass staged centroids) —
+    * `e` must be a [[vectors]] frame.
+    */
+  private[operators] def ivfAssignFrom(e: DataFrame,
+                                       cents: Seq[Array[Double]]): DataFrame =
     e.select(col("vec_id"), bestCentroid(cents, col("v")).as("__best"))
       .select(col("vec_id"),
         (-col("__best")("nid")).cast("long").as("centroid_id"),
         col("__best")("c").as("centroid_cosine"))
-  }
+
+  /** The normalized-vector frame, exposed for [[CentroidStore]] consumers
+    * (same normalize-once contract as every in-object caller).
+    */
+  private[operators] def normalized(emb: DataFrame): DataFrame = vectors(emb)
 
   /** IVF top-k with MULTI-PROBE search: each query (vec_id < nQueries)
     * probes its `nProbe` nearest trained centroids' cells and scores only
@@ -167,7 +179,15 @@ object Similarity {
              iters: Int = KmeansIters): DataFrame = {
     val e = vectors(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCentroidsFrom(e, nCentroids, iters)
+    annIvfFrom(e, trainCentroidsFrom(e, nCentroids, iters), k, nProbe, nQueries)
+  }
+
+  /** Multi-probe search under already-trained centroids ([[CentroidStore]]
+    * consumers skip the in-query training entirely).
+    */
+  private[operators] def annIvfFrom(e: DataFrame, cents: Seq[Array[Double]],
+                                    k: Int, nProbe: Int,
+                                    nQueries: Int): DataFrame = {
     val members = e
       .select(col("vec_id"), col("v"), bestCentroid(cents, col("v")).as("__best"))
       .select(col("vec_id"), col("v"), (-col("__best")("nid")).as("centroid_id"))
@@ -217,7 +237,12 @@ object Similarity {
                iters: Int = KmeansIters): DataFrame = {
     val e = vectors(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainCentroidsFrom(e, nCentroids, iters)
+    semDedupFrom(e, trainCentroidsFrom(e, nCentroids, iters), threshold)
+  }
+
+  /** The cluster-scoped drop rule under already-trained centroids. */
+  private[operators] def semDedupFrom(e: DataFrame, cents: Seq[Array[Double]],
+                                      threshold: Double): DataFrame = {
     val m = e.select(col("vec_id"), col("v"),
       (-bestCentroid(cents, col("v"))("nid")).cast("long").as("centroid_id"))
     val lower = m.select(col("centroid_id"), col("vec_id").as("vec_b"),

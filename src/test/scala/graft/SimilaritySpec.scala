@@ -118,6 +118,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(3L)._2.get - 0.5) < 1e-6)
   }
 
+  test("CentroidStore: staged consumers byte-identical to self-contained forms") {
+    import graft.operators.CentroidStore
+    val df = emb(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.1f, 0.9f),
+      4L -> Seq(0.8f, 0.3f), 5L -> Seq(0.3f, 0.8f))
+    val root = java.nio.file.Files.createTempDirectory("graft_centroids").toString
+    CentroidStore.build(df, root, nCentroids = 2)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(CentroidStore.ivfAssign(df, root))
+      == rows(Similarity.ivfAssign(df, nCentroids = 2)))
+    assert(rows(CentroidStore.semDedup(df, root))
+      == rows(Similarity.semDedup(df, nCentroids = 2)))
+    assert(rows(CentroidStore.annIvf(df, root, k = 3, nQueries = 2))
+      == rows(Similarity.annIvf(df, nCentroids = 2, k = 3, nQueries = 2)))
+    spark.catalog.clearCache()
+  }
+
   test("graft_dot propagates a null element as NULL, not 0.0 (codegen + interpreted)") {
     graft.functions.VectorExpressions.register(spark)
     // codegen path (Project under whole-stage codegen)
