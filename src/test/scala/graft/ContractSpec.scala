@@ -13,7 +13,9 @@ class ContractSpec extends SparkSpec {
   private val rowsOnlyByDesign = Set(
     // real javax.imageio PNG round-trip: a codec decode is not
     // SQL-expressible; MultimodalSpec pins the semantics on fixtures
-    "q_media_decode")
+    "q_media_decode",
+    // real javax.sound WAV round-trip — same rationale as q_media_decode
+    "q_audio_decode")
 
   test("oracleSql keys ⊆ queries keys; every query is oracle-backed") {
     val q = SparkEntry.queries.keySet

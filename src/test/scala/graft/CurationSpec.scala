@@ -107,6 +107,17 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(6L) && out.size == 2)
   }
 
+  test("perplexityScores: a language absent from the train slice is not scorable") {
+    // doc 15 is the only 'fr' doc and sits outside doc_id%10<3 → no fr
+    // model exists; the doc is absent rather than scored against nothing
+    val d = Seq(
+      (0L, "a b a", "en", "src", 5L),
+      (15L, "x y z", "fr", "src", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.perplexityScores(d).collect().map(_.getAs[Long]("doc_id"))
+    assert(out.toSeq == Seq(0L))
+  }
+
   test("piiScrub: counts on raw text, sequential redaction, exact hash") {
     val raw = Seq(
       (1L, "reach me at bob.smith@corp.io or 192.168.1.10 or +12025550199 end"),
