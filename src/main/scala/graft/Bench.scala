@@ -180,12 +180,29 @@ object Bench {
     }
     val finalMins = mins0 ++ retriedMins
     val cal1 = calibrate(spark)
+    // The baseline's quiet floor may be a scalar ("calibration": 0.232,
+    // hand-recorded) or the two-sample array this main itself emits
+    // ("calibration":[0.059,0.280]) when the baseline was regenerated from
+    // run output — accept both (array -> min of the samples) so refreshing
+    // the baseline cannot silently disarm the host-contention guard.
     val calFloor: Option[Double] = {
       val f = new java.io.File("scripts/bench_baseline.json")
       if (!f.isFile) None
-      else "\"calibration\"\\s*:\\s*([0-9.Ee+-]+)".r
-        .findFirstMatchIn(scala.io.Source.fromFile(f).mkString)
-        .map(_.group(1).toDouble)
+      else {
+        val txt = scala.io.Source.fromFile(f).mkString
+        val scalar = "\"calibration\"\\s*:\\s*([0-9.Ee+-]+)".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        val array = "\"calibration\"\\s*:\\s*\\[([0-9.Ee+,\\s-]+)\\]".r
+          .findFirstMatchIn(txt)
+          .map(_.group(1).split(",").map(_.trim.toDouble).min)
+        val floor = scalar.orElse(array)
+        if (floor.isEmpty)
+          System.err.println(
+            "[bench] WARNING: scripts/bench_baseline.json has no parseable " +
+              "\"calibration\" floor — the host-contention taint guard is DISARMED " +
+              "for this run; re-record the baseline with a calibration entry")
+        floor
+      }
     }
     val tainted = calFloor.exists(fl => cal0 > 2 * fl || cal1 > 2 * fl)
     if (tainted)
@@ -205,7 +222,19 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val regJson = regressions.map(r => "\"" + r.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"sf":"$sfDir","regressions":$regJson,"calibration":[$cal0%.3f,$cal1%.3f],"tainted":$tainted}""")
+    val line = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"sf":"$sfDir","regressions":$regJson,"calibration":[$cal0%.3f,$cal1%.3f],"tainted":$tainted}"""
+    println(line)
+    // Durable sidecar: the driver captures stdout with a bounded tail, which
+    // clipped round 6's record mid-value (BENCH_r06.json "parsed": null).
+    // The full line is always recoverable from this file.
+    try {
+      val out = new java.io.File("scripts/bench_last.json")
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[bench] sidecar write failed (non-fatal): ${e.getMessage}")
+    }
     spark.stop()
     if (regressions.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
       sys.exit(2)
