@@ -82,7 +82,17 @@ object Corpus {
   }
 
   private def cleanStats(docs: DataFrame, minQuality: Double,
-                         pairsOf: DataFrame => DataFrame): DataFrame = {
+                         pairsOf: DataFrame => DataFrame): DataFrame =
+    cleanedSurvivors(docs, minQuality, pairsOf)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** Quality gate → exact dedup → near-dup canonical survivors, returning
+    * the surviving document rows themselves (the stage chain
+    * [[cleanCorpusStats]] aggregates and [[corpusPipeline]] continues).
+    */
+  private def cleanedSurvivors(docs: DataFrame, minQuality: Double,
+                               pairsOf: DataFrame => DataFrame): DataFrame = {
     // inline per-row gate — no metrics self-join; the filter runs inside
     // the scan stage and prunes before any shingling work
     val clean = docs.filter(TextOps.qualityScore(col("text")) >= minQuality)
@@ -98,11 +108,10 @@ object Corpus {
     // survive by the null branch
     val groups = Dedup.connectedComponents(
       pairsOf(deduped).select(col("doc_a"), col("doc_b")))
-    val survivors = deduped
+    deduped
       .join(groups, deduped("doc_id") === groups("node"), "left")
       .filter(col("node").isNull || col("component") === col("doc_id"))
-    survivors.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .drop("node", "component")
   }
 
   /** Token-budget sequence packing (contiguous fill): documents of one
