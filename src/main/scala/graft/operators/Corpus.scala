@@ -114,6 +114,105 @@ object Corpus {
       .drop("node", "component")
   }
 
+  /** THE end-to-end training-corpus build — every curation stage the suite
+    * implements, chained into one declared DAG from raw `documents` to the
+    * per-shard packed training manifest a data loader reads:
+    *
+    *   1. quality gate → exact dedup → near-dup canonical survivors
+    *      ([[cleanedSurvivors]]: the [[cleanCorpusStats]] chain)
+    *   2. C4 boilerplate scrub ([[TextOps.scrubBoilerplate]], lang/source
+    *      riding the per-doc aggregate); fully-boilerplate docs drop
+    *   3. PII redaction ([[TextOps.redactPii]], map-side)
+    *   4. perplexity gate ([[TextOps.perplexityScores]] `keep` — the LM
+    *      trains on the `doc_id % 10 < 3` slice of the SCRUBBED corpus) ∧
+    *      classifier gate ([[TextOps.classifierScores]] `label`), applied
+    *      as one semi-join per id set (docs with <2 tokens have no bigrams
+    *      and drop at the perplexity gate, the operator's own contract)
+    *   5. decontamination ([[contaminationScores]] over the gated set:
+    *      train-split docs only, ≥20% held-out shingle overlap drops)
+    *   6. temperature mixture → per-source token budgets
+    *      (`floor(mix_weight · totalBudget)`, the [[Sampling.mixtureWeights]]
+    *      α=0.5 fixed-point rule in the REGEX-token unit so mixing, sampling
+    *      and packing all account in the same currency) → deterministic
+    *      hash-order prefix sampling ([[Sampling.budgetSample]]'s fill rule)
+    *   7. global training order ([[Sampling.trainingOrder]]) → round-robin
+    *      shards → per-shard sequence packing ([[packBins]]'s fill rule in
+    *      `train_rank` order)
+    *
+    * Output: one row per (shard, bin) — the packed-sequence manifest —
+    * with doc and token counts, all exact integers.
+    *
+    * Scale shape: stages 1–3 fuse into the survivor DAG (gates inside the
+    * scan stage, one chunk-hash shuffle for the scrub); each gate in 4–5 is
+    * one ids-only semi-join (AQE broadcasts the id sets when they fit);
+    * stage 6 is one window cumsum keyed on source plus a source-count-sized
+    * broadcast of budgets; stage 7 is the range-partitioned rank stamp and
+    * ONE window keyed on shard — at production, `nShards` is O(loader
+    * workers), so the packing window parallelizes across shards. The
+    * multiply-referenced frames (`red`, `gated`, `toks`) are persisted —
+    * Catalyst duplicates unpersisted common subtrees, and each feeds 2–3
+    * consumers (same caller-clearCache lifecycle as the Dedup persists).
+    */
+  def corpusPipeline(docs: DataFrame,
+                     minQuality: Double = 0.70,
+                     totalBudget: Long = 20000L,
+                     nShards: Int = 8,
+                     seqBudget: Long = 1024L,
+                     seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val survivors = cleanedSurvivors(docs, minQuality,
+      deduped => Dedup.minhashLshPairs(deduped))
+    val red = TextOps.scrubBoilerplate(survivors, passthrough = Seq("lang", "source"))
+      .filter(length(col("clean_text")) > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.redactPii(col("clean_text")).as("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pKeep = TextOps.perplexityScores(red).filter(col("keep"))
+      .select(col("doc_id"))
+    val cKeep = TextOps.classifierScores(red).filter(col("label"))
+      .select(col("doc_id"))
+    val gated = red
+      .join(pKeep, Seq("doc_id"), "left_semi")
+      .join(cKeep, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val decon = gated.join(
+      contaminationScores(gated).filter(!col("flagged")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val toks = decon.select(col("source"), col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TextOps.tokenPattern), lit(0)))
+        .cast("long").as("n_tokens"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perSource = toks.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val total = perSource.agg(sum(col("src_tokens")).as("__t"))
+    // the mixtureWeights fixed-point contract: sqrt (correctly rounded both
+    // engines), Σ floor(sqrt(share)·1e9) as order-free LONGs, and the
+    // budget floors the ROUNDED weight so both engines floor the same double
+    val budgets = perSource.crossJoin(broadcast(total))
+      .withColumn("__q", floor(
+        sqrt(col("src_tokens").cast("double") / col("__t")) * lit(1.0e9)).cast("long"))
+      .withColumn("__denom", sum(col("__q")).over(Window.partitionBy()))
+      .select(col("source"),
+        floor(bround(col("__q").cast("double") / col("__denom"), 4)
+          * totalBudget).cast("long").as("budget"))
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val kept = toks
+      .withColumn("__cum", sum(col("n_tokens")).over(wCum))
+      .join(broadcast(budgets), Seq("source"))
+      .filter(col("__cum") - col("n_tokens") < col("budget"))
+    val ranked = Sampling.trainingOrder(kept.select(col("doc_id")), seed)
+      .join(kept.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .withColumn("shard", col("train_rank") % nShards)
+    val wPack = Window.partitionBy(col("shard")).orderBy(col("train_rank"))
+    ranked
+      .withColumn("__cum", sum(col("n_tokens")).over(wPack))
+      .withColumn("bin", expr(s"(__cum - n_tokens) div $seqBudget"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+  }
+
   /** Token-budget sequence packing (contiguous fill): documents of one
     * stratum, in deterministic doc_id order, are packed into bins of
     * `budget` tokens — each doc lands in the bin its START offset falls in

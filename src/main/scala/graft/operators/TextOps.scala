@@ -281,13 +281,7 @@ object TextOps {
     * skew that AQE splits, not a plan defect.
     */
   def chunkDedup(docs: DataFrame, k: Int = 8): DataFrame = {
-    val w = tokens(col("text"))
-    val nChunks = floor((size(w) + (k - 1)) / lit(k)).cast("int")
-    val chunks = docs.select(col("doc_id"),
-      explode(when(size(w) >= 1,
-        transform(sequence(lit(1), nChunks),
-          i => concat_ws(" ", slice(w, (i - 1) * k + 1, lit(k)))))
-        .otherwise(array().cast("array<string>"))).as("chunk"))
+    val chunks = chunkExplode(docs, k, Nil).select(col("doc_id"), col("chunk"))
     val occ = chunks.withColumn("__n",
       count(lit(1)).over(Window.partitionBy(md5(col("chunk")))))
     occ.groupBy(col("doc_id"))
@@ -427,19 +421,12 @@ object TextOps {
     * aggregate — `collect_list` is bounded by the document's own chunk
     * count, never corpus-sized state.
     */
-  def scrubBoilerplate(docs: DataFrame, k: Int = 8, maxOcc: Int = 1): DataFrame = {
-    val w = tokens(col("text"))
-    val nChunks = floor((size(w) + (k - 1)) / lit(k)).cast("int")
-    val chunks = docs.select(col("doc_id"),
-      explode(when(size(w) >= 1,
-        transform(sequence(lit(1), nChunks),
-          i => struct(i.as("idx"),
-            concat_ws(" ", slice(w, (i - 1) * k + 1, lit(k))).as("chunk"))))
-        .otherwise(array().cast("array<struct<idx:int,chunk:string>>"))).as("c"))
-      .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+  def scrubBoilerplate(docs: DataFrame, k: Int = 8, maxOcc: Int = 1,
+                       passthrough: Seq[String] = Nil): DataFrame = {
+    val chunks = chunkExplode(docs, k, passthrough)
     val occ = chunks.withColumn("__n",
       count(lit(1)).over(Window.partitionBy(md5(col("chunk")))))
-    occ.groupBy(col("doc_id"))
+    occ.groupBy(col("doc_id") +: passthrough.map(col): _*)
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("__n") > maxOcc, 1L).otherwise(0L)).as("n_removed_chunks"),
@@ -449,6 +436,26 @@ object TextOps {
           array_sort(collect_list(
             when(col("__n") <= maxOcc, struct(col("idx"), col("chunk"))))),
           x => x.getField("chunk")), " ").as("clean_text"))
+  }
+
+  /** THE k-token chunk contract, in one place: one row per (doc, 1-based
+    * chunk index) with any `passthrough` columns carried along — the shared
+    * explode [[chunkDedup]], [[scrubBoilerplate]], and the pipeline's scrub
+    * stage all build on (so chunk boundaries can never drift between the
+    * stats and the transform). Zero-token docs emit no rows.
+    */
+  private def chunkExplode(docs: DataFrame, k: Int,
+                           passthrough: Seq[String]): DataFrame = {
+    val w = tokens(col("text"))
+    val nChunks = floor((size(w) + (k - 1)) / lit(k)).cast("int")
+    val keys = col("doc_id") +: passthrough.map(col)
+    docs.select(keys :+
+      explode(when(size(w) >= 1,
+        transform(sequence(lit(1), nChunks),
+          i => struct(i.as("idx"),
+            concat_ws(" ", slice(w, (i - 1) * k + 1, lit(k))).as("chunk"))))
+        .otherwise(array().cast("array<struct<idx:int,chunk:string>>"))).as("c"): _*)
+      .select(keys ++ Seq(col("c.idx").as("idx"), col("c.chunk").as("chunk")): _*)
   }
 
   /** PII patterns — deliberately Java-regex ∩ RE2 (no lookarounds, no
@@ -489,10 +496,16 @@ object TextOps {
     * Map-side only — scales linearly with input splits, like the other
     * per-row text metrics.
     */
+  /** The sequential email → IPv4 → phone redaction chain of [[piiScrub]] as
+    * a pure column (the replacement tokens cannot re-match a later pattern),
+    * reusable inline by the composed pipeline.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      emailPattern, "[EMAIL]"), ipv4Pattern, "[IP]"), phonePattern, "[PHONE]")
+
   def piiScrub(raw: DataFrame): DataFrame = {
-    val r1 = regexp_replace(col("raw"), emailPattern, "[EMAIL]")
-    val r2 = regexp_replace(r1, ipv4Pattern, "[IP]")
-    val r3 = regexp_replace(r2, phonePattern, "[PHONE]")
+    val r3 = redactPii(col("raw"))
     def n(p: String) =
       size(regexp_extract_all(col("raw"), lit(p), lit(0))).cast("long")
     // two-step select: `__red` feeds both md5 and length, and CollapseProject
