@@ -550,12 +550,53 @@ object OraclesML {
        |                           ORDER BY jaccard DESC, dup_of) = 1""".stripMargin
   }
 
+  /** Pre-unrolled connected-components rounds over a symmetric edge CTE
+    * `sym(a, b)`: min-label propagation PLUS pointer jumping
+    * (lbl ← min(own, neighbors' lbl, lbl-of-lbl)) per round, so the known
+    * minimum travels exponentially — `rounds` = 8 covers components whose
+    * min-label distance exceeds 2^8 hops, far beyond any LSH near-dup
+    * cluster. Replaces the recursive-CTE transitive closure
+    * (`reach(src,dst)` = ALL-PAIRS reachability — O(n·m) rows; measured
+    * ~15 min per wave at sf0.01, which blew the driver's round-7
+    * correctness budget), with the same fixpoint the Spark min-label loop
+    * converges to. Each round is three small joins over the edge/label
+    * tables — label rows never exceed node count, so cost is bounded by
+    * construction, the [[bpeCtes]] unrolling precedent. A (theoretical)
+    * unconverged component surfaces as a Spark-vs-oracle mismatch — loud,
+    * never a silent pass.
+    */
+  private def ccLabelCtes(sym: String, pfx: String, rounds: Int = 8): String = {
+    // MATERIALIZED is load-bearing (the bpeCtes precedent): each round
+    // references its predecessor three times and `sym` once, so an inlined
+    // chain re-expands the whole upstream tree 3^rounds times — observed as
+    // file-handle exhaustion on the parquet scan before any row flowed.
+    val sb = new StringBuilder
+    sb ++= s"""${pfx}sym AS MATERIALIZED (SELECT a, b FROM $sym),
+       |${pfx}lab_0 AS MATERIALIZED (
+       |  SELECT a AS node, least(a, min(b)) AS lbl FROM ${pfx}sym GROUP BY a)""".stripMargin
+    for (k <- 1 to rounds) {
+      val p = s"${pfx}lab_${k - 1}"
+      sb ++= s""",
+         |${pfx}lab_$k AS MATERIALIZED (
+         |  SELECT node, min(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM $p
+         |    UNION ALL
+         |    SELECT s.a AS node, l.lbl FROM ${pfx}sym s JOIN $p l ON l.node = s.b
+         |    UNION ALL
+         |    SELECT l1.node, l2.lbl FROM $p l1 JOIN $p l2 ON l1.lbl = l2.node
+         |  ) GROUP BY node)""".stripMargin
+    }
+    sb.result()
+  }
+
+  private val CcRounds = 8
+
   /** Sequential dedup ingest (Dedup.sequentialIngest, 3 waves split by
     * doc_id % 3): per wave, drop docs with a verified near-dup (jaccard ≥
     * 0.5) in the accumulated store, then within-wave connected components
     * keep each component's minimum doc_id. The per-wave CTE blocks are
     * generated by the same loop the Spark fold runs; each wave's CC is the
-    * [[dedupGroupsSql]] recursive-CTE pattern over that wave's survivors.
+    * bounded [[ccLabelCtes]] chain over that wave's survivors.
     */
   val ingestDedupSql: String = {
     val n = 3
@@ -594,7 +635,7 @@ object OraclesML {
          |  SELECT b.doc_id, b.band_id, b.band_hash
          |  FROM allbands b JOIN rem_$i r USING (doc_id)
          |  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= $cap),
-         |wv_$i AS (
+         |wv_$i AS MATERIALIZED (
          |  SELECT p.doc_a, p.doc_b FROM (
          |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |    FROM remb_$i a JOIN remb_$i b
@@ -607,13 +648,9 @@ object OraclesML {
          |sym_$i AS (
          |  SELECT doc_a AS a, doc_b AS b FROM wv_$i
          |  UNION SELECT doc_b AS a, doc_a AS b FROM wv_$i),
-         |reach_$i(src, dst) AS (
-         |  SELECT a, b FROM sym_$i
-         |  UNION
-         |  SELECT r.src, s.b FROM reach_$i r JOIN sym_$i s ON r.dst = s.a),
+         |${ccLabelCtes(s"sym_$i", s"w${i}_", CcRounds)},
          |noncanon_$i AS (
-         |  SELECT src AS doc_id FROM reach_$i
-         |  GROUP BY src HAVING least(src, min(dst)) <> src),
+         |  SELECT node AS doc_id FROM w${i}_lab_$CcRounds WHERE lbl <> node),
          |keep_$i AS (
          |  SELECT doc_id FROM rem_$i
          |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon_$i)),
@@ -624,7 +661,7 @@ object OraclesML {
     val finalSel = (0 until n)
       .map(i => s"SELECT doc_id, CAST($i AS BIGINT) AS batch_id FROM keep_$i")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH RECURSIVE $shinglesCte,
+    s"""WITH $shinglesCte,
        |$distinctShinglesCte,
        |$sigsCte,
        |allbands AS (
@@ -634,22 +671,19 @@ object OraclesML {
        |$finalSel""".stripMargin
   }
 
-  /** Connected components over the LSH pair graph via a recursive CTE:
-    * component(node) = least(node, min over transitively reachable nodes) —
-    * same fixpoint the Spark min-label propagation converges to.
+  /** Connected components over the LSH pair graph via the bounded
+    * [[ccLabelCtes]] chain: component(node) = min over transitively
+    * reachable nodes — same fixpoint the Spark min-label propagation
+    * converges to.
     */
   val dedupGroupsSql: String =
-    s"""WITH RECURSIVE pairgraph AS (
+    s"""WITH pairgraph AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM ($minhashLshPairsSql)),
        |sym AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairgraph
        |  UNION SELECT doc_b AS a, doc_a AS b FROM pairgraph),
-       |reach(src, dst) AS (
-       |  SELECT a, b FROM sym
-       |  UNION
-       |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
-       |SELECT src AS node, least(src, min(dst)) AS component
-       |FROM reach GROUP BY src""".stripMargin
+       |${ccLabelCtes("sym", "g_", CcRounds)}
+       |SELECT node, lbl AS component FROM g_lab_$CcRounds""".stripMargin
 
   /** Corpus.dedupRates: per-(lang, source) exact/near-dup removal counts
     * and survival rate. The near-dup chain is [[dedupGroupsSql]]
@@ -1207,8 +1241,8 @@ object OraclesML {
          |m_$r AS MATERIALIZED (SELECT l, r, cnt FROM p_$r ORDER BY cnt DESC, l, r LIMIT 1),
          |w_$r AS MATERIALIZED (
          |  SELECT replace(sym,
-         |      ' ' || (SELECT l FROM m_$r) || '  ' || (SELECT r FROM m_$r) || ' ',
-         |      ' ' || (SELECT l || r FROM m_$r) || ' ') AS sym, freq
+         |      coalesce(' ' || (SELECT l FROM m_$r) || '  ' || (SELECT r FROM m_$r) || ' ', chr(1)),
+         |      coalesce(' ' || (SELECT l || r FROM m_$r) || ' ', chr(1))) AS sym, freq
          |  FROM w_$p)""".stripMargin
     }
     sb.result()
@@ -1232,8 +1266,8 @@ object OraclesML {
     val enc = "' ' || array_to_string(string_split(tok, ''), '  ') || ' '"
     val chain = (1 to rounds).foldLeft(enc) { (c, r) =>
       s"""replace($c,
-         |    ' ' || (SELECT l FROM m_$r) || '  ' || (SELECT r FROM m_$r) || ' ',
-         |    ' ' || (SELECT l || r FROM m_$r) || ' ')""".stripMargin
+         |    coalesce(' ' || (SELECT l FROM m_$r) || '  ' || (SELECT r FROM m_$r) || ' ', chr(1)),
+         |    coalesce(' ' || (SELECT l || r FROM m_$r) || ' ', chr(1)))""".stripMargin
     }
     s"""WITH ${bpeCtes(rounds)}
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,

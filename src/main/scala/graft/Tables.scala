@@ -66,6 +66,11 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         // integer `div`, not `/`: ns-epoch values (~1.7e18) don't fit a double
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet timestamp[us] (no tz) reads as TIMESTAMP_NTZ; the session tz
+        // is UTC, so the cast keeps the same wall-clock instant and restores
+        // the TimestampType every downstream epoch function expects.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
     Schemas.validate("events", normalized)

@@ -236,9 +236,15 @@ object TextExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_minhash"), minhashInfo,
       { exprs: Seq[Expression] =>
-        val n = exprs.lift(1)
-          .map(e => e.eval().asInstanceOf[Number].intValue())
-          .getOrElse(16)
+        val n = exprs.lift(1).map {
+          case e if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash: numHashes must be an integer literal, got $other")
+          }
+          case e => throw new IllegalArgumentException(
+            s"graft_minhash: numHashes must be a literal (plan-time constant), got ${e.sql}")
+        }.getOrElse(16)
         MinHashSignatures(exprs.head, n) })
   }
 

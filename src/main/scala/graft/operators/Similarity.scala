@@ -389,9 +389,15 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = vectors(corpusEmb)
     val batchBands = signBands(nb)
+    // persisted: capBuckets reads it twice (bucket counts + join back), and
+    // each unpersisted reference would recompute the 48-plane corpus sign
+    // dots from the scan up — one sign-LSH pass over the corpus, not two.
+    // Lifecycle follows the module policy (session clearCache between
+    // queries), same as the batch persist above.
     val touched = signBands(cb).join(
       broadcast(batchBands.select(col("band_id"), col("band_val")).distinct()),
       Seq("band_id", "band_val"), "leftsemi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = Dedup.capBuckets(touched, Seq("band_id", "band_val"), cap)
     val candidates = batchBands.as("n")
       .join(capped.as("c"), Seq("band_id", "band_val"))

@@ -488,14 +488,6 @@ object TextOps {
       .as("raw"))
   }
 
-  /** PII detection + redaction over a (doc_id, raw) frame: per-pattern match
-    * counts on the ORIGINAL text, then sequential redaction (email → IPv4 →
-    * phone; the replacement tokens cannot re-match a later pattern). The
-    * redacted text is emitted as md5 + length so the oracle hash-compares
-    * the full scrub without shipping document bodies through the gate.
-    * Map-side only — scales linearly with input splits, like the other
-    * per-row text metrics.
-    */
   /** The sequential email → IPv4 → phone redaction chain of [[piiScrub]] as
     * a pure column (the replacement tokens cannot re-match a later pattern),
     * reusable inline by the composed pipeline.
@@ -504,6 +496,14 @@ object TextOps {
     regexp_replace(regexp_replace(regexp_replace(text,
       emailPattern, "[EMAIL]"), ipv4Pattern, "[IP]"), phonePattern, "[PHONE]")
 
+  /** PII detection + redaction over a (doc_id, raw) frame: per-pattern match
+    * counts on the ORIGINAL text, then sequential redaction (email → IPv4 →
+    * phone; the replacement tokens cannot re-match a later pattern). The
+    * redacted text is emitted as md5 + length so the oracle hash-compares
+    * the full scrub without shipping document bodies through the gate.
+    * Map-side only — scales linearly with input splits, like the other
+    * per-row text metrics.
+    */
   def piiScrub(raw: DataFrame): DataFrame = {
     val r3 = redactPii(col("raw"))
     def n(p: String) =

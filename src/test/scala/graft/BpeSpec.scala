@@ -38,6 +38,36 @@ class BpeSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L)))
   }
 
+  test("batched trainMerges is byte-identical to the sequential reference") {
+    // mixed corpus: repeated words, ties, symbol collisions ("cc" learned
+    // then re-encountered), overlapping-symbol pairs — exercises every
+    // batch stop rule against the one-merge-per-round witness
+    val d = docs(
+      (1L, "ccc ccc abab cdcd efef gh gh gh ij ij"),
+      (2L, "the quick brown fox the lazy dog the end"),
+      (3L, "aa bb cc aa bb cc aa"),
+      (4L, "xyxyxy zwzwzw xy zw"))
+    for (n <- Seq(1, 4, 16, 40)) {
+      val batched = Bpe.trainMerges(d, numMerges = n)
+        .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+      val seq = Bpe.trainMergesSequential(d, numMerges = n)
+        .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+      assert(batched == seq, s"divergence at numMerges=$n")
+    }
+  }
+
+  test("256 merges on the sf0.001 documents table in bounded driver rounds") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val t0 = System.nanoTime()
+    val m = Bpe.trainMerges(d, numMerges = 256).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // exhaustion before 256 is legal (vocab-bounded corpus); ranks must be
+    // dense from 1 and the learned table monotone-consistent
+    assert(m.length >= 64, s"only ${m.length} merges learned")
+    assert(m.map(_.getLong(0)).toSeq == (1L to m.length).toSeq)
+    assert(secs < 300.0, f"256-merge training took $secs%.1f s")
+  }
+
   test("applyMerges replay matches training segmentation on the train corpus") {
     val d = docs((1L, "ccc ccc cd"))
     val merges = Bpe.trainMerges(d, numMerges = 2).orderBy("merge_rank")
