@@ -1365,6 +1365,109 @@ object OraclesML {
        |  CAST(n_members AS BIGINT) AS n_members, best_q AS best_quality
        |FROM ranked WHERE rn = 1""".stripMargin
 
+  /** THE composed end-to-end oracle, mirroring `Corpus.corpusPipeline`
+    * stage for stage by chaining the per-stage oracle CTEs this file
+    * already maintains (the [[corpusCleanSql]] survivor chain, the
+    * [[scrubBoilerplateSql]] chunk scrub carrying lang/source, the
+    * [[piiScrubSql]] redaction chain, [[perplexityScoresSql]] /
+    * [[classifierScoresSql]] / [[contaminationScoresSql]] retargeted at
+    * the pipeline's intermediate frames via the same single-substitution
+    * convention as [[dedupRatesSql]], then the [[mixtureWeightsSql]]
+    * fixed-point budget rule, [[budgetSampleSql]]'s prefix fill,
+    * [[trainingOrderSql]]'s seeded rank, and [[packBinsSql]]'s window
+    * pack). Defaults match the Spark side: minQuality 0.70, perplexity
+    * threshold 3.5, flagAt 0.2, totalBudget 20000, nShards 8, seqBudget
+    * 1024, seed 'graft'. Multiply-referenced frames are MATERIALIZED —
+    * inlining would re-expand the survivor chain per consumer.
+    */
+  val corpusPipelineSql: String = {
+    val groupsOverDocs2 = dedupGroupsSql.replace("FROM documents", "FROM docs2")
+    val perpOverRed = perplexityScoresSql.replace("FROM documents", "FROM red")
+    val clsfOverRed = classifierScoresSql.replace("FROM documents", "FROM red")
+    val contOverGated = contaminationScoresSql.replace("FROM documents", "FROM gated")
+    val em = TextOps.emailPattern
+    val ip = TextOps.ipv4Pattern
+    val ph = TextOps.phonePattern
+    s"""WITH quality AS ($textQualitySql),
+       |docs_clean AS (
+       |  SELECT d.* FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+       |  WHERE q.quality_score >= 0.70),
+       |exact_keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM docs_clean GROUP BY md5(text)),
+       |docs2 AS (
+       |  SELECT d.* FROM docs_clean d JOIN exact_keep k USING (doc_id)),
+       |groups AS (SELECT * FROM ($groupsOverDocs2) g),
+       |survivors AS (
+       |  SELECT d.* FROM docs2 d LEFT JOIN groups g ON d.doc_id = g.node
+       |  WHERE g.node IS NULL OR g.component = d.doc_id),
+       |sc_toks AS (SELECT doc_id, lang, source, $W AS w FROM survivors),
+       |sc_chunks AS (
+       |  SELECT doc_id, lang, source, i AS idx,
+       |    array_to_string(w[(i-1)*8+1:i*8], ' ') AS chunk
+       |  FROM sc_toks,
+       |    unnest(generate_series(1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(i)),
+       |sc_occ AS (
+       |  SELECT *, count(*) OVER (PARTITION BY md5(chunk)) AS n FROM sc_chunks),
+       |scrubbed AS (
+       |  SELECT doc_id, lang, source,
+       |    coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE n <= 1), '')
+       |      AS clean_text
+       |  FROM sc_occ GROUP BY doc_id, lang, source),
+       |red AS MATERIALIZED (
+       |  SELECT doc_id, lang, source,
+       |    regexp_replace(regexp_replace(regexp_replace(clean_text,
+       |      '$em', '[EMAIL]', 'g'),
+       |      '$ip', '[IP]', 'g'),
+       |      '$ph', '[PHONE]', 'g') AS text
+       |  FROM scrubbed WHERE length(clean_text) > 0),
+       |pk AS (SELECT doc_id FROM ($perpOverRed) pp WHERE keep),
+       |ck AS (SELECT doc_id FROM ($clsfOverRed) cc WHERE label),
+       |gated AS MATERIALIZED (
+       |  SELECT r.* FROM red r JOIN pk USING (doc_id) JOIN ck USING (doc_id)),
+       |unflagged AS (SELECT doc_id FROM ($contOverGated) ct WHERE NOT flagged),
+       |train AS (
+       |  SELECT g.* FROM gated g WHERE md5(CAST(doc_id AS VARCHAR)) < 'cc'),
+       |decon AS (SELECT t.* FROM train t JOIN unflagged USING (doc_id)),
+       |toks AS MATERIALIZED (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_extract_all(text, '${TextOps.tokenPattern}')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM decon),
+       |ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |       FROM toks GROUP BY 1),
+       |tt AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS t FROM ps),
+       |bq AS (
+       |  SELECT source,
+       |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE) / t) * 1.0e9) AS BIGINT) AS q
+       |  FROM ps CROSS JOIN tt),
+       |bud AS (
+       |  SELECT source,
+       |    CAST(floor(round_even(CAST(q AS DOUBLE)
+       |      / CAST(sum(q) OVER () AS BIGINT), 4) * 20000) AS BIGINT) AS budget
+       |  FROM bq),
+       |cum AS (
+       |  SELECT t.source, t.doc_id, t.n_tokens, budget,
+       |    sum(n_tokens) OVER (PARTITION BY t.source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS c
+       |  FROM toks t JOIN bud USING (source)),
+       |kept AS (SELECT doc_id, n_tokens FROM cum WHERE c - n_tokens < budget),
+       |rk AS (
+       |  SELECT doc_id, n_tokens,
+       |    row_number() OVER (
+       |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+       |      AS train_rank
+       |  FROM kept),
+       |packed AS (
+       |  SELECT train_rank % 8 AS shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY train_rank % 8
+       |      ORDER BY train_rank) AS pc
+       |  FROM rk)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  CAST((pc - n_tokens) // 1024 AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM packed GROUP BY 1, 2""".stripMargin
+  }
+
   /** Mirrors Sampling.budgetSample (budget=800): hash-ordered running token
     * total per source, keep while the doc's start offset is inside the
     * budget.

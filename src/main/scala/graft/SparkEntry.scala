@@ -118,6 +118,9 @@ object SparkEntry {
     // Composed corpus-prep flagship: quality gate -> exact dedup -> near-dup
     // groups -> per-(lang, source) stats, one declared DAG
     "q_corpus_clean" -> ((s, dir) => operators.Corpus.cleanCorpusStats(Tables.documents(s, dir))),
+    // THE end-to-end corpus build: clean -> scrub -> redact -> LM/classifier
+    // gates -> decontaminate -> mixture budgets -> order/shard/pack manifest
+    "q_corpus_pipeline" -> ((s, dir) => operators.Corpus.corpusPipeline(Tables.documents(s, dir))),
     // Dedup observability: per-(lang, source) removal counts + survival rate
     "q_dedup_rates" -> ((s, dir) => operators.Corpus.dedupRates(Tables.documents(s, dir))),
     "q_pack_bins" -> ((s, dir) => operators.Corpus.packBins(Tables.documents(s, dir))),
@@ -267,6 +270,7 @@ object SparkEntry {
     "q_ingest_dedup" -> OraclesML.ingestDedupSql,
     "q_simhash_pairs" -> OraclesML.simhashPairsSql,
     "q_corpus_clean" -> OraclesML.corpusCleanSql,
+    "q_corpus_pipeline" -> OraclesML.corpusPipelineSql,
     "q_dedup_rates" -> OraclesML.dedupRatesSql,
     "q_pack_bins" -> OraclesML.packBinsSql,
     "q_decontaminate" -> OraclesML.decontaminateSql,

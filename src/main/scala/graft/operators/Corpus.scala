@@ -155,12 +155,15 @@ object Corpus {
     */
   def corpusPipeline(docs: DataFrame,
                      minQuality: Double = 0.70,
+                     perplexityThreshold: Double = 3.5,
+                     flagAt: Double = 0.2,
                      totalBudget: Long = 20000L,
                      nShards: Int = 8,
                      seqBudget: Long = 1024L,
                      seed: String = "graft"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val survivors = cleanedSurvivors(docs, minQuality,
       deduped => Dedup.minhashLshPairs(deduped))
     val red = TextOps.scrubBoilerplate(survivors, passthrough = Seq("lang", "source"))
@@ -168,16 +171,26 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.redactPii(col("clean_text")).as("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pKeep = TextOps.perplexityScores(red).filter(col("keep"))
-      .select(col("doc_id"))
+    val pKeep = TextOps.perplexityScores(red, threshold = perplexityThreshold)
+      .filter(col("keep")).select(col("doc_id"))
     val cKeep = TextOps.classifierScores(red).filter(col("label"))
       .select(col("doc_id"))
     val gated = red
       .join(pKeep, Seq("doc_id"), "left_semi")
       .join(cKeep, Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val decon = gated.join(
-      contaminationScores(gated).filter(!col("flagged")).select(col("doc_id")),
+    // the TRAIN split continues; val/test docs leave the pipeline HERE, as
+    // an explicit filter (contaminationScores only scores train docs — a
+    // bare semi-join against it would drop the other splits as an invisible
+    // join side effect). Same doc_id hash as contaminationScores' internal
+    // split, so the two agree row-for-row.
+    val train = gated.join(
+      Sampling.trainValTestSplit(gated, col("doc_id"))
+        .filter(col("split") === "train").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val decon = train.join(
+      contaminationScores(gated, flagAt = flagAt)
+        .filter(!col("flagged")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val toks = decon.select(col("source"), col("doc_id"),
       size(regexp_extract_all(col("text"), lit(TextOps.tokenPattern), lit(0)))

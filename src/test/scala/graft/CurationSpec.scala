@@ -153,6 +153,166 @@ class CurationSpec extends SparkSpec {
     assert(out(7L).getAs[Long]("n_phones") == 0L)
   }
 
+  // ---- corpusPipeline end-to-end fixture ----
+  //
+  // A pure-JVM (no-Spark) reimplementation of every pipeline stage serves
+  // as an independent witness for the composed manifest: the SAME documents
+  // flow through Corpus.corpusPipeline and through this plain-Scala model,
+  // and the (shard, bin) manifests must agree exactly. A wiring regression
+  // in ANY stage (gate order, semi-join target, split filter, budget rule,
+  // packing window) diverges the two.
+
+  private def r4(d: Double): Double =
+    BigDecimal.valueOf(d).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  private def ws(t: String): Seq[String] = t.split("\\s+").toSeq
+
+  private def modelQuality(t: String): Double = {
+    val n = t.length
+    val w = ws(t)
+    val alpha = t.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+    val punct = t.count(c => !((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      || (c >= '0' && c <= '9') || c.isWhitespace))
+    val nStop = w.count(TextOps.stopwords.contains)
+    r4(r4(alpha.toDouble / n) * 0.4 + (1.0 - r4(punct.toDouble / n)) * 0.3
+      + r4(nStop.toDouble / w.size) * 0.2 + math.min(1.0, w.size / 100.0) * 0.1)
+  }
+
+  private def modelClassifierKeep(t: String): Boolean =
+    ws(t).map { tok =>
+      val b = (java.lang.Long.parseLong(md5hex(tok).take(8), 16)
+        % TextOps.ClassifierBuckets).toInt
+      TextOps.ClassifierWeights(b)
+    }.sum > 0L
+
+  private def modelSplit(id: Long): String = {
+    val h = md5hex(id.toString)
+    if (h < "cc") "train" else if (h < "e6") "val" else "test"
+  }
+
+  /** The full pure-Scala pipeline model → (shard, bin) -> (n_docs, tokens). */
+  private def modelManifest(input: Seq[(Long, String, String)], flagAt: Double,
+                            totalBudget: Long, nShards: Int,
+                            seqBudget: Long): Map[(Long, Long), (Long, Long)] = {
+    // stage 1: quality gate -> exact dedup (min id per text); the fixture
+    // plants no LSH near-dups (asserted by texts being structurally distinct)
+    val clean = input.filter { case (_, t, _) => modelQuality(t) >= 0.70 }
+    val deduped = clean.groupBy(_._2).values.map(_.minBy(_._1)).toSeq.sortBy(_._1)
+    // stage 2: boilerplate scrub (8-token non-overlapping chunks, maxOcc 1)
+    def chunks(t: String) = ws(t).grouped(8).map(_.mkString(" ")).toSeq
+    val occ = deduped.flatMap(d => chunks(d._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val red = deduped
+      .map { case (id, t, src) => (id, chunks(t).filter(occ(_) <= 1).mkString(" "), src) }
+      .filter(_._2.nonEmpty) // stage 3 (PII redact) is identity on the fixture
+    // stage 4: perplexity gate neutralized by threshold; it still requires a
+    // trained LM slice for the language and >= 2 tokens (no bigrams otherwise)
+    assert(red.exists(_._1 % 10 < 3), "fixture must include an LM train-slice doc")
+    val gated = red.filter(d => ws(d._2).size >= 2)
+      .filter(d => modelClassifierKeep(d._2))
+    // stage 5: contamination over the gated set, then the explicit train filter
+    def shingles(t: String): Seq[String] = {
+      val w = ws(t)
+      if (w.size < 8) Seq.empty else w.sliding(8).map(_.mkString(" ")).toSeq.distinct
+    }
+    val held = gated.filter(d => modelSplit(d._1) != "train")
+      .flatMap(d => shingles(d._2)).toSet
+    val decon = gated.filter(d => modelSplit(d._1) == "train").filter { d =>
+      val sh = shingles(d._2)
+      sh.isEmpty || (sh.count(held.contains).toDouble / sh.size) < flagAt
+    }
+    // stage 6: mixture budgets + hash-order prefix fill
+    val nTok = decon.map { case (id, t, src) =>
+      (id, src, TextOps.tokenPattern.r.findAllIn(t).size.toLong)
+    }
+    val srcTok = nTok.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = srcTok.values.sum
+    val q = srcTok.view.mapValues(st =>
+      math.floor(math.sqrt(st.toDouble / total) * 1.0e9).toLong).toMap
+    val denom = q.values.sum
+    val budget = q.view.mapValues(qq =>
+      math.floor(r4(qq.toDouble / denom) * totalBudget).toLong).toMap
+    val kept = nTok.groupBy(_._2).toSeq.flatMap { case (src, docs) =>
+      var cum = 0L
+      docs.sortBy { case (id, _, _) => (md5hex(id.toString), id) }.flatMap {
+        case (id, _, n) =>
+          cum += n
+          if (cum - n < budget(src)) Some((id, n)) else None
+      }
+    }
+    // stage 7: global seeded order -> round-robin shards -> packed bins
+    val ranked = kept.sortBy { case (id, _) => (md5hex(s"graft:$id"), id) }
+      .zipWithIndex.map { case ((id, n), rk) => (rk.toLong % nShards, rk.toLong, n) }
+    ranked.groupBy(_._1).toSeq.flatMap { case (shard, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).map { case (_, _, n) =>
+        cum += n
+        (shard, (cum - n) / seqBudget, n)
+      }
+    }.groupBy(t => (t._1, t._2)).view
+      .mapValues(g => (g.size.toLong, g.map(_._3).sum)).toMap
+  }
+
+  test("corpusPipeline end-to-end equals the pure-Scala stage model") {
+    // ids picked by split-hash so the fixture controls train/val membership
+    val trainIds = (1L to 100L).filter(modelSplit(_) == "train")
+      .filter(_ % 10 < 3).take(4) ++
+      (1L to 100L).filter(modelSplit(_) == "train").filter(_ % 10 >= 3).take(4)
+    val valId = (1L to 100L).find(modelSplit(_) == "val").get
+    // texts lean on positively-classifier-weighted words (of/it/a/who/today)
+    // so the hashed linear gate keeps them; the junk doc fails the quality
+    // gate instead
+    val a = "of alpha it beta a gamma of delta it epsilon a zeta of eta it " +
+      "theta a iota of kappa it lam a mu"
+    val dupText = "it is of a way of it a cat who can sleep far today of it"
+    val texts = Seq(
+      a,                                                                // contamination target
+      dupText,                                                          // exact-dup pair,
+      dupText,                                                          //   min id survives
+      "a bird of it a hand of it a man who are wise today of it",
+      "of it a dog of it a tree of it a day far mainly today",
+      "it of a sun of it a park of it a fact who stays today",
+      "a way of it a man of it a cat who sleep mainly far today",
+      "@@@@ #### %%%% ^^^^ &&&& ****")                                  // fails the quality gate
+    val ids = trainIds.take(texts.size)
+    assert(ids.size == texts.size, "fixture needs 8 train ids")
+    // val doc: contains doc A's tokens 5..12 as a contiguous run that
+    // straddles A's chunk boundary, so the scrub keeps both but the sliding
+    // 8-token shingle is shared -> A is 1/17 ~ 0.059 contaminated
+    val vText = "it of a a gamma of delta it epsilon a zeta of it a who today"
+    val rows = ids.zip(texts).zipWithIndex.map { case ((id, t), i) =>
+      (id, t, if (i % 2 == 0) "web" else "books")
+    } :+ ((valId, vText, "web"))
+    val df = rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // model sanity: the fixture exercises what it claims to
+    assert(modelQuality(texts.last) < 0.70, "junk doc must fail the gate")
+    assert(modelQuality(a) >= 0.70 && modelQuality(vText) >= 0.70)
+    for (flagAt <- Seq(0.05, 0.2)) {
+      val expected = modelManifest(rows, flagAt, 10000000L, 2, 10L)
+      val got = operators.Corpus.corpusPipeline(df,
+        perplexityThreshold = 1.0e9, flagAt = flagAt,
+        totalBudget = 10000000L, nShards = 2, seqBudget = 10L)
+        .collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens")))).toMap
+      assert(got == expected, s"manifest divergence at flagAt=$flagAt")
+      assert(got.nonEmpty, "fixture must produce a non-empty manifest")
+    }
+    // the two thresholds must actually differ: A is flagged only at 0.05
+    val tight = modelManifest(rows, 0.05, 10000000L, 2, 10L)
+    val loose = modelManifest(rows, 0.2, 10000000L, 2, 10L)
+    assert(tight.values.map(_._2).sum < loose.values.map(_._2).sum,
+      "contamination flag must drop doc A at the tight threshold")
+  }
+
+  test("corpusPipeline: nShards must be at least 1") {
+    val d = docs((1L, "the a of and is in to it that"))
+    intercept[IllegalArgumentException] {
+      operators.Corpus.corpusPipeline(d, nShards = 0)
+    }
+  }
+
   test("canonicalDocs: quality argmax beats the min-id rule; ties → min id") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     // near-dup of base with two tokens turned into pure punctuation — same
