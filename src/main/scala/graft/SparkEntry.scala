@@ -210,7 +210,10 @@ object SparkEntry {
     // a PNG decode is not SQL-expressible, the driver records rows-only
     "q_media_decode" -> ((s, dir) => Multimodal.mediaDecodeQuery(s, dir)),
     // REAL audio codec path (javax.sound WAV round-trip) — rows-only too
-    "q_audio_decode" -> ((s, dir) => Multimodal.audioDecodeQuery(s, dir))
+    "q_audio_decode" -> ((s, dir) => Multimodal.audioDecodeQuery(s, dir)),
+    // REAL video path: frame sampling over multi-frame BMP payloads, each
+    // sampled frame decoded through javax.imageio — rows-only too
+    "q_video_frames" -> ((s, dir) => Multimodal.videoFramesQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

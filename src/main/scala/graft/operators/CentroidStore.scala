@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Materialized k-means model staging — "train once, serve everywhere" for
@@ -11,32 +14,138 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (deliberately, so every query is reproducible from raw inputs alone); in
   * production the training pass over the corpus is the dominant cost and is
   * identical across consumers, so it runs ONCE per corpus snapshot here and
-  * the k·dim model ships as a tiny parquet sidecar. Consumers embed the
+  * the k·dim model ships as a tiny parquet sidecar.  Consumers embed the
   * staged centroids as literal expressions — identical plans and
   * byte-identical outputs to the self-contained forms (spec-asserted),
   * minus the training jobs.
+  *
+  * MODEL ATOMICITY: each build writes to a staging directory and RENAMES it
+  * to `v{N}` (an atomic directory move on local/HDFS semantics); readers
+  * resolve the highest committed `v{N}`. The earlier layout overwrote the
+  * model in place, so a reader racing a rebuild could list a half-written
+  * directory; now a version directory is either absent or complete, and a
+  * reader pinned to version N is immune to later rebuilds.
   */
 object CentroidStore {
 
-  /** Train on the corpus snapshot and stage the model. The model is k·dim
-    * doubles — pure metadata; the write is a single tiny file, atomically
-    * replaced per snapshot.
-    */
-  def build(emb: DataFrame, root: String, nCentroids: Int = 8,
-            iters: Int = Similarity.KmeansIters): Unit = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val cents = Similarity.trainCentroids(emb, nCentroids, iters)
-    cents.zipWithIndex.map { case (cv, c) => (c.toLong, cv.toSeq) }
-      .toDF("centroid_id", "cv")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(root)
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionPath(root: String, v: Long) = new Path(s"$root/v$v")
+
+  /** Committed model versions, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+        n.drop(1).toLong
+      }.sorted
   }
 
-  /** The staged model, in centroid-id order. */
-  def readCentroids(spark: SparkSession, root: String): Seq[Array[Double]] =
-    spark.read.parquet(root).collect()
+  /** Train on the corpus snapshot and stage the model. The model is k·dim
+    * doubles — pure metadata; the write lands in staging and becomes
+    * visible as one atomic rename to the next version directory. Old
+    * versions are pruned beyond `retainLast` (readers pin a version, so
+    * only already-superseded models are removed). Returns the version.
+    */
+  def build(emb: DataFrame, root: String, nCentroids: Int = 8,
+            iters: Int = Similarity.KmeansIters, retainLast: Int = 2): Long = {
+    val spark = emb.sparkSession
+    val e = Similarity.normalized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Similarity.trainCentroids(emb, nCentroids, iters)
+    // per-centroid member counts under the FINAL model: the mass each
+    // centroid represents, which [[refresh]]'s mini-batch update weighs
+    // new batches against (k rows of metadata, one extra assignment pass)
+    val weights = Similarity.lloydSums(e, cents).map { case (c, (_, n)) => c -> n }
+    e.unpersist()
+    commitModel(spark, root, cents.zipWithIndex.map { case (cv, c) =>
+      (c.toLong, cv, weights.getOrElse(c, 0L))
+    }, retainLast)
+  }
+
+  /** One INCREMENTAL model tick — the [[SignatureStore.ingestBatch]]
+    * pattern for the k-means model: a mini-batch Lloyd round (Sculley
+    * 2010, spherical form) updates the staged centroids from a NEW batch
+    * alone, weighted by the mass each centroid already represents:
+    *
+    *   c' = normalize(weight_c · c + Σ_batch-members v),   weight' = weight_c + n_c
+    *
+    * The corpus is never re-read — at 100 TB a full retrain per ingest
+    * tick is the non-viable path this replaces; the batch pass is one
+    * map-side assignment + a k·dim metadata aggregate (the same
+    * fixed-point kernel as training, so the update is order-free and
+    * reproducible). Centroids with no batch members keep their direction
+    * and weight. Commits the next model version atomically; returns it.
+    */
+  def refresh(batchEmb: DataFrame, root: String, retainLast: Int = 2): Long = {
+    val spark = batchEmb.sparkSession
+    val v = currentVersion(spark, root)
+    val model = readModelAt(spark, root, v)
+    val cents = model.map(_._2)
+    val sums = Similarity.lloydSums(Similarity.normalized(batchEmb), cents)
+    val updated = model.zipWithIndex.map { case ((cid, cv, w), c) =>
+      sums.get(c) match {
+        case None => (cid, cv, w)
+        case Some((sx, n)) =>
+          val mixed = cv.indices.map(i => w.toDouble * cv(i) + sx(i)).toArray
+          var acc = 0.0
+          mixed.foreach(x => acc += x * x)
+          val nrm = math.sqrt(acc)
+          (cid, mixed.map(_ / nrm), w + n)
+      }
+    }
+    commitModel(spark, root, updated, retainLast)
+  }
+
+  private def commitModel(spark: SparkSession, root: String,
+                          model: Seq[(Long, Array[Double], Long)],
+                          retainLast: Int): Long = {
+    import spark.implicits._
+    val fs = fsOf(spark, root)
+    val staging = new Path(s"$root/_staging_${UUID.randomUUID()}")
+    model.map { case (cid, cv, w) => (cid, cv.toSeq, w) }
+      .toDF("centroid_id", "cv", "weight")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val v = versions(spark, root).lastOption.getOrElse(0L) + 1L
+    require(fs.rename(staging, versionPath(root, v)),
+      s"model commit failed: v$v already exists (concurrent build?)")
+    val expired = versions(spark, root).dropRight(retainLast.max(1))
+    expired.foreach(old => fs.delete(versionPath(root, old), true))
+    v
+  }
+
+  /** The staged model rows (centroid_id, centroids, weight) of `version`. */
+  private def readModelAt(spark: SparkSession, root: String,
+                          version: Long): Seq[(Long, Array[Double], Long)] =
+    spark.read.parquet(versionPath(root, version).toString).collect()
+      .sortBy(_.getAs[Long]("centroid_id"))
+      .map(r => (r.getAs[Long]("centroid_id"), r.getSeq[Double](1).toArray,
+        r.getAs[Long]("weight"))).toSeq
+
+  /** Per-centroid represented mass of `version` (build counts + refreshed
+    * batch members).
+    */
+  def readWeightsAt(spark: SparkSession, root: String,
+                    version: Long): Seq[Long] =
+    readModelAt(spark, root, version).map(_._3)
+
+  /** The staged model of `version`, in centroid-id order. */
+  def readCentroidsAt(spark: SparkSession, root: String,
+                      version: Long): Seq[Array[Double]] =
+    spark.read.parquet(versionPath(root, version).toString).collect()
       .sortBy(_.getAs[Long]("centroid_id"))
       .map(_.getSeq[Double](1).toArray).toSeq
+
+  /** The current staged model, in centroid-id order. */
+  def readCentroids(spark: SparkSession, root: String): Seq[Array[Double]] =
+    readCentroidsAt(spark, root, currentVersion(spark, root))
+
+  private def currentVersion(spark: SparkSession, root: String): Long =
+    versions(spark, root).lastOption
+      .getOrElse(throw new IllegalStateException(s"no staged model at $root"))
 
   /** [[Similarity.ivfAssign]] off the stage: no training jobs in the plan. */
   def ivfAssign(emb: DataFrame, root: String): DataFrame =

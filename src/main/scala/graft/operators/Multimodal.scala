@@ -299,6 +299,87 @@ object Multimodal {
     }
   }
 
+  /** Decoded-frame row: one sampled video frame, REAL dims read back from
+    * the frame bytes plus its luminance-histogram features.
+    */
+  case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int,
+                          height: Int, n_bytes: Long, f0: Float, f_last: Float)
+
+  /** Fixed dims for synthesized video frames: the frame byte size must be a
+    * pure function of the dims so [[sampleFrames]]' fixed-stride slicing
+    * lands exactly on frame boundaries.
+    */
+  val VideoFrameW = 32
+  val VideoFrameH = 24
+  val VideoFrames = 8
+
+  private def encodeBmpFrame(id: Long, f: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      VideoFrameW, VideoFrameH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < VideoFrameH) {
+      var x = 0
+      while (x < VideoFrameW) {
+        val g = ((id * 31 + x * 7 + y * 13 + f * 17) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Encoded size of one video frame — BMP, uncompressed, so a constant for
+    * the fixed dims (computed once, driver-side).
+    */
+  lazy val videoFrameBytes: Int = encodeBmpFrame(0L, 0).length
+
+  /** Deterministic REAL multi-frame video payloads (this container ships no
+    * video files): each "video" is [[VideoFrames]] concatenated fixed-size
+    * BMP frames — BMP because its uncompressed encoding makes the frame
+    * size a pure function of the fixed dims, so frame boundaries are plain
+    * byte offsets, exactly the contract [[sampleFrames]] slices by (a real
+    * container format would swap this seam for a demuxer, same shape).
+    * Pixel (x, y) of frame f is gray (id·31 + x·7 + y·13 + f·17) mod 256.
+    * One encoder pass per partition, map-side only.
+    */
+  def videoTable(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mediaTable(docs).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val out = new java.io.ByteArrayOutputStream()
+        (0 until VideoFrames).foreach(f => out.write(encodeBmpFrame(r.media_id, f)))
+        r.copy(kind = "video", payload = out.toByteArray,
+          width = VideoFrameW, height = VideoFrameH, sample_rate = 0)
+      }
+    }
+  }
+
+  /** Driver query for the video path — the third real-codec modality next
+    * to [[mediaDecodeQuery]] (image) and [[audioDecodeQuery]] (audio):
+    * synthesize multi-frame videos → [[sampleFrames]] slices every 4th
+    * frame map-side → each sampled frame decodes through the REAL
+    * [[ImageDecoder]] (BMP is a javax.imageio built-in) back to its dims +
+    * luminance features. Rows-only like the other codec round-trips;
+    * `MultimodalSpec` pins the semantics.
+    */
+  def videoFramesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(videoTable(graft.Tables.documents(spark, dir)).toDF(),
+      frameBytes = videoFrameBytes, stride = 4)
+      .mapPartitions { frames =>
+        frames.map { fr =>
+          val img = ImageDecoder.decode(fr.frame_payload)
+          val f = ImageDecoder.featuresOf(img, 16)
+          DecodedFrame(fr.media_id, fr.frame_idx, img.getWidth, img.getHeight,
+            fr.frame_payload.length.toLong, f(0), f(15))
+        }
+      }.toDF()
+  }
+
   /** Metadata "resize": pure columnar transform of the typed metadata (no
     * payload decode — the cheap path a planner should prefer when only
     * metadata is needed).

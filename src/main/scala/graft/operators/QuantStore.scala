@@ -2,6 +2,7 @@ package graft.operators
 
 import java.util.UUID
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Materialized quantized-ANN staging — the cross-query form of
@@ -17,47 +18,142 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * build-time costs, amortized across the query stream, and the staged
   * dataset lives under snapshot isolation (atomic manifest commit, vacuum
   * retention) rather than executor storage memory.
+  *
+  * MODEL/SNAPSHOT ATOMICITY: the bounds sidecar is versioned WITH the
+  * snapshot — written to `_bounds/v{N}` for the version N the codes commit
+  * will take, BEFORE that commit exists. A reader pinned to version v
+  * therefore always reads the bounds v was quantized under; during a
+  * build, readers still resolve the previous version and its matching
+  * bounds. (The earlier in-place `_bounds` overwrite let a concurrent
+  * reader pair NEW bounds with OLD codes — integer codes decode against
+  * the wrong scale, silently wrong distances.)
   */
 object QuantStore {
 
-  /** Build (or refresh) the staged codes dataset + bounds sidecar for a
-    * corpus snapshot. Atomic snapshot replace, like [[SignatureStore.build]].
+  private def boundsPath(root: String, version: Long) = s"$root/_bounds/v$version"
+
+  /** Build (or refresh) the staged codes dataset + versioned bounds sidecar
+    * for a corpus snapshot. Atomic snapshot replace, like
+    * [[SignatureStore.build]]; single-writer (the manifest commit is the
+    * linearization point, asserted against the precomputed version).
     * Returns the committed version.
     */
   def build(emb: DataFrame, root: String): Long = {
     val spark = emb.sparkSession
     import spark.implicits._
     val qb = Similarity.fitQuantBounds(emb)
-    // one-row bounds sidecar: model metadata, dims-sized, never data-scale
+    // one-row bounds sidecar: model metadata, dims-sized, never data-scale.
+    // Written under the version number this build's commit will take — the
+    // codes snapshot and its model become visible together, at the commit.
+    val vNext = ManifestTable.currentVersion(spark, root).getOrElse(0L) + 1L
     Seq((qb.mns.toSeq, qb.mxs.toSeq)).toDF("mns", "mxs")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/_bounds")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(boundsPath(root, vNext))
     val staging = s"$root/_staging/${UUID.randomUUID()}"
     Similarity.quantizeCodes(emb, qb)
       .write.mode(SaveMode.Overwrite).parquet(staging)
     val added = ManifestTable.publishFiles(spark, root, staging)
     val version = ManifestTable.commitReplace(spark, root, Seq(""), added)
+    require(version == vNext,
+      s"concurrent build detected: committed v$version, bounds staged for v$vNext")
     ManifestTable.vacuum(spark, root)
+    pruneBounds(spark, root)
     version
   }
 
-  /** The fitted bounds a snapshot was quantized under. */
-  def readBounds(spark: SparkSession, root: String): Similarity.QuantBounds = {
-    val r = spark.read.parquet(s"$root/_bounds").collect().head
+  /** One incremental ingest tick — the [[SignatureStore.ingestBatch]]
+    * pattern for the quantized corpus: a NEW batch of embeddings is
+    * quantized under the CURRENT snapshot's FROZEN bounds and APPENDED as
+    * new files; the existing corpus codes are never re-read, re-quantized,
+    * or re-shuffled (at 100 TB a full refit per tick is the non-viable
+    * path this replaces). Out-of-distribution batch values saturate at the
+    * range edges (the standard SQ behavior — reconstruction error for
+    * clamped dimensions grows with drift, search stays well-defined);
+    * schedule a full [[build]] refit when drift warrants it. The frozen
+    * model is copied forward under the new version, so every
+    * version-pinned (codes, bounds) pairing invariant holds unchanged.
+    * Returns the committed version.
+    */
+  def ingestBatch(batchEmb: DataFrame, root: String): Long = {
+    val spark = batchEmb.sparkSession
+    import spark.implicits._
+    val v = pinnedVersion(spark, root)
+    val qb = readBoundsAt(spark, root, v)
+    val vNext = v + 1L
+    Seq((qb.mns.toSeq, qb.mxs.toSeq)).toDF("mns", "mxs")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(boundsPath(root, vNext))
+    val staging = s"$root/_staging/${UUID.randomUUID()}"
+    Similarity.quantizeCodes(batchEmb, qb, clamp = true)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val added = ManifestTable.publishFiles(spark, root, staging)
+    // no partitions replaced = append: the previous snapshot's files carry
+    // forward untouched
+    val version = ManifestTable.commitReplace(spark, root, Seq.empty, added)
+    require(version == vNext,
+      s"concurrent build detected: committed v$version, bounds staged for v$vNext")
+    ManifestTable.vacuum(spark, root)
+    pruneBounds(spark, root)
+    version
+  }
+
+  /** Drop bounds sidecars whose snapshot was vacuumed (same retention as
+    * the manifest; an orphan from a failed build is overwritten by the next
+    * build of that version, and removed here once that version expires).
+    */
+  private def pruneBounds(spark: SparkSession, root: String): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$root/_bounds")
+    if (fs.exists(dir)) {
+      val live = ManifestTable.versions(spark, root).toSet
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("v") && name.drop(1).forall(_.isDigit)
+          && !live.contains(name.drop(1).toLong))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** The fitted bounds snapshot `version` was quantized under. */
+  def readBoundsAt(spark: SparkSession, root: String,
+                   version: Long): Similarity.QuantBounds = {
+    val r = spark.read.parquet(boundsPath(root, version)).collect().head
     Similarity.QuantBounds(
       r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
   }
 
+  /** The fitted bounds of the current snapshot. */
+  def readBounds(spark: SparkSession, root: String): Similarity.QuantBounds =
+    readBoundsAt(spark, root, pinnedVersion(spark, root))
+
+  /** Staged codes of snapshot `version`. */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val files = ManifestTable.filesOf(spark, root, version)
+    require(files.nonEmpty, s"no committed snapshot v$version at $root")
+    spark.read.option("basePath", ManifestTable.dataDir(root))
+      .parquet(files.map(f => s"${ManifestTable.dataDir(root)}/$f"): _*)
+  }
+
   /** Latest staged codes snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =
-    ManifestTable.read(spark, root)
+    readAt(spark, root, pinnedVersion(spark, root))
+
+  private def pinnedVersion(spark: SparkSession, root: String): Long =
+    ManifestTable.currentVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot at $root"))
 
   /** [[Similarity.annQuantized]] off the stage: identical scoring kernel and
     * output, but the only corpus-scale input is the staged int8 codes —
     * `unitQueries` = (query_id, qv) with unit query vectors (queries are
     * request-scale, supplied by the caller, not derived from the corpus).
+    * The snapshot version is resolved ONCE and both codes and bounds read
+    * at it — a commit landing mid-plan cannot mix model generations.
     */
   def annQuantized(spark: SparkSession, root: String,
-                   unitQueries: DataFrame, k: Int = 5): DataFrame =
-    Similarity.annQuantizedFrom(read(spark, root), readBounds(spark, root),
-      unitQueries, k)
+                   unitQueries: DataFrame, k: Int = 5): DataFrame = {
+    val v = pinnedVersion(spark, root)
+    Similarity.annQuantizedFrom(readAt(spark, root, v),
+      readBoundsAt(spark, root, v), unitQueries, k)
+  }
 }

@@ -106,17 +106,8 @@ object Similarity {
       .orderBy(col("vec_id")).collect()
       .map(r => r.getSeq[Double](1).toArray).toSeq
     for (_ <- 1 to iters) {
-      val rows = e
-        .select(bestCentroid(cents, col("v")).as("__best"), col("v"))
-        .select(-col("__best")("nid"), posexplode(col("v")))
-        .toDF("cid", "dim", "x")
-        .groupBy(col("cid"), col("dim"))
-        .agg(sum(floor(col("x") * lit(KmeansScale.toDouble))).as("sx"),
-          count(lit(1)).as("n"))
-        .collect()
-      val updated = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
-        val mv = rs.sortBy(_.getInt(1)).map(r =>
-          (r.getLong(2).toDouble / KmeansScale.toDouble) / r.getLong(3).toDouble)
+      val updated = lloydSums(e, cents).map { case (cid, (sums, n)) =>
+        val mv = sums.map(_ / n.toDouble)
         var acc = 0.0
         mv.foreach(x => acc += x * x)
         val nrm = math.sqrt(acc)
@@ -125,6 +116,29 @@ object Similarity {
       cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
     }
     cents
+  }
+
+  /** One assignment pass under literal `cents`: per-centroid fixed-point
+    * dimension sums (already divided back by [[KmeansScale]]) and member
+    * counts, collected as k·dim metadata — the shared kernel of a Lloyd
+    * round here and of [[CentroidStore.refresh]]'s mini-batch update.
+    * Absent centroid ids had no members this pass.
+    */
+  private[operators] def lloydSums(e: DataFrame, cents: Seq[Array[Double]])
+      : Map[Int, (Array[Double], Long)] = {
+    val rows = e
+      .select(bestCentroid(cents, col("v")).as("__best"), col("v"))
+      .select(-col("__best")("nid"), posexplode(col("v")))
+      .toDF("cid", "dim", "x")
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(floor(col("x") * lit(KmeansScale.toDouble))).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+    rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      cid -> ((sorted.map(_.getLong(2).toDouble / KmeansScale.toDouble),
+        sorted.head.getLong(3)))
+    }
   }
 
   /** Map-side argmax over literal centroids: struct max by (cosine, −id)
@@ -455,14 +469,21 @@ object Similarity {
     * 255) ∈ [0, 255], 0 on constant dimensions — identical IEEE-754 op
     * sequence to the oracle.
     */
-  private def quantArr(qb: QuantBounds, embCol: Column): Column = {
+  private def quantArr(qb: QuantBounds, embCol: Column,
+                       clamp: Boolean = false): Column = {
     val mns = typedlit(qb.mns.toSeq)
     val mxs = typedlit(qb.mxs.toSeq)
     transform(embCol, (x, i) => {
       val mn = element_at(mns, i + 1)
       val mx = element_at(mxs, i + 1)
-      when(mx === mn, lit(0L))
-        .otherwise(floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)))
+      val raw = floor((x.cast("double") - mn) / (mx - mn) * lit(255.0))
+      // clamped form for FROZEN-bounds quantization of new data
+      // ([[QuantStore.ingestBatch]]): out-of-distribution values saturate at
+      // the range edges (standard SQ behavior) instead of overflowing the
+      // int8 code domain. Fit-to-data callers keep the unclamped arithmetic
+      // (codes are in range by construction; the oracle mirrors it).
+      val q = if (clamp) greatest(lit(0L), least(lit(255L), raw)) else raw
+      when(mx === mn, lit(0L)).otherwise(q)
     })
   }
 
@@ -479,12 +500,13 @@ object Similarity {
     * frame once per corpus snapshot (à la `SignatureStore`) and
     * [[annQuantized]]'s scan reads 1/4 the bytes of the float embeddings.
     */
-  def quantizeCodes(emb: DataFrame, qb: QuantBounds): DataFrame = {
+  def quantizeCodes(emb: DataFrame, qb: QuantBounds,
+                    clamp: Boolean = false): DataFrame = {
     val mns = typedlit(qb.mns.toSeq)
     val scl = typedlit(qb.scales.toSeq)
     // two-step select: the quantization array is referenced twice below and
     // CollapseProject keeps non-cheap multiply-referenced aliases staged
-    emb.select(col("vec_id"), quantArr(qb, col("embedding")).as("__q"))
+    emb.select(col("vec_id"), quantArr(qb, col("embedding"), clamp).as("__q"))
       .select(col("vec_id"),
         transform(col("__q"), q => (q - 128).cast("tinyint")).as("codes"),
         sqrt(aggregate(

@@ -15,7 +15,10 @@ class ContractSpec extends SparkSpec {
     // SQL-expressible; MultimodalSpec pins the semantics on fixtures
     "q_media_decode",
     // real javax.sound WAV round-trip — same rationale as q_media_decode
-    "q_audio_decode")
+    "q_audio_decode",
+    // frame sampling + real javax.imageio BMP decode per sampled frame —
+    // same rationale; MultimodalSpec pins the slicing and decode semantics
+    "q_video_frames")
 
   test("oracleSql keys ⊆ queries keys; every query is oracle-backed") {
     val q = SparkEntry.queries.keySet

@@ -127,6 +127,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoTable frames are fixed-size real BMPs; videoFramesQuery decodes the sampled ones") {
+    val vids = Multimodal.videoTable(docs).collect()
+    assert(vids.forall(_.kind == "video"))
+    // payload = VideoFrames concatenated frames, each exactly videoFrameBytes
+    val fb = Multimodal.videoFrameBytes
+    assert(vids.forall(_.payload.length == fb * Multimodal.VideoFrames))
+    // every frame slice decodes standalone through the real codec at the
+    // declared dims (the boundary contract sampleFrames relies on)
+    val one = vids.head
+    (0 until Multimodal.VideoFrames).foreach { f =>
+      val img = Multimodal.ImageDecoder.decode(
+        one.payload.slice(f * fb, (f + 1) * fb))
+      assert(img.getWidth == Multimodal.VideoFrameW
+        && img.getHeight == Multimodal.VideoFrameH)
+    }
+  }
+
+  test("videoFramesQuery: stride-4 sampling, real decode, exact histogram") {
+    // run through the registered query shape but on the local fixture docs
+    val frames = Multimodal.sampleFrames(
+      Multimodal.videoTable(docs).toDF(),
+      frameBytes = Multimodal.videoFrameBytes, stride = 4).collect()
+    // 8 frames per video, stride 4 -> frames {0, 4} for each of 3 docs
+    assert(frames.map(f => (f.media_id, f.frame_idx)).sorted.toSeq ==
+      Seq((0L, 0), (0L, 4), (1L, 0), (1L, 4), (2L, 0), (2L, 4)))
+    // decode one sampled frame and check the histogram against the pixel
+    // formula: gray(x, y) = (id*31 + x*7 + y*13 + f*17) mod 256
+    val fr = frames.find(f => f.media_id == 1L && f.frame_idx == 4).get
+    val img = Multimodal.ImageDecoder.decode(fr.frame_payload)
+    val feats = Multimodal.ImageDecoder.featuresOf(img, 16)
+    val expected = new Array[Long](16)
+    for (y <- 0 until Multimodal.VideoFrameH; x <- 0 until Multimodal.VideoFrameW) {
+      val g = ((1L * 31 + x * 7 + y * 13 + 4 * 17) % 256).toInt
+      expected(math.min(15, g * 16 / 256)) += 1L
+    }
+    val n = (Multimodal.VideoFrameW * Multimodal.VideoFrameH).toFloat
+    assert(feats.toSeq == expected.map(_ / n).toSeq)
+    assert(math.abs(feats.sum - 1.0f) < 1e-6)
+  }
+
   test("resizeMeta: scales longest side to maxSide, drops payload") {
     val r = Multimodal.resizeMeta(Multimodal.mediaTable(docs), maxSide = 32).collect()
     assert(r.forall(x => x.getAs[Int]("out_width") <= 32 && x.getAs[Int]("out_height") <= 32))

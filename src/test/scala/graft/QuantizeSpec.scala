@@ -100,6 +100,67 @@ class QuantizeSpec extends SparkSpec {
     assert(staged === inline)
   }
 
+  test("QuantStore: a reader never pairs in-flight bounds with old codes") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("quantstore_atomic").toString
+    val v1 = operators.QuantStore.build(emb, root)
+    assert(v1 == 1L)
+    val b1 = operators.QuantStore.readBounds(spark, root)
+    // simulate a build in flight: the FIRST thing build does for v2 is
+    // write v2's bounds — before any codes commit. Plant obviously-wrong
+    // bounds there; a reader must still resolve v1 and v1's bounds.
+    Seq((Seq.fill(64)(-999.0), Seq.fill(64)(999.0))).toDF("mns", "mxs")
+      .coalesce(1).write.parquet(s"$root/_bounds/v2")
+    val during = operators.QuantStore.readBounds(spark, root)
+    assert(during.mns.toSeq === b1.mns.toSeq && during.mxs.toSeq === b1.mxs.toSeq,
+      "reader paired in-flight bounds with the old snapshot")
+    // completing a real v2 build flips codes AND bounds together
+    import org.apache.spark.sql.functions._
+    val emb2 = emb.select($"vec_id",
+      transform($"embedding", x => x * 2.0f).as("embedding"))
+    val v2 = operators.QuantStore.build(emb2, root)
+    assert(v2 == 2L)
+    val b2 = operators.QuantStore.readBounds(spark, root)
+    val fit2 = Similarity.fitQuantBounds(emb2)
+    assert(b2.mns.toSeq === fit2.mns.toSeq && b2.mxs.toSeq === fit2.mxs.toSeq)
+    // pinned read of the superseded version still pairs v1's own model
+    val b1Again = operators.QuantStore.readBoundsAt(spark, root, 1L)
+    assert(b1Again.mns.toSeq === b1.mns.toSeq)
+  }
+
+  test("QuantStore.ingestBatch: frozen-bounds append, out-of-range saturates") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("quantstore_ingest").toString
+    val v1 = operators.QuantStore.build(emb, root)
+    val b1 = operators.QuantStore.readBounds(spark, root)
+    val nCorpus = operators.QuantStore.read(spark, root).count()
+    // batch: one in-distribution vector + one far outside the fitted range
+    import org.apache.spark.sql.functions._
+    val inRange = emb.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val outRange = emb.limit(1).select((col("vec_id") + 2000000L).as("vec_id"),
+      transform(col("embedding"), x => x * 1000.0f).as("embedding"))
+    val v2 = operators.QuantStore.ingestBatch(inRange.union(outRange), root)
+    assert(v2 == v1 + 1)
+    // append: corpus rows carried forward, batch rows added
+    val staged = operators.QuantStore.read(spark, root)
+    assert(staged.count() == nCorpus + 2)
+    // the model is FROZEN across the tick (copied forward, not refitted)
+    val b2 = operators.QuantStore.readBounds(spark, root)
+    assert(b2.mns.toSeq === b1.mns.toSeq && b2.mxs.toSeq === b1.mxs.toSeq)
+    // out-of-distribution codes saturate at the int8 edges instead of
+    // overflowing; every staged norm stays finite
+    val codes = staged.filter(col("vec_id") >= 2000000L)
+      .selectExpr("explode(codes) AS c").as[Byte].collect()
+    assert(codes.forall(c => c == -128 || c == 127))
+    assert(staged.selectExpr("max(CASE WHEN isnan(dnorm) THEN 1 ELSE 0 END)")
+      .as[Int].collect().head == 0)
+  }
+
   test("codes stay within [0, 255] on testdata and max is attained") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())

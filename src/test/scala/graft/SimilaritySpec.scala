@@ -137,6 +137,66 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("CentroidStore: rebuilds are atomic versions; staging junk is invisible") {
+    import graft.operators.CentroidStore
+    val df = emb(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.1f, 0.9f))
+    val root = java.nio.file.Files.createTempDirectory("graft_centroids_v").toString
+    val v1 = CentroidStore.build(df, root, nCentroids = 2)
+    assert(v1 == 1L)
+    val c1 = CentroidStore.readCentroids(spark, root).map(_.toSeq)
+    // a half-written build only ever exists under a _staging_* name; readers
+    // must not see it as a model
+    new java.io.File(s"$root/_staging_partial").mkdirs()
+    assert(CentroidStore.versions(spark, root) == Seq(1L))
+    assert(CentroidStore.readCentroids(spark, root).map(_.toSeq) == c1)
+    // a rebuild becomes version 2 in one rename; the pinned v1 model stays
+    // readable (and byte-identical) until retention drops it
+    val v2 = CentroidStore.build(df, root, nCentroids = 1)
+    assert(v2 == 2L)
+    assert(CentroidStore.readCentroids(spark, root).size == 1)
+    assert(CentroidStore.readCentroidsAt(spark, root, 1L).map(_.toSeq) == c1)
+    spark.catalog.clearCache()
+  }
+
+  test("CentroidStore.refresh: mini-batch Lloyd tick, corpus never re-read") {
+    import graft.operators.{CentroidStore, Similarity}
+    // two tight clusters around the axes; centroid 0 <- {0,2}, 1 <- {1,3}
+    val df = emb(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.1f, 0.9f))
+    val root = java.nio.file.Files.createTempDirectory("graft_centroids_r").toString
+    val v1 = CentroidStore.build(df, root, nCentroids = 2)
+    val m1 = CentroidStore.readCentroids(spark, root).map(_.toSeq)
+    val w1 = CentroidStore.readWeightsAt(spark, root, v1)
+    assert(w1.sum == 4L, "build weights must count every corpus vector")
+    // batch lands entirely in cluster 0's halfspace
+    val batch = emb(10L -> Seq(0.95f, 0.05f), 11L -> Seq(0.85f, 0.2f))
+    val v2 = CentroidStore.refresh(batch, root)
+    assert(v2 == v1 + 1)
+    val m2 = CentroidStore.readCentroids(spark, root).map(_.toSeq)
+    val w2 = CentroidStore.readWeightsAt(spark, root, v2)
+    // expected update mirrored in plain Scala: same normalization, same
+    // fixed-point dimension sums, same weighted spherical mix
+    val scale = Similarity.KmeansScale.toDouble
+    def unit(xs: Seq[Float]): Seq[Double] = {
+      val v = xs.map(_.toDouble)
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      v.map(_ / n)
+    }
+    val sums = Seq(unit(Seq(0.95f, 0.05f)), unit(Seq(0.85f, 0.2f)))
+      .transpose.map(_.map(x => math.floor(x * scale)).sum / scale)
+    val mixed = m1.head.indices.map(i => w1.head.toDouble * m1.head(i) + sums(i))
+    val nrm = math.sqrt(mixed.foldLeft(0.0)((a, x) => a + x * x))
+    assert(m2.head == mixed.map(_ / nrm))
+    // the other centroid had no batch members: direction and weight keep
+    assert(m2(1) == m1(1) && w2 == Seq(w1.head + 2L, w1(1)))
+    // the superseded model stays pinned-readable
+    assert(CentroidStore.readCentroidsAt(spark, root, v1).map(_.toSeq) == m1)
+    spark.catalog.clearCache()
+  }
+
   test("graft_dot propagates a null element as NULL, not 0.0 (codegen + interpreted)") {
     graft.functions.VectorExpressions.register(spark)
     // codegen path (Project under whole-stage codegen)
