@@ -30,9 +30,10 @@ import scala.util.control.NonFatal
   * DATA-INDEPENDENT calibration workload (hash+sum over a 200M range —
   * pure CPU, no I/O, no state) is therefore timed at run START and END
   * against the quiet floor recorded as `"calibration"` in
-  * `scripts/bench_baseline.json`; if the START sample exceeds 1.8x the
-  * floor (or the END sample 1.5x — contention building during the run
-  * shows there first) the whole run is stamped `"tainted": true`, its regression flags are
+  * `scripts/bench_baseline.json`; if the START sample exceeds 1.8x its
+  * phase floor (or the END sample 1.5x its own — the two phases differ
+  * structurally, see the floor-parsing comment) the whole run is stamped
+  * `"tainted": true`, its regression flags are
   * suppressed (a contended run can neither publish flags nor pass for a
   * clean baseline), and the calibration samples are emitted for the
   * record.
@@ -52,6 +53,13 @@ import scala.util.control.NonFatal
   * running this main and copying the JSON line into
   * `scripts/bench_baseline.json` (optionally folding `mins` to the
   * elementwise minimum over several runs — a tighter quiet-machine floor).
+  * The baseline is ENVIRONMENT-scoped: each round runs in a fresh VM whose
+  * CPU/memory/disk balance varies (round 8: CPU probe 30% FASTER than the
+  * recorded floor while every shuffle-bound query read uniformly ~1.4x
+  * slower — hardware drift, not contention or plan changes), so when a new
+  * environment makes the old mins systematically unreachable, re-record
+  * from quiet same-environment runs rather than letting every future run
+  * flag phantom regressions.
   */
 object Bench {
   /** Fixed CPU-bound probe (~1 s quiet on 32 threads): inflates with
@@ -181,39 +189,50 @@ object Bench {
     }
     val finalMins = mins0 ++ retriedMins
     val cal1 = calibrate(spark)
-    // The baseline's quiet floor may be a scalar ("calibration": 0.232,
-    // hand-recorded) or the two-sample array this main itself emits
-    // ("calibration":[0.059,0.280]) when the baseline was regenerated from
-    // run output — accept both (array -> min of the samples) so refreshing
-    // the baseline cannot silently disarm the host-contention guard.
-    val calFloor: Option[Double] = {
+    // The baseline's quiet reference may be a scalar ("calibration": 0.232,
+    // hand-recorded — used for both phases) or the two-sample array this
+    // main itself emits ("calibration":[0.158,0.382]). The phases are NOT
+    // interchangeable: the END probe runs after ~100 queries of heap/JIT
+    // wear and reads ~2.5x the fresh-JVM START probe on a provably idle
+    // host (observed across three rounds: start 0.06-0.16 s, end
+    // 0.28-0.46 s), so each sample compares against its own phase's quiet
+    // reference — START vs min(samples), END vs max(samples). A scalar
+    // baseline keeps the old single-floor behavior.
+    val calFloors: Option[(Double, Double)] = {
       val f = new java.io.File("scripts/bench_baseline.json")
       if (!f.isFile) None
       else {
         val txt = scala.io.Source.fromFile(f).mkString
         val scalar = "\"calibration\"\\s*:\\s*([0-9.Ee+-]+)".r
-          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          .findFirstMatchIn(txt).map(m => (m.group(1).toDouble, m.group(1).toDouble))
         val array = "\"calibration\"\\s*:\\s*\\[([0-9.Ee+,\\s-]+)\\]".r
           .findFirstMatchIn(txt)
-          .map(_.group(1).split(",").map(_.trim.toDouble).min)
-        val floor = scalar.orElse(array)
-        if (floor.isEmpty)
+          .map { m =>
+            val xs = m.group(1).split(",").map(_.trim.toDouble)
+            (xs.min, xs.max)
+          }
+        val floors = scalar.orElse(array)
+        if (floors.isEmpty)
           System.err.println(
             "[bench] WARNING: scripts/bench_baseline.json has no parseable " +
               "\"calibration\" floor — the host-contention taint guard is DISARMED " +
               "for this run; re-record the baseline with a calibration entry")
-        floor
+        floors
       }
     }
-    // 1.8x (not 2x) start margin: round 7's visibly contended run (uniform
+    // 1.8x (not 2x) start margin: a visibly contended round-7 run (uniform
     // ~1.5x slowdown across untouched queries) missed the old 2x threshold
     // by 8 ms and published as clean. The END sample gets a tighter 1.5x
-    // bar — contention that builds DURING the run shows up there first.
-    val tainted = calFloor.exists(fl => cal0 > 1.8 * fl || cal1 > 1.5 * fl)
+    // bar against its own phase floor — contention that builds DURING the
+    // run shows there first.
+    val tainted = calFloors.exists { case (startFl, endFl) =>
+      cal0 > 1.8 * startFl || cal1 > 1.5 * endFl
+    }
     if (tainted)
       System.err.println(
-        f"[bench] TAINTED run: calibration $cal0%.2fs/$cal1%.2fs vs quiet floor " +
-          f"${calFloor.get}%.2fs — host contention detected, regression flags suppressed")
+        f"[bench] TAINTED run: calibration $cal0%.2fs/$cal1%.2fs vs quiet floors " +
+          f"${calFloors.get._1}%.2fs/${calFloors.get._2}%.2fs — host contention " +
+          "detected, regression flags suppressed")
     val regressions: Seq[String] =
       if (tainted) Seq.empty
       else flaggedIn(finalMins).map { name =>

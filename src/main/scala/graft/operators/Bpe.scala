@@ -96,9 +96,11 @@ object Bpe {
     * top-N of ONE round's pair counts, and a strictly CONTIGUOUS prefix is
     * taken where each successive pick p_i (i ≥ 2)
     *
-    *  1. shares no symbol with any earlier pick's {l, r, merged} — so no
-    *     earlier merge in the batch changes cnt(p_i), and the replace
-    *     patterns are disjoint (application order is immaterial);
+    *  1. has l, r AND its merged string l+r all disjoint from every
+    *     earlier pick's {l, r, merged} — so no earlier merge in the batch
+    *     changes cnt(p_i), the replace patterns are disjoint (application
+    *     order is immaterial), and no two picks mint the same new symbol
+    *     (whose new-pair counts would add and escape bound 2);
     *  2. has cnt(p_i) STRICTLY above the new-pair bound of every earlier
     *     pick p_j: a pair born of merge j is (x, m_j) or (m_j, y), and
     *     each of its occurrences consumed an (x, l_j) / (r_j, y)
@@ -151,8 +153,13 @@ object Bpe {
         while (i < top.length && !stopped) {
           val (l, r, cnt) =
             (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          // the merged string must be fresh too: two symbol-disjoint picks
+          // can still merge to the SAME string (("a","bc") and ("ab","c")
+          // both yield "abc"), and their new-pair counts would then ADD —
+          // rule 2's per-pick bound no longer caps the union
           val take = i == 0 ||
-            (!used.contains(l) && !used.contains(r) && cnt > bound)
+            (!used.contains(l) && !used.contains(r) && !used.contains(l + r)
+              && cnt > bound)
           if (!take) stopped = true
           else {
             batch += ((l, r, cnt))

@@ -56,6 +56,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched trainMerges matches sequential on ambiguous single-letter corpora") {
+    // alphabet {a,b,c} makes merged-string collisions likely (("a","bc") and
+    // ("ab","c") both mint "abc") — the case the batch's merged-freshness
+    // stop rule exists for
+    val words = for { i <- 1 to 3; j <- 0 to 2; k <- 0 to 1 }
+      yield "a" * i + "b" * j + "c" * k
+    for (mult <- Seq(1, 3)) {
+      val text = words.zipWithIndex
+        .map { case (w, ix) => (w + " ") * (1 + (ix * mult) % 5) }.mkString(" ")
+      val d = docs((1L, text))
+      val b = Bpe.trainMerges(d, numMerges = 16)
+        .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+      val s = Bpe.trainMergesSequential(d, 16)
+        .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+      assert(b == s, s"divergence at mult=$mult")
+    }
+  }
+
   test("256 merges on the sf0.001 documents table in bounded driver rounds") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val t0 = System.nanoTime()
