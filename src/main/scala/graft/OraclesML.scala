@@ -1382,13 +1382,7 @@ object OraclesML {
     */
   val corpusPipelineSql: String = {
     val groupsOverDocs2 = dedupGroupsSql.replace("FROM documents", "FROM docs2")
-    val perpOverRed = perplexityScoresSql.replace("FROM documents", "FROM red")
-    val clsfOverRed = classifierScoresSql.replace("FROM documents", "FROM red")
-    val contOverGated = contaminationScoresSql.replace("FROM documents", "FROM gated")
-    val em = TextOps.emailPattern
-    val ip = TextOps.ipv4Pattern
-    val ph = TextOps.phonePattern
-    s"""WITH quality AS ($textQualitySql),
+    pipelineTailSql(s"""quality AS ($textQualitySql),
        |docs_clean AS (
        |  SELECT d.* FROM documents d JOIN quality q ON d.doc_id = q.doc_id
        |  WHERE q.quality_score >= 0.70),
@@ -1399,7 +1393,39 @@ object OraclesML {
        |groups AS (SELECT * FROM ($groupsOverDocs2) g),
        |survivors AS (
        |  SELECT d.* FROM docs2 d LEFT JOIN groups g ON d.doc_id = g.node
-       |  WHERE g.node IS NULL OR g.component = d.doc_id),
+       |  WHERE g.node IS NULL OR g.component = d.doc_id)""".stripMargin)
+  }
+
+  /** Mirrors `Corpus.corpusPipelineIncremental`: the quality gate, then the
+    * [[ingestDedupSql]] greedy arrival-wave fold RETARGETED at the gated
+    * docs (the same single-substitution convention as [[dedupRatesSql]] —
+    * the only `FROM documents` inside it is the shingle CTE's), then the
+    * identical stage 2–7 tail. `docs_clean` is MATERIALIZED: both the
+    * ingest subchain and the survivor join consume it.
+    */
+  val corpusPipelineIncrementalSql: String = {
+    val ingestOverClean = ingestDedupSql.replace("FROM documents", "FROM docs_clean")
+    pipelineTailSql(s"""quality AS ($textQualitySql),
+       |docs_clean AS MATERIALIZED (
+       |  SELECT d.* FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+       |  WHERE q.quality_score >= 0.70),
+       |keepers AS (SELECT doc_id FROM ($ingestOverClean) ing),
+       |survivors AS (
+       |  SELECT d.* FROM docs_clean d JOIN keepers k USING (doc_id))""".stripMargin)
+  }
+
+  /** Stage 2–7 oracle tail over a CTE chain ending in `survivors`
+    * (doc_id, text, lang, source, …) — shared by the batch, staged, and
+    * incremental pipeline oracles.
+    */
+  private def pipelineTailSql(survivorCtes: String): String = {
+    val perpOverRed = perplexityScoresSql.replace("FROM documents", "FROM red")
+    val clsfOverRed = classifierScoresSql.replace("FROM documents", "FROM red")
+    val contOverGated = contaminationScoresSql.replace("FROM documents", "FROM gated")
+    val em = TextOps.emailPattern
+    val ip = TextOps.ipv4Pattern
+    val ph = TextOps.phonePattern
+    s"""WITH $survivorCtes,
        |sc_toks AS (SELECT doc_id, lang, source, $W AS w FROM survivors),
        |sc_chunks AS (
        |  SELECT doc_id, lang, source, i AS idx,

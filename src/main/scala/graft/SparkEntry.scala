@@ -121,6 +121,10 @@ object SparkEntry {
     // THE end-to-end corpus build: clean -> scrub -> redact -> LM/classifier
     // gates -> decontaminate -> mixture budgets -> order/shard/pack manifest
     "q_corpus_pipeline" -> ((s, dir) => operators.Corpus.corpusPipeline(Tables.documents(s, dir))),
+    // The same build in production arrival order: greedy wave-by-wave ingest
+    // dedup (first-arrival-wins vs the accumulated store), same stage tail
+    "q_corpus_pipeline_incremental" -> ((s, dir) =>
+      operators.Corpus.corpusPipelineIncremental(Tables.documents(s, dir))),
     // Dedup observability: per-(lang, source) removal counts + survival rate
     "q_dedup_rates" -> ((s, dir) => operators.Corpus.dedupRates(Tables.documents(s, dir))),
     "q_pack_bins" -> ((s, dir) => operators.Corpus.packBins(Tables.documents(s, dir))),
@@ -274,6 +278,7 @@ object SparkEntry {
     "q_simhash_pairs" -> OraclesML.simhashPairsSql,
     "q_corpus_clean" -> OraclesML.corpusCleanSql,
     "q_corpus_pipeline" -> OraclesML.corpusPipelineSql,
+    "q_corpus_pipeline_incremental" -> OraclesML.corpusPipelineIncrementalSql,
     "q_dedup_rates" -> OraclesML.dedupRatesSql,
     "q_pack_bins" -> OraclesML.packBinsSql,
     "q_decontaminate" -> OraclesML.decontaminateSql,

@@ -160,12 +160,96 @@ object Corpus {
                      totalBudget: Long = 20000L,
                      nShards: Int = 8,
                      seqBudget: Long = 1024L,
-                     seed: String = "graft"): DataFrame = {
+                     seed: String = "graft"): DataFrame =
+    corpusPipelineFrom(docs, deduped => Dedup.minhashLshPairs(deduped),
+      minQuality, perplexityThreshold, flagAt, totalBudget, nShards,
+      seqBudget, seed)
+
+  /** [[corpusPipeline]] off a staged [[SignatureStore]] snapshot — the same
+    * single-substitution amortization as [[cleanCorpusStatsStaged]]: the
+    * near-dup stage (the most expensive map-side pass of the whole build)
+    * reads the materialized signature rows restricted to the
+    * quality/exact-dedup survivors by one doc_id semi-join instead of
+    * re-running tokenize → shingle → seeded-md5 over the corpus.
+    * Byte-identical manifest to the self-contained form (spec-asserted).
+    */
+  def corpusPipelineStaged(docs: DataFrame, staged: DataFrame,
+                           minQuality: Double = 0.70,
+                           perplexityThreshold: Double = 3.5,
+                           flagAt: Double = 0.2,
+                           totalBudget: Long = 20000L,
+                           nShards: Int = 8,
+                           seqBudget: Long = 1024L,
+                           seed: String = "graft"): DataFrame =
+    corpusPipelineFrom(docs,
+      deduped => Dedup.pairsFromShingleSigs(
+        staged.join(deduped.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+        Dedup.NumHashes / Dedup.NumBands, 0.5, Dedup.MaxBucketSize),
+      minQuality, perplexityThreshold, flagAt, totalBudget, nShards,
+      seqBudget, seed)
+
+  private def corpusPipelineFrom(docs: DataFrame,
+                                 pairsOf: DataFrame => DataFrame,
+                                 minQuality: Double,
+                                 perplexityThreshold: Double,
+                                 flagAt: Double,
+                                 totalBudget: Long,
+                                 nShards: Int,
+                                 seqBudget: Long,
+                                 seed: String): DataFrame =
+    pipelineTail(cleanedSurvivors(docs, minQuality, pairsOf),
+      perplexityThreshold, flagAt, totalBudget, nShards, seqBudget, seed)
+
+  /** THE INCREMENTAL end-to-end corpus build — the production arrival-order
+    * form of [[corpusPipeline]]: documents land in `nWaves` arrival waves
+    * (`doc_id % nWaves`, the [[Dedup.sequentialIngest]] convention), each
+    * wave is quality-gated and then greedily deduplicated against
+    * everything kept so far (first-arrival-wins — the store-backed
+    * [[SignatureStore.ingestBatch]] semantics, spec-identical), and the
+    * accumulated keepers flow through the SAME stage 2–7 tail as the
+    * batch build.
+    *
+    * Two deliberate contract differences from [[corpusPipeline]]:
+    * exact duplicates are caught by the ingest fold at jaccard 1.0
+    * (first ARRIVAL wins, not min doc_id), and near-dup survivorship is
+    * greedy per arrival order rather than symmetric connected components
+    * — the trade a corpus that grows batch by batch actually makes.
+    * Stages 6–7 (budgets, global order, packing) rebuild from the
+    * accumulated keeper metadata, which is the scale design: per-tick
+    * work is O(batch + touched buckets), the global manifest rebuild is
+    * a metadata-scale pass over (doc_id, source, n_tokens).
+    */
+  def corpusPipelineIncremental(docs: DataFrame,
+                                nWaves: Int = 3,
+                                minQuality: Double = 0.70,
+                                perplexityThreshold: Double = 3.5,
+                                flagAt: Double = 0.2,
+                                totalBudget: Long = 20000L,
+                                nShards: Int = 8,
+                                seqBudget: Long = 1024L,
+                                seed: String = "graft"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val clean = docs.filter(TextOps.qualityScore(col("text")) >= minQuality)
+    val keepers = Dedup.sequentialIngest(clean, nWaves)
+    val survivors = clean.join(keepers.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    pipelineTail(survivors, perplexityThreshold, flagAt, totalBudget,
+      nShards, seqBudget, seed)
+  }
+
+  /** Stages 2–7 of the corpus build (everything after survivor selection):
+    * scrub → redact → LM/classifier gates → split + contamination →
+    * mixture budgets + prefix fill → order → shards → packed manifest.
+    */
+  private def pipelineTail(survivors: DataFrame,
+                           perplexityThreshold: Double,
+                           flagAt: Double,
+                           totalBudget: Long,
+                           nShards: Int,
+                           seqBudget: Long,
+                           seed: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val survivors = cleanedSurvivors(docs, minQuality,
-      deduped => Dedup.minhashLshPairs(deduped))
     val red = TextOps.scrubBoilerplate(survivors, passthrough = Seq("lang", "source"))
       .filter(length(col("clean_text")) > 0)
       .select(col("doc_id"), col("lang"), col("source"),
@@ -211,10 +295,14 @@ object Corpus {
           * totalBudget).cast("long").as("budget"))
     val wCum = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    // persisted: both the rank stamp and the token join-back consume it,
+    // and an unpersisted reference would re-run the cumsum window (and the
+    // budget aggregate below it) once per consumer
     val kept = toks
       .withColumn("__cum", sum(col("n_tokens")).over(wCum))
       .join(broadcast(budgets), Seq("source"))
       .filter(col("__cum") - col("n_tokens") < col("budget"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ranked = Sampling.trainingOrder(kept.select(col("doc_id")), seed)
       .join(kept.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
       .withColumn("shard", col("train_rank") % nShards)

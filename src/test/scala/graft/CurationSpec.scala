@@ -190,14 +190,38 @@ class CurationSpec extends SparkSpec {
     if (h < "cc") "train" else if (h < "e6") "val" else "test"
   }
 
+  /** Batch dedup model: min id per identical text (the fixture plants no
+    * LSH near-dups — texts are structurally distinct).
+    */
+  private def batchDedup(clean: Seq[(Long, String, String)]): Seq[(Long, String, String)] =
+    clean.groupBy(_._2).values.map(_.minBy(_._1)).toSeq.sortBy(_._1)
+
+  /** Arrival-order dedup model (nWaves waves by id % nWaves): a text kept
+    * by an earlier wave drops later copies (first ARRIVAL wins, even when
+    * the later copy has the smaller id); within a wave, min id wins.
+    */
+  private def ingestDedup(nWaves: Int)(
+      clean: Seq[(Long, String, String)]): Seq[(Long, String, String)] = {
+    var seen = Set.empty[String]
+    val out = Seq.newBuilder[(Long, String, String)]
+    for (w <- 0 until nWaves) {
+      val wave = clean.filter(_._1 % nWaves == w)
+        .groupBy(_._2).values.map(_.minBy(_._1))
+        .filter(d => !seen.contains(d._2)).toSeq.sortBy(_._1)
+      out ++= wave
+      seen ++= wave.map(_._2)
+    }
+    out.result()
+  }
+
   /** The full pure-Scala pipeline model → (shard, bin) -> (n_docs, tokens). */
   private def modelManifest(input: Seq[(Long, String, String)], flagAt: Double,
-                            totalBudget: Long, nShards: Int,
-                            seqBudget: Long): Map[(Long, Long), (Long, Long)] = {
-    // stage 1: quality gate -> exact dedup (min id per text); the fixture
-    // plants no LSH near-dups (asserted by texts being structurally distinct)
+                            totalBudget: Long, nShards: Int, seqBudget: Long,
+                            dedup: Seq[(Long, String, String)] => Seq[(Long, String, String)] = batchDedup)
+      : Map[(Long, Long), (Long, Long)] = {
+    // stage 1: quality gate -> dedup survivorship (batch or arrival-order)
     val clean = input.filter { case (_, t, _) => modelQuality(t) >= 0.70 }
-    val deduped = clean.groupBy(_._2).values.map(_.minBy(_._1)).toSeq.sortBy(_._1)
+    val deduped = dedup(clean)
     // stage 2: boilerplate scrub (8-token non-overlapping chunks, maxOcc 1)
     def chunks(t: String) = ws(t).grouped(8).map(_.mkString(" ")).toSeq
     val occ = deduped.flatMap(d => chunks(d._2))
@@ -304,6 +328,44 @@ class CurationSpec extends SparkSpec {
     val loose = modelManifest(rows, 0.2, 10000000L, 2, 10L)
     assert(tight.values.map(_._2).sum < loose.values.map(_._2).sum,
       "contamination flag must drop doc A at the tight threshold")
+  }
+
+  test("corpusPipelineIncremental: first-arrival-wins vs the batch min-id rule") {
+    // dup pair chosen so the LARGER id lands in an EARLIER wave (id % 3):
+    // the batch build keeps the min id, the arrival-order build keeps the
+    // earlier arrival — the one observable contract difference
+    val trainIds = (1L to 200L).filter(modelSplit(_) == "train")
+    val dupA = trainIds.find(_ % 3 == 2).get          // later wave
+    val dupB = trainIds.find(i => i % 3 == 0 && i > dupA).get // earlier wave, larger id
+    val others = trainIds.filter(i => i != dupA && i != dupB)
+      .filter(_ % 10 < 3).take(3)
+    val dupText = "it is of a way of it a cat who can sleep far today of it"
+    val rows = Seq(
+      (dupA, dupText, "web"), (dupB, dupText, "web"),
+      (others(0), "a bird of it a hand of it a man who are wise today of it", "web"),
+      (others(1), "of it a dog of it a tree of it a day far mainly today", "books"),
+      (others(2), "it of a sun of it a park of it a fact who stays today", "books"))
+    val df = rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // model sanity: the two survivorship rules genuinely pick different docs
+    val keptBatch = batchDedup(rows).map(_._1).toSet
+    val keptInc = ingestDedup(3)(rows).map(_._1).toSet
+    assert(keptBatch.contains(dupA) && !keptBatch.contains(dupB))
+    assert(keptInc.contains(dupB) && !keptInc.contains(dupA))
+    for ((dedup, got) <- Seq(
+      (batchDedup _, operators.Corpus.corpusPipeline(df,
+        perplexityThreshold = 1.0e9, flagAt = 1.5,
+        totalBudget = 10000000L, nShards = 2, seqBudget = 10L)),
+      (ingestDedup(3) _, operators.Corpus.corpusPipelineIncremental(df,
+        nWaves = 3, perplexityThreshold = 1.0e9, flagAt = 1.5,
+        totalBudget = 10000000L, nShards = 2, seqBudget = 10L)))) {
+      val expected = modelManifest(rows, 1.5, 10000000L, 2, 10L, dedup)
+      val actual = got.collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens")))).toMap
+      assert(actual == expected && actual.nonEmpty)
+    }
+    spark.catalog.clearCache()
   }
 
   test("corpusPipeline: nShards must be at least 1") {

@@ -69,6 +69,18 @@ class SignatureStoreSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("staged corpusPipeline equals the self-contained flagship manifest") {
+    import graft.operators.Corpus
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_cpstage").toString
+    try {
+      SignatureStore.build(docs, root)
+      val staged = SignatureStore.read(spark, root)
+      assert(sameRows(Corpus.corpusPipelineStaged(docs, staged),
+        Corpus.corpusPipeline(docs)), "staged corpus pipeline diverged")
+    } finally spark.catalog.clearCache()
+  }
+
   test("ingestBatch drops within-batch near-dups, not just store matches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ingest2").toString
