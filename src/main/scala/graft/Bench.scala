@@ -203,8 +203,14 @@ object Bench {
       if (!f.isFile) None
       else {
         val txt = scala.io.Source.fromFile(f).mkString
+        // a scalar floor is a fresh-JVM start-phase measurement (the only
+        // kind a hand-recorder takes); scaling its END floor by 2/1.5 makes
+        // the END check exactly the legacy 2x-of-scalar bar — without it,
+        // the structural END elevation would taint every run under an old
+        // baseline file
         val scalar = "\"calibration\"\\s*:\\s*([0-9.Ee+-]+)".r
-          .findFirstMatchIn(txt).map(m => (m.group(1).toDouble, m.group(1).toDouble))
+          .findFirstMatchIn(txt)
+          .map(m => (m.group(1).toDouble, m.group(1).toDouble * 2.0 / 1.5))
         val array = "\"calibration\"\\s*:\\s*\\[([0-9.Ee+,\\s-]+)\\]".r
           .findFirstMatchIn(txt)
           .map { m =>

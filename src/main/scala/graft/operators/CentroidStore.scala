@@ -94,7 +94,13 @@ object CentroidStore {
           var acc = 0.0
           mixed.foreach(x => acc += x * x)
           val nrm = math.sqrt(acc)
-          (cid, mixed.map(_ / nrm), w + n)
+          // a batch can cancel the weighted mix exactly (e.g. one vector
+          // antipodal to a weight-1 centroid): norm 0 would commit NaN
+          // directions and poison every later consumer — keep the previous
+          // direction, still absorb the batch mass
+          if (nrm > 0.0 && java.lang.Double.isFinite(nrm))
+            (cid, mixed.map(_ / nrm), w + n)
+          else (cid, cv, w + n)
       }
     }
     commitModel(spark, root, updated, retainLast)
@@ -114,6 +120,13 @@ object CentroidStore {
       s"model commit failed: v$v already exists (concurrent build?)")
     val expired = versions(spark, root).dropRight(retainLast.max(1))
     expired.foreach(old => fs.delete(versionPath(root, old), true))
+    // reap staging orphans of failed/crashed earlier builds (single-writer
+    // contract: any other _staging_* dir at commit time is garbage, not an
+    // in-flight peer)
+    fs.listStatus(new Path(root)).foreach { st =>
+      if (st.getPath.getName.startsWith("_staging_"))
+        fs.delete(st.getPath, true)
+    }
     v
   }
 
@@ -135,9 +148,7 @@ object CentroidStore {
   /** The staged model of `version`, in centroid-id order. */
   def readCentroidsAt(spark: SparkSession, root: String,
                       version: Long): Seq[Array[Double]] =
-    spark.read.parquet(versionPath(root, version).toString).collect()
-      .sortBy(_.getAs[Long]("centroid_id"))
-      .map(_.getSeq[Double](1).toArray).toSeq
+    readModelAt(spark, root, version).map(_._2)
 
   /** The current staged model, in centroid-id order. */
   def readCentroids(spark: SparkSession, root: String): Seq[Array[Double]] =

@@ -229,7 +229,11 @@ object Corpus {
                                 seqBudget: Long = 1024L,
                                 seed: String = "graft"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // persisted: each ingest wave filters it and the survivors join reads
+    // it again — unpersisted, the scan + quality regexes would re-run
+    // nWaves+1 times (module persist policy, same as pipelineTail's frames)
     val clean = docs.filter(TextOps.qualityScore(col("text")) >= minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = Dedup.sequentialIngest(clean, nWaves)
     val survivors = clean.join(keepers.select(col("doc_id")), Seq("doc_id"), "left_semi")
     pipelineTail(survivors, perplexityThreshold, flagAt, totalBudget,

@@ -134,8 +134,17 @@ object ManifestTable {
     * inference (`p_date=...` dirs) while never listing directories.
     */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val files = liveFiles(spark, root)
-    require(files.nonEmpty, s"no committed snapshot at $root")
+    val v = currentVersion(spark, root)
+    require(v.nonEmpty, s"no committed snapshot at $root")
+    readAt(spark, root, v.get)
+  }
+
+  /** Read a PINNED snapshot version — the form consumers use when a model
+    * sidecar must pair with exactly this version's data (see `QuantStore`).
+    */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val files = filesOf(spark, root, version)
+    require(files.nonEmpty, s"no committed snapshot v$version at $root")
     spark.read.option("basePath", dataDir(root))
       .parquet(files.map(f => s"${dataDir(root)}/$f"): _*)
   }

@@ -54,11 +54,29 @@ object QuantStore {
       .write.mode(SaveMode.Overwrite).parquet(staging)
     val added = ManifestTable.publishFiles(spark, root, staging)
     val version = ManifestTable.commitReplace(spark, root, Seq(""), added)
-    require(version == vNext,
-      s"concurrent build detected: committed v$version, bounds staged for v$vNext")
+    verifyModelCommit(spark, root, version, vNext, qb)
     ManifestTable.vacuum(spark, root)
     pruneBounds(spark, root)
     version
+  }
+
+  /** Post-commit pairing check. The store is SINGLE-WRITER by contract
+    * (one build per corpus snapshot); this makes a contract violation
+    * LOUD instead of silently wrong: if a racing writer overwrote this
+    * build's bounds between the bounds write and the codes commit, the
+    * committed snapshot's codes would decode against the other build's
+    * scale — so the bounds are read BACK at the committed version and
+    * must byte-equal what this build fitted.
+    */
+  private def verifyModelCommit(spark: SparkSession, root: String,
+                                version: Long, vNext: Long,
+                                qb: Similarity.QuantBounds): Unit = {
+    require(version == vNext,
+      s"concurrent build detected: committed v$version, bounds staged for v$vNext")
+    val back = readBoundsAt(spark, root, version)
+    require(back.mns.sameElements(qb.mns) && back.mxs.sameElements(qb.mxs),
+      s"concurrent build detected: bounds at v$version are not this build's " +
+        "model — snapshot is mispaired, rebuild required")
   }
 
   /** One incremental ingest tick — the [[SignatureStore.ingestBatch]]
@@ -90,8 +108,7 @@ object QuantStore {
     // no partitions replaced = append: the previous snapshot's files carry
     // forward untouched
     val version = ManifestTable.commitReplace(spark, root, Seq.empty, added)
-    require(version == vNext,
-      s"concurrent build detected: committed v$version, bounds staged for v$vNext")
+    verifyModelCommit(spark, root, version, vNext, qb)
     ManifestTable.vacuum(spark, root)
     pruneBounds(spark, root)
     version
@@ -128,12 +145,8 @@ object QuantStore {
     readBoundsAt(spark, root, pinnedVersion(spark, root))
 
   /** Staged codes of snapshot `version`. */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val files = ManifestTable.filesOf(spark, root, version)
-    require(files.nonEmpty, s"no committed snapshot v$version at $root")
-    spark.read.option("basePath", ManifestTable.dataDir(root))
-      .parquet(files.map(f => s"${ManifestTable.dataDir(root)}/$f"): _*)
-  }
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
+    ManifestTable.readAt(spark, root, version)
 
   /** Latest staged codes snapshot. */
   def read(spark: SparkSession, root: String): DataFrame =

@@ -328,6 +328,8 @@ class CurationSpec extends SparkSpec {
     val loose = modelManifest(rows, 0.2, 10000000L, 2, 10L)
     assert(tight.values.map(_._2).sum < loose.values.map(_._2).sum,
       "contamination flag must drop doc A at the tight threshold")
+    // pipelineTail persists per invocation; don't leak into later suites
+    spark.catalog.clearCache()
   }
 
   test("corpusPipelineIncremental: first-arrival-wins vs the batch min-id rule") {
