@@ -202,9 +202,6 @@ object Similarity {
   private[operators] def annIvfFrom(e: DataFrame, cents: Seq[Array[Double]],
                                     k: Int, nProbe: Int,
                                     nQueries: Int): DataFrame = {
-    val members = e
-      .select(col("vec_id"), col("v"), bestCentroid(cents, col("v")).as("__best"))
-      .select(col("vec_id"), col("v"), (-col("__best")("nid")).as("centroid_id"))
     // probe list: sort by (−cosine, id) ascending == cosine desc with
     // low-id ties, take the first nProbe
     val probeArr = slice(array_sort(array(cents.zipWithIndex.map { case (cv, c) =>
@@ -214,9 +211,30 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .select(col("query_id"), col("qv"), explode(probeArr).as("__p"))
       .select(col("query_id"), col("qv"), col("__p")("cid").as("probe_cid"))
+    ivfSearchKernel(assignedMembers(e, cents), q, k)
+  }
+
+  /** (vec_id, v, centroid_id) membership under literal `cents` — the
+    * search-side assignment frame, shared by [[annIvfFrom]] and the staged
+    * [[IvfStore]] postings build (so the two paths cannot drift).
+    */
+  private[operators] def assignedMembers(e: DataFrame,
+                                         cents: Seq[Array[Double]]): DataFrame =
+    e.select(col("vec_id"), col("v"), bestCentroid(cents, col("v")).as("__best"))
+      .select(col("vec_id"), col("v"),
+        (-col("__best")("nid")).cast("long").as("centroid_id"))
+
+  /** The probe-scoped scoring kernel: `queryProbes` = (query_id, qv,
+    * probe_cid) — each query meets only its probed cells' members, exact
+    * cosine, per-query top-k with (cosine desc, vec_id) ties. Shared by the
+    * self-contained and staged search paths.
+    */
+  private[operators] def ivfSearchKernel(members: DataFrame,
+                                         queryProbes: DataFrame,
+                                         k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    members.join(broadcast(q), col("centroid_id") === col("probe_cid"))
+    members.join(broadcast(queryProbes), col("centroid_id") === col("probe_cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("v")))
       .withColumn("rank", row_number().over(w).cast("long"))

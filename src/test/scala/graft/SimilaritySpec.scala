@@ -197,6 +197,28 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IvfStore: staged search equals self-contained IVF; only probed cells are read") {
+    import graft.operators.IvfStore
+    val df = emb(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),           // seeds -> 2 cells
+      2L -> Seq(0.95f, 0.05f), 3L -> Seq(0.9f, 0.2f),
+      4L -> Seq(0.1f, 0.95f), 5L -> Seq(0.2f, 0.9f))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfstore").toString
+    IvfStore.build(df, root, nCentroids = 2)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    // full-probe parity: identical output to the self-contained form
+    assert(rows(IvfStore.annIvfSelf(spark, root, k = 3, nProbe = 2, nQueries = 2))
+      == rows(Similarity.annIvf(df, nCentroids = 2, k = 3, nProbe = 2, nQueries = 2)))
+    // single-probe parity AND file pruning: query 0 lives in cell 0, so the
+    // scan must plan over cell 0's files only — the inverted-file read
+    val staged = IvfStore.annIvfSelf(spark, root, k = 3, nProbe = 1, nQueries = 1)
+    assert(rows(staged)
+      == rows(Similarity.annIvf(df, nCentroids = 2, k = 3, nProbe = 1, nQueries = 1)))
+    val cellDirs = staged.inputFiles.map(_.split("/").find(_.startsWith("p_cell=")).get).toSet
+    assert(cellDirs == Set("p_cell=0"), s"read beyond the probed cell: $cellDirs")
+    spark.catalog.clearCache()
+  }
+
   test("graft_dot propagates a null element as NULL, not 0.0 (codegen + interpreted)") {
     graft.functions.VectorExpressions.register(spark)
     // codegen path (Project under whole-stage codegen)
