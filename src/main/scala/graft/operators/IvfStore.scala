@@ -55,6 +55,36 @@ object IvfStore {
     v
   }
 
+  /** One incremental index tick — the [[SignatureStore.ingestBatch]]
+    * pattern for the postings: a NEW batch of embeddings is assigned
+    * under the CURRENT staged model (map-side argmax over literal
+    * centroids — the existing corpus postings are never re-read or
+    * re-shuffled) and APPENDED as new files in their cells' partitions.
+    * Optionally refresh the model first ([[CentroidStore.refresh]]'s
+    * mini-batch Lloyd tick) — note a refreshed model only affects NEW
+    * batches; existing postings keep their assignment (the standard IVF
+    * trade: assignments drift from the model until the next full
+    * [[build]], bounded by the refresh step size). Returns the committed
+    * postings version.
+    */
+  def ingestBatch(batchEmb: DataFrame, root: String,
+                  refreshModel: Boolean = false): Long = {
+    val spark = batchEmb.sparkSession
+    if (refreshModel) CentroidStore.refresh(batchEmb, modelRoot(root))
+    val cents = CentroidStore.readCentroids(spark, modelRoot(root))
+    val staging = s"${postingsRoot(root)}/_staging/${UUID.randomUUID()}"
+    Similarity.assignedMembers(Similarity.normalized(batchEmb), cents)
+      .withColumn("p_cell", col("centroid_id"))
+      .write.partitionBy("p_cell").mode(SaveMode.Overwrite).parquet(staging)
+    val added = ManifestTable.publishFiles(spark, postingsRoot(root), staging)
+    val entries = ManifestTable.footerMeta(spark,
+      ManifestTable.dataDir(postingsRoot(root)), added, Seq("vec_id")).map(_._1)
+    // no partitions replaced = append: prior snapshots' files carry forward
+    val v = ManifestTable.commitEntries(spark, postingsRoot(root), Seq.empty, entries)
+    ManifestTable.vacuum(spark, postingsRoot(root))
+    v
+  }
+
   /** Driver-side mirror of the probe expression: the same left-to-right
     * IEEE fold as `graft_dot` and the same ascending (−cosine, cid) order
     * as the `array_sort(struct(nc, cid))` probe list — so the staged

@@ -216,6 +216,13 @@ class SimilaritySpec extends SparkSpec {
       == rows(Similarity.annIvf(df, nCentroids = 2, k = 3, nProbe = 1, nQueries = 1)))
     val cellDirs = staged.inputFiles.map(_.split("/").find(_.startsWith("p_cell=")).get).toSet
     assert(cellDirs == Set("p_cell=0"), s"read beyond the probed cell: $cellDirs")
+    // incremental tick: a new batch is assigned under the staged model and
+    // appended; search equals the self-contained form over the UNION
+    val batch = emb(10L -> Seq(0.97f, 0.02f), 11L -> Seq(0.05f, 0.98f))
+    IvfStore.ingestBatch(batch, root)
+    val all = df.union(batch)
+    assert(rows(IvfStore.annIvfSelf(spark, root, k = 4, nProbe = 2, nQueries = 2))
+      == rows(Similarity.annIvf(all, nCentroids = 2, k = 4, nProbe = 2, nQueries = 2)))
     spark.catalog.clearCache()
   }
 
