@@ -52,15 +52,25 @@ object CentroidStore {
     */
   def build(emb: DataFrame, root: String, nCentroids: Int = 8,
             iters: Int = Similarity.KmeansIters, retainLast: Int = 2): Long = {
-    val spark = emb.sparkSession
     val e = Similarity.normalized(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = Similarity.trainCentroids(emb, nCentroids, iters)
+    try buildFrom(e, root, nCentroids, iters, retainLast)
+    finally e.unpersist()
+  }
+
+  /** [[build]] over an already-normalized (and caller-persisted) frame —
+    * so a caller that also consumes the corpus (the [[IvfStore]] postings
+    * write) normalizes and scans ONCE, not once per phase.
+    */
+  private[operators] def buildFrom(e: DataFrame, root: String,
+                                   nCentroids: Int, iters: Int,
+                                   retainLast: Int = 2): Long = {
+    val spark = e.sparkSession
+    val cents = Similarity.trainCentroidsFrom(e, nCentroids, iters)
     // per-centroid member counts under the FINAL model: the mass each
     // centroid represents, which [[refresh]]'s mini-batch update weighs
     // new batches against (k rows of metadata, one extra assignment pass)
     val weights = Similarity.lloydSums(e, cents).map { case (c, (_, n)) => c -> n }
-    e.unpersist()
     commitModel(spark, root, cents.zipWithIndex.map { case (cv, c) =>
       (c.toLong, cv, weights.getOrElse(c, 0L))
     }, retainLast)

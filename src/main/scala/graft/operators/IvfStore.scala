@@ -21,38 +21,43 @@ import org.apache.spark.sql.functions._
   * opens a bounded file set.
   *
   * The model lives in a nested [[CentroidStore]] (atomic versioned
-  * commits, mini-batch refresh); postings inherit ManifestTable snapshot
-  * isolation. Search output is byte-identical to
-  * [[CentroidStore.annIvf]] / [[Similarity.annIvf]] under the same model
-  * (spec-asserted): the probe selection mirrors the column-expression
-  * arithmetic exactly (same left-to-right dot fold, same (−cosine, id)
-  * tie order) and the scoring runs through the shared
-  * [[Similarity.ivfSearchKernel]].
+  * commits, mini-batch refresh), and MODEL/POSTINGS PAIRING is explicit:
+  * each postings snapshot records the model version its assignments were
+  * computed under (a `_model/v{N}` sidecar written before the commit, the
+  * [[QuantStore]] versioned-bounds pattern), and every search resolves
+  * ONE postings version and probes with exactly that version's centroids
+  * — a search racing a rebuild can never probe new-model cells against
+  * old-model postings (cell ids mean different voronoi regions across
+  * retrains; the mispairing would be silently wrong, not an error).
+  *
+  * Search output is byte-identical to [[CentroidStore.annIvf]] /
+  * [[Similarity.annIvf]] under the same model (spec-asserted): the probe
+  * selection mirrors the column-expression arithmetic exactly (same
+  * left-to-right dot fold, same (−cosine, id) tie order) and the scoring
+  * runs through the shared [[Similarity.ivfSearchKernel]].
   */
 object IvfStore {
 
   private def modelRoot(root: String) = s"$root/model"
   private def postingsRoot(root: String) = s"$root/postings"
+  private def modelRefPath(root: String, postingsVersion: Long) =
+    s"${postingsRoot(root)}/_model/v$postingsVersion"
 
   /** Train (via the nested [[CentroidStore]]) and materialize the postings
-    * for a corpus snapshot. Returns the committed postings version.
+    * for a corpus snapshot. One normalization pass feeds both training and
+    * the postings write. Returns the committed postings version.
     */
   def build(emb: DataFrame, root: String, nCentroids: Int = 8,
             iters: Int = Similarity.KmeansIters): Long = {
     val spark = emb.sparkSession
-    val mv = CentroidStore.build(emb, modelRoot(root), nCentroids, iters)
-    val cents = CentroidStore.readCentroidsAt(spark, modelRoot(root), mv)
-    val staging = s"${postingsRoot(root)}/_staging/${UUID.randomUUID()}"
-    Similarity.assignedMembers(Similarity.normalized(emb), cents)
-      .withColumn("p_cell", col("centroid_id"))
-      .write.partitionBy("p_cell").mode(SaveMode.Overwrite).parquet(staging)
-    val added = ManifestTable.publishFiles(spark, postingsRoot(root), staging)
-    // vec_id stats ride the manifest so the self-query fetch file-prunes
-    val entries = ManifestTable.footerMeta(spark,
-      ManifestTable.dataDir(postingsRoot(root)), added, Seq("vec_id")).map(_._1)
-    val v = ManifestTable.commitEntries(spark, postingsRoot(root), Seq(""), entries)
-    ManifestTable.vacuum(spark, postingsRoot(root))
-    v
+    val e = Similarity.normalized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mv = CentroidStore.buildFrom(e, modelRoot(root), nCentroids, iters)
+      val cents = CentroidStore.readCentroidsAt(spark, modelRoot(root), mv)
+      commitPostings(spark, root,
+        Similarity.assignedMembers(e, cents), mv, replaced = Seq(""))
+    } finally e.unpersist()
   }
 
   /** One incremental index tick — the [[SignatureStore.ingestBatch]]
@@ -64,26 +69,68 @@ object IvfStore {
     * mini-batch Lloyd tick) — note a refreshed model only affects NEW
     * batches; existing postings keep their assignment (the standard IVF
     * trade: assignments drift from the model until the next full
-    * [[build]], bounded by the refresh step size). Returns the committed
-    * postings version.
+    * [[build]], bounded by the refresh step size; the snapshot's model
+    * ref advances with the tick so search probes the model the NEWEST
+    * postings were assigned under). Returns the committed version.
     */
   def ingestBatch(batchEmb: DataFrame, root: String,
                   refreshModel: Boolean = false): Long = {
     val spark = batchEmb.sparkSession
     if (refreshModel) CentroidStore.refresh(batchEmb, modelRoot(root))
-    val cents = CentroidStore.readCentroids(spark, modelRoot(root))
+    val mv = CentroidStore.versions(spark, modelRoot(root)).lastOption
+      .getOrElse(throw new IllegalStateException(s"no staged model at $root"))
+    val cents = CentroidStore.readCentroidsAt(spark, modelRoot(root), mv)
+    commitPostings(spark, root,
+      Similarity.assignedMembers(Similarity.normalized(batchEmb), cents),
+      mv, replaced = Seq.empty)
+  }
+
+  /** Shared postings commit: stage the cell-partitioned files, attach
+    * vec_id stats (so the self-query fetch file-prunes), record the model
+    * version this snapshot's assignments used BEFORE the commit (the
+    * single-writer version-pairing discipline of [[QuantStore.build]]),
+    * and commit — replace-all for a build, append for a tick.
+    */
+  private def commitPostings(spark: SparkSession, root: String,
+                             postings: DataFrame, modelVersion: Long,
+                             replaced: Seq[String]): Long = {
+    import spark.implicits._
+    val vNext = ManifestTable.currentVersion(spark, postingsRoot(root))
+      .getOrElse(0L) + 1L
+    Seq(modelVersion).toDF("model_version")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(modelRefPath(root, vNext))
     val staging = s"${postingsRoot(root)}/_staging/${UUID.randomUUID()}"
-    Similarity.assignedMembers(Similarity.normalized(batchEmb), cents)
-      .withColumn("p_cell", col("centroid_id"))
+    postings.withColumn("p_cell", col("centroid_id"))
       .write.partitionBy("p_cell").mode(SaveMode.Overwrite).parquet(staging)
     val added = ManifestTable.publishFiles(spark, postingsRoot(root), staging)
     val entries = ManifestTable.footerMeta(spark,
       ManifestTable.dataDir(postingsRoot(root)), added, Seq("vec_id")).map(_._1)
-    // no partitions replaced = append: prior snapshots' files carry forward
-    val v = ManifestTable.commitEntries(spark, postingsRoot(root), Seq.empty, entries)
+    val v = ManifestTable.commitEntries(spark, postingsRoot(root), replaced, entries)
+    require(v == vNext && modelVersionOf(spark, root, v) == modelVersion,
+      s"concurrent build detected: postings v$v not paired with model v$modelVersion")
     ManifestTable.vacuum(spark, postingsRoot(root))
+    // drop model refs of vacuumed postings versions (QuantStore.pruneBounds)
+    val live = ManifestTable.versions(spark, postingsRoot(root)).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(s"${postingsRoot(root)}/_model")
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit)
+        && !live.contains(n.drop(1).toLong))
+        fs.delete(st.getPath, true)
+    }
     v
   }
+
+  /** The model version postings snapshot `postingsVersion` was assigned
+    * under.
+    */
+  def modelVersionOf(spark: SparkSession, root: String,
+                     postingsVersion: Long): Long =
+    spark.read.parquet(modelRefPath(root, postingsVersion))
+      .collect().head.getLong(0)
 
   /** Driver-side mirror of the probe expression: the same left-to-right
     * IEEE fold as `graft_dot` and the same ascending (−cosine, cid) order
@@ -104,44 +151,74 @@ object IvfStore {
 
   /** Multi-probe search over the staged index, reading ONLY the probed
     * cells' files. `unitQueries` = (query_id, qv) with UNIT query vectors
-    * (request-scale, supplied by the caller).
+    * (request-scale, supplied by the caller). The postings version — and
+    * through the model ref, the centroids — are resolved ONCE.
     */
   def annIvf(spark: SparkSession, root: String, unitQueries: DataFrame,
-             k: Int = 5, nProbe: Int = 2): DataFrame = {
+             k: Int = 5, nProbe: Int = 2): DataFrame =
+    annIvfPinned(spark, root, pinnedVersion(spark, root), unitQueries, k, nProbe)
+
+  /** The oracle-parity self-query form ([[Similarity.annIvf]]'s contract:
+    * queries are the corpus vectors with vec_id < nQueries): query fetch
+    * and member scan share ONE pinned postings version — a tick committing
+    * mid-search cannot mix snapshots — and the query fetch plans only over
+    * files whose vec_id stats can hold the query ids.
+    */
+  def annIvfSelf(spark: SparkSession, root: String, k: Int = 5,
+                 nProbe: Int = 2, nQueries: Int = 8): DataFrame = {
+    val pv = pinnedVersion(spark, root)
+    val entries = ManifestTable.entriesOf(spark, postingsRoot(root), pv)
+    val qFiles = ManifestTable
+      .pruneEntries(entries, "vec_id", 0L, nQueries - 1L).map(_.path)
+    val q = readFiles(spark, root, qFiles)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    annIvfPinned(spark, root, pv, q, k, nProbe)
+  }
+
+  private def pinnedVersion(spark: SparkSession, root: String): Long =
+    ManifestTable.currentVersion(spark, postingsRoot(root))
+      .getOrElse(throw new IllegalStateException(s"no postings snapshot at $root"))
+
+  private def annIvfPinned(spark: SparkSession, root: String, pv: Long,
+                           unitQueries: DataFrame, k: Int,
+                           nProbe: Int): DataFrame = {
     import spark.implicits._
-    val cents = CentroidStore.readCentroids(spark, modelRoot(root))
+    val cents = CentroidStore.readCentroidsAt(spark, modelRoot(root),
+      modelVersionOf(spark, root, pv))
     val qvs = unitQueries.select(col("query_id"), col("qv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qProbes = qvs.toSeq.flatMap { case (qid, qv) =>
       probesOf(cents, qv, nProbe).map(c => (qid, qv.toSeq, c.toLong))
     }
     val probed = qProbes.map(_._3).toSet
-    val pv = ManifestTable.currentVersion(spark, postingsRoot(root))
-      .getOrElse(throw new IllegalStateException(s"no postings snapshot at $root"))
-    // partition-path pruning: only files under a probed p_cell=… dir plan
-    val files = ManifestTable.filesOf(spark, postingsRoot(root), pv)
-      .filter(f => probed.exists(c => f.startsWith(s"p_cell=$c/")))
-    require(files.nonEmpty, s"no postings files for probed cells $probed")
-    val members = spark.read
-      .option("basePath", ManifestTable.dataDir(postingsRoot(root)))
-      .parquet(files.map(f => s"${ManifestTable.dataDir(postingsRoot(root))}/$f"): _*)
+    val allFiles = ManifestTable.filesOf(spark, postingsRoot(root), pv)
+    // partition-path pruning: only files under a probed p_cell=… dir plan.
+    // Empty probed cells (possible under skew — a centroid can end with no
+    // members) just contribute no files; like the self-contained form, the
+    // affected query returns no rows rather than erroring.
+    val files = allFiles.filter(f => probed.exists(c => f.startsWith(s"p_cell=$c/")))
+    val members = readFiles(spark, root, files)
       .select(col("vec_id"), col("v"), col("centroid_id"))
     val q = qProbes.toDF("query_id", "qv", "probe_cid")
     Similarity.ivfSearchKernel(members, q, k)
   }
 
-  /** The oracle-parity self-query form ([[Similarity.annIvf]]'s contract:
-    * queries are the corpus vectors with vec_id < nQueries): the query
-    * vectors come from the postings themselves through the manifest's
-    * vec_id-stats file pruning — no full-corpus scan anywhere in the
-    * search.
+  /** Scan an explicit postings file list — empty lists yield a correctly
+    * typed EMPTY frame via a limit(0) scan over any committed file (the
+    * [[ManifestTable.readWhere]] empty-prune convention).
     */
-  def annIvfSelf(spark: SparkSession, root: String, k: Int = 5,
-                 nProbe: Int = 2, nQueries: Int = 8): DataFrame = {
-    val q = ManifestTable.readWhere(spark, postingsRoot(root), "vec_id",
-        0L, nQueries - 1L)
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    annIvf(spark, root, q, k, nProbe)
+  private def readFiles(spark: SparkSession, root: String,
+                        files: Seq[String]): DataFrame = {
+    val dataDir = ManifestTable.dataDir(postingsRoot(root))
+    if (files.nonEmpty)
+      spark.read.option("basePath", dataDir)
+        .parquet(files.map(f => s"$dataDir/$f"): _*)
+    else {
+      val any = ManifestTable.liveFiles(spark, postingsRoot(root))
+      require(any.nonEmpty, s"no postings files at $root")
+      spark.read.option("basePath", dataDir)
+        .parquet(s"$dataDir/${any.head}").limit(0)
+    }
   }
 }

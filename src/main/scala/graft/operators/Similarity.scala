@@ -100,8 +100,8 @@ object Similarity {
     * entries, same contract as the Dedup persists — Bench/Verify
     * clearCache between queries).
     */
-  private def trainCentroidsFrom(e: DataFrame, nCentroids: Int,
-                                 iters: Int): Seq[Array[Double]] = {
+  private[operators] def trainCentroidsFrom(e: DataFrame, nCentroids: Int,
+                                            iters: Int): Seq[Array[Double]] = {
     var cents: Seq[Array[Double]] = e.filter(col("vec_id") < nCentroids)
       .orderBy(col("vec_id")).collect()
       .map(r => r.getSeq[Double](1).toArray).toSeq
@@ -232,6 +232,11 @@ object Similarity {
   private[operators] def ivfSearchKernel(members: DataFrame,
                                          queryProbes: DataFrame,
                                          k: Int): DataFrame = {
+    // a staged search may be the session's FIRST similarity call (build
+    // once, query from later sessions) — cosine() needs the native kernel
+    // registered here, not just in vectors() (the annQuantizedFrom
+    // precedent)
+    graft.functions.VectorExpressions.register(members.sparkSession)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     members.join(broadcast(queryProbes), col("centroid_id") === col("probe_cid"))

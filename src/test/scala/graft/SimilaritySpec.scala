@@ -219,10 +219,21 @@ class SimilaritySpec extends SparkSpec {
     // incremental tick: a new batch is assigned under the staged model and
     // appended; search equals the self-contained form over the UNION
     val batch = emb(10L -> Seq(0.97f, 0.02f), 11L -> Seq(0.05f, 0.98f))
-    IvfStore.ingestBatch(batch, root)
+    val v2 = IvfStore.ingestBatch(batch, root)
+    assert(IvfStore.modelVersionOf(spark, root, v2) == 1L,
+      "append tick must keep the model its postings were assigned under")
     val all = df.union(batch)
     assert(rows(IvfStore.annIvfSelf(spark, root, k = 4, nProbe = 2, nQueries = 2))
       == rows(Similarity.annIvf(all, nCentroids = 2, k = 4, nProbe = 2, nQueries = 2)))
+    // a refresh tick advances the paired model ref with its snapshot; at
+    // full probe every cell is scanned, so parity with the self-contained
+    // form holds regardless of which model assigned the cells
+    val batch2 = emb(20L -> Seq(0.6f, 0.4f))
+    val v3 = IvfStore.ingestBatch(batch2, root, refreshModel = true)
+    assert(IvfStore.modelVersionOf(spark, root, v3) == 2L)
+    val all2 = all.union(batch2)
+    assert(rows(IvfStore.annIvfSelf(spark, root, k = 4, nProbe = 2, nQueries = 2))
+      == rows(Similarity.annIvf(all2, nCentroids = 2, k = 4, nProbe = 2, nQueries = 2)))
     spark.catalog.clearCache()
   }
 
