@@ -1396,20 +1396,29 @@ object OraclesML {
        |  WHERE g.node IS NULL OR g.component = d.doc_id)""".stripMargin)
   }
 
-  /** Mirrors `Corpus.corpusPipelineIncremental`: the quality gate, then the
-    * [[ingestDedupSql]] greedy arrival-wave fold RETARGETED at the gated
-    * docs (the same single-substitution convention as [[dedupRatesSql]] —
-    * the only `FROM documents` inside it is the shingle CTE's), then the
-    * identical stage 2–7 tail. `docs_clean` is MATERIALIZED: both the
-    * ingest subchain and the survivor join consume it.
+  /** Mirrors `Corpus.corpusPipelineIncremental`: the quality gate, the
+    * exact first-arrival-wins pre-dedup (earliest wave then min doc_id —
+    * the Spark side's md5-keyed window; without it two identical
+    * shingle-less docs in different waves would both survive the fold),
+    * then the [[ingestDedupSql]] greedy arrival-wave fold RETARGETED at
+    * the exact-deduped docs (the same single-substitution convention as
+    * [[dedupRatesSql]] — the only `FROM documents` inside it is the
+    * shingle CTE's), then the identical stage 2–7 tail. `docs_clean` is
+    * MATERIALIZED: the pre-dedup and the survivor join both consume it.
     */
   val corpusPipelineIncrementalSql: String = {
-    val ingestOverClean = ingestDedupSql.replace("FROM documents", "FROM docs_clean")
+    val ingestOverExact = ingestDedupSql.replace("FROM documents", "FROM docs_exact")
     pipelineTailSql(s"""quality AS ($textQualitySql),
        |docs_clean AS MATERIALIZED (
        |  SELECT d.* FROM documents d JOIN quality q ON d.doc_id = q.doc_id
        |  WHERE q.quality_score >= 0.70),
-       |keepers AS (SELECT doc_id FROM ($ingestOverClean) ing),
+       |docs_exact AS MATERIALIZED (
+       |  SELECT * EXCLUDE (__rn) FROM (
+       |    SELECT d.*, row_number() OVER (
+       |      PARTITION BY md5(text) ORDER BY doc_id % 3, doc_id) AS __rn
+       |    FROM docs_clean d)
+       |  WHERE __rn = 1),
+       |keepers AS (SELECT doc_id FROM ($ingestOverExact) ing),
        |survivors AS (
        |  SELECT d.* FROM docs_clean d JOIN keepers k USING (doc_id))""".stripMargin)
   }

@@ -34,15 +34,8 @@ object CentroidStore {
   private def versionPath(root: String, v: Long) = new Path(s"$root/v$v")
 
   /** Committed model versions, ascending. */
-  def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val fs = fsOf(spark, root)
-    val dir = new Path(root)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
-        n.drop(1).toLong
-      }.sorted
-  }
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    ManifestTable.versionDirs(fsOf(spark, root), new Path(root)).map(_._1)
 
   /** Train on the corpus snapshot and stage the model. The model is k·dim
     * doubles — pure metadata; the write lands in staging and becomes
@@ -90,12 +83,21 @@ object CentroidStore {
     * reproducible). Centroids with no batch members keep their direction
     * and weight. Commits the next model version atomically; returns it.
     */
-  def refresh(batchEmb: DataFrame, root: String, retainLast: Int = 2): Long = {
-    val spark = batchEmb.sparkSession
+  def refresh(batchEmb: DataFrame, root: String, retainLast: Int = 2): Long =
+    refreshFrom(Similarity.normalized(batchEmb), root, retainLast)
+
+  /** [[refresh]] over an already-normalized (and caller-persisted) batch —
+    * the [[buildFrom]] seam: a caller that also consumes the batch (the
+    * [[IvfStore]] postings tick) normalizes and scans ONCE, not once per
+    * phase.
+    */
+  private[operators] def refreshFrom(e: DataFrame, root: String,
+                                     retainLast: Int = 2): Long = {
+    val spark = e.sparkSession
     val v = currentVersion(spark, root)
     val model = readModelAt(spark, root, v)
     val cents = model.map(_._2)
-    val sums = Similarity.lloydSums(Similarity.normalized(batchEmb), cents)
+    val sums = Similarity.lloydSums(e, cents)
     val updated = model.zipWithIndex.map { case ((cid, cv, w), c) =>
       sums.get(c) match {
         case None => (cid, cv, w)
@@ -164,7 +166,7 @@ object CentroidStore {
   def readCentroids(spark: SparkSession, root: String): Seq[Array[Double]] =
     readCentroidsAt(spark, root, currentVersion(spark, root))
 
-  private def currentVersion(spark: SparkSession, root: String): Long =
+  private[operators] def currentVersion(spark: SparkSession, root: String): Long =
     versions(spark, root).lastOption
       .getOrElse(throw new IllegalStateException(s"no staged model at $root"))
 

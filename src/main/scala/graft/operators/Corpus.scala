@@ -210,10 +210,14 @@ object Corpus {
     * batch build.
     *
     * Two deliberate contract differences from [[corpusPipeline]]:
-    * exact duplicates are caught by the ingest fold at jaccard 1.0
-    * (first ARRIVAL wins, not min doc_id), and near-dup survivorship is
-    * greedy per arrival order rather than symmetric connected components
-    * — the trade a corpus that grows batch by batch actually makes.
+    * exact-duplicate survivorship is first ARRIVAL wins, not min doc_id
+    * (an explicit md5-keyed pre-dedup ordered by (wave, doc_id) — the
+    * ingest fold alone would catch shingle-full copies at jaccard 1.0
+    * but docs with < [[Dedup.ShingleK]] tokens have no shingles and
+    * never co-bucket, so the exact rule must not ride the near-dup
+    * machinery), and near-dup survivorship is greedy per arrival order
+    * rather than symmetric connected components — the trade a corpus
+    * that grows batch by batch actually makes.
     * Stages 6–7 (budgets, global order, packing) rebuild from the
     * accumulated keeper metadata, which is the scale design: per-tick
     * work is O(batch + touched buckets), the global manifest rebuild is
@@ -228,13 +232,28 @@ object Corpus {
                                 nShards: Int = 8,
                                 seqBudget: Long = 1024L,
                                 seed: String = "graft"): DataFrame = {
+    // fail fast, not just in pipelineTail: the ingest fold below checkpoints
+    // EAGERLY per wave, so deferring to the tail's require would run the
+    // whole fold before rejecting a bad shard count
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     // persisted: each ingest wave filters it and the survivors join reads
     // it again — unpersisted, the scan + quality regexes would re-run
     // nWaves+1 times (module persist policy, same as pipelineTail's frames)
     val clean = docs.filter(TextOps.qualityScore(col("text")) >= minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keepers = Dedup.sequentialIngest(clean, nWaves)
+    // exact duplicates, first-arrival-wins: earliest wave, then min doc_id
+    // (the same tie the within-wave components resolve). Explicit because
+    // the fold's jaccard-1.0 path only sees shingle-FULL copies — a
+    // < ShingleK-token doc has null bands and never co-buckets, so two
+    // identical tiny docs in different waves would otherwise both survive.
+    // One text-keyed window, the exact-dedup shape cleanedSurvivors uses.
+    val keepFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+      .orderBy(col("doc_id") % nWaves, col("doc_id"))
+    val exact = clean
+      .withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") === 1).drop("__rn")
+    val keepers = Dedup.sequentialIngest(exact, nWaves)
     val survivors = clean.join(keepers.select(col("doc_id")), Seq("doc_id"), "left_semi")
     pipelineTail(survivors, perplexityThreshold, flagAt, totalBudget,
       nShards, seqBudget, seed)

@@ -545,6 +545,12 @@ object Dedup {
     * a corpus that grows batch by batch. Output: (doc_id, batch_id) of the
     * kept documents.
     *
+    * NEAR-dup scope only: exact copies of shingle-less docs (< [[ShingleK]]
+    * tokens) pass through — they have null bands and never co-bucket, so
+    * the jaccard-1.0 path never sees them. A caller that needs exact
+    * dedup of tiny docs runs an explicit text-keyed pass first, as
+    * [[Corpus.corpusPipelineIncremental]] does.
+    *
     * Scale: each tick's keepers are persisted and the store is their union,
     * so tick i re-reads cached signature partitions, never recomputes the
     * history. The disk-backed production form of the same loop is

@@ -76,13 +76,20 @@ object IvfStore {
   def ingestBatch(batchEmb: DataFrame, root: String,
                   refreshModel: Boolean = false): Long = {
     val spark = batchEmb.sparkSession
-    if (refreshModel) CentroidStore.refresh(batchEmb, modelRoot(root))
-    val mv = CentroidStore.versions(spark, modelRoot(root)).lastOption
-      .getOrElse(throw new IllegalStateException(s"no staged model at $root"))
-    val cents = CentroidStore.readCentroidsAt(spark, modelRoot(root), mv)
-    commitPostings(spark, root,
-      Similarity.assignedMembers(Similarity.normalized(batchEmb), cents),
-      mv, replaced = Seq.empty)
+    // with a model refresh the normalized batch feeds TWO passes (the
+    // mini-batch Lloyd sums and the postings write) — persist so the scan
+    // + per-vector norms run once, the build()'s one-normalization design
+    val e0 = Similarity.normalized(batchEmb)
+    val e = if (refreshModel)
+      e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else e0
+    try {
+      if (refreshModel) CentroidStore.refreshFrom(e, modelRoot(root))
+      val mv = CentroidStore.currentVersion(spark, modelRoot(root))
+      val cents = CentroidStore.readCentroidsAt(spark, modelRoot(root), mv)
+      commitPostings(spark, root,
+        Similarity.assignedMembers(e, cents), mv, replaced = Seq.empty)
+    } finally if (refreshModel) e.unpersist()
   }
 
   /** Shared postings commit: stage the cell-partitioned files, attach
@@ -111,16 +118,11 @@ object IvfStore {
       s"concurrent build detected: postings v$v not paired with model v$modelVersion")
     ManifestTable.vacuum(spark, postingsRoot(root))
     // drop model refs of vacuumed postings versions (QuantStore.pruneBounds)
-    val live = ManifestTable.versions(spark, postingsRoot(root)).toSet
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mdir = new org.apache.hadoop.fs.Path(s"${postingsRoot(root)}/_model")
-    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("v") && n.drop(1).forall(_.isDigit)
-        && !live.contains(n.drop(1).toLong))
-        fs.delete(st.getPath, true)
-    }
+    ManifestTable.pruneVersionDirs(fs,
+      new org.apache.hadoop.fs.Path(s"${postingsRoot(root)}/_model"),
+      ManifestTable.versions(spark, postingsRoot(root)).toSet)
     v
   }
 
@@ -170,7 +172,7 @@ object IvfStore {
     val entries = ManifestTable.entriesOf(spark, postingsRoot(root), pv)
     val qFiles = ManifestTable
       .pruneEntries(entries, "vec_id", 0L, nQueries - 1L).map(_.path)
-    val q = readFiles(spark, root, qFiles)
+    val q = readFiles(spark, root, qFiles, entries.map(_.path))
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     annIvfPinned(spark, root, pv, q, k, nProbe)
@@ -198,27 +200,29 @@ object IvfStore {
     // members) just contribute no files; like the self-contained form, the
     // affected query returns no rows rather than erroring.
     val files = allFiles.filter(f => probed.exists(c => f.startsWith(s"p_cell=$c/")))
-    val members = readFiles(spark, root, files)
+    val members = readFiles(spark, root, files, allFiles)
       .select(col("vec_id"), col("v"), col("centroid_id"))
     val q = qProbes.toDF("query_id", "qv", "probe_cid")
     Similarity.ivfSearchKernel(members, q, k)
   }
 
   /** Scan an explicit postings file list — empty lists yield a correctly
-    * typed EMPTY frame via a limit(0) scan over any committed file (the
-    * [[ManifestTable.readWhere]] empty-prune convention).
+    * typed EMPTY frame via a limit(0) scan over a file of THE SAME pinned
+    * snapshot (`pinnedFiles` = the resolved version's full file list; a
+    * current-version fallback here would break the snapshot pin — a tick
+    * committing mid-search could supply the schema file, and a follow-up
+    * vacuum could delete it before the read).
     */
-  private def readFiles(spark: SparkSession, root: String,
-                        files: Seq[String]): DataFrame = {
+  private def readFiles(spark: SparkSession, root: String, files: Seq[String],
+                        pinnedFiles: Seq[String]): DataFrame = {
     val dataDir = ManifestTable.dataDir(postingsRoot(root))
     if (files.nonEmpty)
       spark.read.option("basePath", dataDir)
         .parquet(files.map(f => s"$dataDir/$f"): _*)
     else {
-      val any = ManifestTable.liveFiles(spark, postingsRoot(root))
-      require(any.nonEmpty, s"no postings files at $root")
+      require(pinnedFiles.nonEmpty, s"no postings files at $root")
       spark.read.option("basePath", dataDir)
-        .parquet(s"$dataDir/${any.head}").limit(0)
+        .parquet(s"$dataDir/${pinnedFiles.head}").limit(0)
     }
   }
 }

@@ -97,6 +97,28 @@ object ManifestTable {
       }.sorted
   }
 
+  /** `v{N}` version-directory children of `dir` — the versioned-sidecar
+    * layout every model store shares ([[CentroidStore]] model versions,
+    * [[QuantStore]] `_bounds`, [[IvfStore]] postings `_model` refs) —
+    * ascending by N. One parser, so the stores cannot drift.
+    */
+  private[operators] def versionDirs(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .collect { case st if { val n = st.getPath.getName
+          n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit) } =>
+        (st.getPath.getName.drop(1).toLong, st.getPath)
+      }.sortBy(_._1)
+
+  /** Delete every `v{N}` child of `dir` whose N is not in `keep` — the
+    * shared retention pass for sidecars versioned with a snapshot.
+    */
+  private[operators] def pruneVersionDirs(fs: FileSystem, dir: Path,
+                                          keep: Set[Long]): Unit =
+    versionDirs(fs, dir).foreach { case (v, p) =>
+      if (!keep.contains(v)) fs.delete(p, true)
+    }
+
   private def rawLinesOf(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val fs = fsOf(spark, root)
     val in = fs.open(manifestPath(root, version))

@@ -39,25 +39,9 @@ object QuantStore {
     * Returns the committed version.
     */
   def build(emb: DataFrame, root: String): Long = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val qb = Similarity.fitQuantBounds(emb)
-    // one-row bounds sidecar: model metadata, dims-sized, never data-scale.
-    // Written under the version number this build's commit will take — the
-    // codes snapshot and its model become visible together, at the commit.
-    val vNext = ManifestTable.currentVersion(spark, root).getOrElse(0L) + 1L
-    Seq((qb.mns.toSeq, qb.mxs.toSeq)).toDF("mns", "mxs")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(boundsPath(root, vNext))
-    val staging = s"$root/_staging/${UUID.randomUUID()}"
-    Similarity.quantizeCodes(emb, qb)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    val added = ManifestTable.publishFiles(spark, root, staging)
-    val version = ManifestTable.commitReplace(spark, root, Seq(""), added)
-    verifyModelCommit(spark, root, version, vNext, qb)
-    ManifestTable.vacuum(spark, root)
-    pruneBounds(spark, root)
-    version
+    commitCodes(emb.sparkSession, root, qb,
+      Similarity.quantizeCodes(emb, qb), replaced = Seq(""))
   }
 
   /** Post-commit pairing check. The store is SINGLE-WRITER by contract
@@ -94,20 +78,34 @@ object QuantStore {
     */
   def ingestBatch(batchEmb: DataFrame, root: String): Long = {
     val spark = batchEmb.sparkSession
+    val qb = readBoundsAt(spark, root, pinnedVersion(spark, root))
+    // no partitions replaced = append: the previous snapshot's files carry
+    // forward untouched; the frozen bounds are re-staged under the new
+    // version, so the version-pinned (codes, bounds) pairing holds
+    commitCodes(spark, root, qb,
+      Similarity.quantizeCodes(batchEmb, qb, clamp = true), replaced = Seq.empty)
+  }
+
+  /** The single commit sequence both [[build]] and [[ingestBatch]] run —
+    * the version-pairing invariant lives in exactly one place: stage the
+    * bounds sidecar under the version the codes commit WILL take (model
+    * and snapshot become visible together, at the commit), write the
+    * codes to staging, publish + commit, verify the pairing, then vacuum
+    * and prune expired sidecars.
+    */
+  private def commitCodes(spark: SparkSession, root: String,
+                          qb: Similarity.QuantBounds, codes: DataFrame,
+                          replaced: Seq[String]): Long = {
     import spark.implicits._
-    val v = pinnedVersion(spark, root)
-    val qb = readBoundsAt(spark, root, v)
-    val vNext = v + 1L
+    // one-row bounds sidecar: model metadata, dims-sized, never data-scale
+    val vNext = ManifestTable.currentVersion(spark, root).getOrElse(0L) + 1L
     Seq((qb.mns.toSeq, qb.mxs.toSeq)).toDF("mns", "mxs")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(boundsPath(root, vNext))
     val staging = s"$root/_staging/${UUID.randomUUID()}"
-    Similarity.quantizeCodes(batchEmb, qb, clamp = true)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
+    codes.write.mode(SaveMode.Overwrite).parquet(staging)
     val added = ManifestTable.publishFiles(spark, root, staging)
-    // no partitions replaced = append: the previous snapshot's files carry
-    // forward untouched
-    val version = ManifestTable.commitReplace(spark, root, Seq.empty, added)
+    val version = ManifestTable.commitReplace(spark, root, replaced, added)
     verifyModelCommit(spark, root, version, vNext, qb)
     ManifestTable.vacuum(spark, root)
     pruneBounds(spark, root)
@@ -120,16 +118,8 @@ object QuantStore {
     */
   private def pruneBounds(spark: SparkSession, root: String): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new Path(s"$root/_bounds")
-    if (fs.exists(dir)) {
-      val live = ManifestTable.versions(spark, root).toSet
-      fs.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("v") && name.drop(1).forall(_.isDigit)
-          && !live.contains(name.drop(1).toLong))
-          fs.delete(st.getPath, true)
-      }
-    }
+    ManifestTable.pruneVersionDirs(fs, new Path(s"$root/_bounds"),
+      ManifestTable.versions(spark, root).toSet)
   }
 
   /** The fitted bounds snapshot `version` was quantized under. */

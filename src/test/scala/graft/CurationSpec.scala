@@ -339,11 +339,23 @@ class CurationSpec extends SparkSpec {
     val trainIds = (1L to 200L).filter(modelSplit(_) == "train")
     val dupA = trainIds.find(_ % 3 == 2).get          // later wave
     val dupB = trainIds.find(i => i % 3 == 0 && i > dupA).get // earlier wave, larger id
-    val others = trainIds.filter(i => i != dupA && i != dupB)
+    // shingle-less exact dup pair (2 tokens < ShingleK = 3): null LSH bands
+    // never co-bucket, so only the explicit exact pre-dedup catches it —
+    // without that stage BOTH copies reach the boilerplate scrub, the
+    // shared chunk counts twice corpus-wide, and both docs scrub to empty.
+    // Again earlier wave gets the larger id, so the two rules disagree.
+    val tinyText = Seq("it of", "of it", "a it", "it a", "of a")
+      .find(t => modelQuality(t) >= 0.70 && modelClassifierKeep(t))
+      .getOrElse(fail("no 2-token text passes the quality + classifier gates"))
+    val tinyLate = trainIds.find(i => i % 3 == 2 && i != dupA).get
+    val tinyEarly = trainIds.find(i => i % 3 == 1 && i > tinyLate).get
+    val others = trainIds
+      .filter(i => !Set(dupA, dupB, tinyLate, tinyEarly).contains(i))
       .filter(_ % 10 < 3).take(3)
     val dupText = "it is of a way of it a cat who can sleep far today of it"
     val rows = Seq(
       (dupA, dupText, "web"), (dupB, dupText, "web"),
+      (tinyEarly, tinyText, "web"), (tinyLate, tinyText, "web"),
       (others(0), "a bird of it a hand of it a man who are wise today of it", "web"),
       (others(1), "of it a dog of it a tree of it a day far mainly today", "books"),
       (others(2), "it of a sun of it a park of it a fact who stays today", "books"))
@@ -354,6 +366,8 @@ class CurationSpec extends SparkSpec {
     val keptInc = ingestDedup(3)(rows).map(_._1).toSet
     assert(keptBatch.contains(dupA) && !keptBatch.contains(dupB))
     assert(keptInc.contains(dupB) && !keptInc.contains(dupA))
+    assert(keptBatch.contains(tinyLate) && !keptBatch.contains(tinyEarly))
+    assert(keptInc.contains(tinyEarly) && !keptInc.contains(tinyLate))
     for ((dedup, got) <- Seq(
       (batchDedup _, operators.Corpus.corpusPipeline(df,
         perplexityThreshold = 1.0e9, flagAt = 1.5,
