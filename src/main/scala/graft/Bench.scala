@@ -215,7 +215,12 @@ object Bench {
           .findFirstMatchIn(txt)
           .map { m =>
             val xs = m.group(1).split(",").map(_.trim.toDouble)
-            (xs.min, xs.max)
+            // positional, not (min, max): the array is [start, end] and the
+            // phases must stay paired — a quiet re-record where warmed JIT
+            // closes the structural gap (end <= start) would otherwise swap
+            // the floors and loosen the END contention bar exactly where
+            // contention shows first
+            (xs.head, xs.last)
           }
         val floors = scalar.orElse(array)
         if (floors.isEmpty)

@@ -26,9 +26,14 @@ object Profile {
       r
     }
     // warm codegen/JIT once at the smallest SF so stage timings aren't
-    // dominated by first-run compilation (Bench does the same)
-    t("warm_sf0.001") {
-      Corpus.corpusPipeline(Tables.documents(spark, "/root/testdata/sf0.001"))
+    // dominated by first-run compilation (Bench does the same); falls back
+    // to the profiled dir when the standard small fixture is absent
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+        "/root/testdata/sf0.001"
+      else dir
+    t("warm") {
+      Corpus.corpusPipeline(Tables.documents(spark, warmDir))
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
     }

@@ -67,10 +67,20 @@ object Tables {
         // integer `div`, not `/`: ns-epoch values (~1.7e18) don't fit a double
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
-        // parquet timestamp[us] (no tz) reads as TIMESTAMP_NTZ; the session tz
-        // is UTC, so the cast keeps the same wall-clock instant and restores
-        // the TimestampType every downstream epoch function expects.
-        raw.withColumn("ts", col("ts").cast("timestamp"))
+        // parquet timestamp[us] (no tz) reads as TIMESTAMP_NTZ; the stored
+        // wall-clock is UTC. A bare cast("timestamp") would interpret it in
+        // the SESSION time zone — silently hours off in any non-UTC session
+        // (Tables is a public entry point; nothing pins consumers to UTC) —
+        // so decompose the tz-free wall-clock into epoch micros
+        // arithmetically instead: date offset + time-of-day, all tz- and
+        // DST-independent, exact for the full timestamp range.
+        val d = col("ts").cast("date")
+        val us = datediff(d, lit("1970-01-01").cast("date")).cast("long") *
+            lit(86400000000L) +
+          hour(col("ts")).cast("long") * lit(3600000000L) +
+          minute(col("ts")).cast("long") * lit(60000000L) +
+          (date_part(lit("SECOND"), col("ts")) * lit(1000000)).cast("long")
+        raw.withColumn("ts", timestamp_micros(us))
       case _ => raw
     }
     Schemas.validate("events", normalized)

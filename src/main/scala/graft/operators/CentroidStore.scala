@@ -83,8 +83,9 @@ object CentroidStore {
     * reproducible). Centroids with no batch members keep their direction
     * and weight. Commits the next model version atomically; returns it.
     */
-  def refresh(batchEmb: DataFrame, root: String, retainLast: Int = 2): Long =
-    refreshFrom(Similarity.normalized(batchEmb), root, retainLast)
+  def refresh(batchEmb: DataFrame, root: String, retainLast: Int = 2,
+              tick: Option[String] = None): Long =
+    refreshFrom(Similarity.normalized(batchEmb), root, retainLast, tick)
 
   /** [[refresh]] over an already-normalized (and caller-persisted) batch —
     * the [[buildFrom]] seam: a caller that also consumes the batch (the
@@ -92,7 +93,8 @@ object CentroidStore {
     * phase.
     */
   private[operators] def refreshFrom(e: DataFrame, root: String,
-                                     retainLast: Int = 2): Long = {
+                                     retainLast: Int = 2,
+                                     tick: Option[String] = None): Long = {
     val spark = e.sparkSession
     val v = currentVersion(spark, root)
     val model = readModelAt(spark, root, v)
@@ -115,18 +117,27 @@ object CentroidStore {
           else (cid, cv, w + n)
       }
     }
-    commitModel(spark, root, updated, retainLast)
+    commitModel(spark, root, updated, retainLast, tick)
   }
 
   private def commitModel(spark: SparkSession, root: String,
                           model: Seq[(Long, Array[Double], Long)],
-                          retainLast: Int): Long = {
+                          retainLast: Int,
+                          tick: Option[String] = None): Long = {
     import spark.implicits._
     val fs = fsOf(spark, root)
     val staging = new Path(s"$root/_staging_${UUID.randomUUID()}")
     model.map { case (cid, cv, w) => (cid, cv.toSeq, w) }
       .toDF("centroid_id", "cv", "weight")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // the tick marker rides INSIDE the staging dir so it commits with the
+    // same atomic rename (underscore prefix → invisible to the parquet
+    // reader); [[tickOf]] lets an at-least-once caller detect a refresh
+    // that already landed before a crash and skip the re-apply
+    tick.foreach { id =>
+      require(id.matches("[A-Za-z0-9._-]+"), s"unsafe tick id: $id")
+      fs.create(new Path(staging, s"_tick_$id")).close()
+    }
     val v = versions(spark, root).lastOption.getOrElse(0L) + 1L
     require(fs.rename(staging, versionPath(root, v)),
       s"model commit failed: v$v already exists (concurrent build?)")
@@ -169,6 +180,16 @@ object CentroidStore {
   private[operators] def currentVersion(spark: SparkSession, root: String): Long =
     versions(spark, root).lastOption
       .getOrElse(throw new IllegalStateException(s"no staged model at $root"))
+
+  /** The tick id model `version` was committed under, if any — the replay
+    * marker [[refresh]] callers use for crash-idempotent ingest ticks.
+    */
+  private[operators] def tickOf(spark: SparkSession, root: String,
+                                version: Long): Option[String] =
+    fsOf(spark, root).listStatus(versionPath(root, version))
+      .map(_.getPath.getName).collectFirst {
+        case n if n.startsWith("_tick_") => n.stripPrefix("_tick_")
+      }
 
   /** [[Similarity.ivfAssign]] off the stage: no training jobs in the plan. */
   def ivfAssign(emb: DataFrame, root: String): DataFrame =

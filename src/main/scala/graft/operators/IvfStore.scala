@@ -72,24 +72,53 @@ object IvfStore {
     * [[build]], bounded by the refresh step size; the snapshot's model
     * ref advances with the tick so search probes the model the NEWEST
     * postings were assigned under). Returns the committed version.
+    *
+    * `tickId`: a stable caller-supplied id (e.g. the upstream batch id)
+    * that makes the tick CRASH-IDEMPOTENT under at-least-once retry —
+    * the model refresh and the postings commit are separate commits, and
+    * a crash between them would otherwise double-apply the batch to the
+    * model on retry. Both commits carry the marker; a retry skips
+    * whatever already landed.
     */
   def ingestBatch(batchEmb: DataFrame, root: String,
-                  refreshModel: Boolean = false): Long = {
+                  refreshModel: Boolean = false,
+                  tickId: Option[String] = None): Long = {
     val spark = batchEmb.sparkSession
-    // with a model refresh the normalized batch feeds TWO passes (the
-    // mini-batch Lloyd sums and the postings write) — persist so the scan
-    // + per-vector norms run once, the build()'s one-normalization design
-    val e0 = Similarity.normalized(batchEmb)
-    val e = if (refreshModel)
-      e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else e0
-    try {
-      if (refreshModel) CentroidStore.refreshFrom(e, modelRoot(root))
-      val mv = CentroidStore.currentVersion(spark, modelRoot(root))
-      val cents = CentroidStore.readCentroidsAt(spark, modelRoot(root), mv)
-      commitPostings(spark, root,
-        Similarity.assignedMembers(e, cents), mv, replaced = Seq.empty)
-    } finally if (refreshModel) e.unpersist()
+    // crash-idempotent replay (at-least-once callers pass a stable tickId):
+    // the tick's two commits — model refresh, then postings — each carry
+    // the tick marker, so a retry after a crash between them skips
+    // whatever already landed. Without the guard, re-running refreshFrom
+    // would absorb the batch's mass into the centroids TWICE (silent model
+    // skew), and re-running the postings commit would append the batch's
+    // rows twice.
+    val donePostings = for {
+      id <- tickId
+      pv <- ManifestTable.currentVersion(spark, postingsRoot(root))
+      if postingsTickOf(spark, root, pv).contains(id)
+    } yield pv
+    donePostings.getOrElse {
+      // with a model refresh the normalized batch feeds TWO passes (the
+      // mini-batch Lloyd sums and the postings write) — persist so the scan
+      // + per-vector norms run once, the build()'s one-normalization design
+      val e0 = Similarity.normalized(batchEmb)
+      val e = if (refreshModel)
+        e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else e0
+      try {
+        val mv =
+          if (!refreshModel) CentroidStore.currentVersion(spark, modelRoot(root))
+          else {
+            val cur = CentroidStore.currentVersion(spark, modelRoot(root))
+            val alreadyRefreshed = tickId.exists(id =>
+              CentroidStore.tickOf(spark, modelRoot(root), cur).contains(id))
+            if (alreadyRefreshed) cur
+            else CentroidStore.refreshFrom(e, modelRoot(root), tick = tickId)
+          }
+        val cents = CentroidStore.readCentroidsAt(spark, modelRoot(root), mv)
+        commitPostings(spark, root,
+          Similarity.assignedMembers(e, cents), mv, replaced = Seq.empty, tickId)
+      } finally if (refreshModel) e.unpersist()
+    }
   }
 
   /** Shared postings commit: stage the cell-partitioned files, attach
@@ -100,11 +129,13 @@ object IvfStore {
     */
   private def commitPostings(spark: SparkSession, root: String,
                              postings: DataFrame, modelVersion: Long,
-                             replaced: Seq[String]): Long = {
+                             replaced: Seq[String],
+                             tick: Option[String] = None): Long = {
     import spark.implicits._
     val vNext = ManifestTable.currentVersion(spark, postingsRoot(root))
       .getOrElse(0L) + 1L
-    Seq(modelVersion).toDF("model_version")
+    Seq((modelVersion, tick.orNull))
+      .toDF("model_version", "tick_id")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(modelRefPath(root, vNext))
     val staging = s"${postingsRoot(root)}/_staging/${UUID.randomUUID()}"
@@ -132,7 +163,18 @@ object IvfStore {
   def modelVersionOf(spark: SparkSession, root: String,
                      postingsVersion: Long): Long =
     spark.read.parquet(modelRefPath(root, postingsVersion))
-      .collect().head.getLong(0)
+      .select(col("model_version")).collect().head.getLong(0)
+
+  /** The tick id postings snapshot `postingsVersion` was committed under,
+    * if any — the [[ingestBatch]] replay marker. Tolerates pre-tick
+    * sidecars (no `tick_id` column).
+    */
+  private def postingsTickOf(spark: SparkSession, root: String,
+                             postingsVersion: Long): Option[String] = {
+    val ref = spark.read.parquet(modelRefPath(root, postingsVersion))
+    if (!ref.columns.contains("tick_id")) None
+    else Option(ref.select(col("tick_id")).collect().head.getString(0))
+  }
 
   /** Driver-side mirror of the probe expression: the same left-to-right
     * IEEE fold as `graft_dot` and the same ascending (−cosine, cid) order

@@ -505,7 +505,13 @@ object Similarity {
       // the range edges (standard SQ behavior) instead of overflowing the
       // int8 code domain. Fit-to-data callers keep the unclamped arithmetic
       // (codes are in range by construction; the oracle mirrors it).
-      val q = if (clamp) greatest(lit(0L), least(lit(255L), raw)) else raw
+      // Null elements must stay null through the clamp: least/greatest SKIP
+      // null operands, so an unguarded clamp would turn raw=null into a
+      // saturated max code — a silently wrong extreme value where the
+      // module's contract (graft_dot, the unclamped path) propagates null.
+      val clamped = when(raw.isNull, raw)
+        .otherwise(greatest(lit(0L), least(lit(255L), raw)))
+      val q = if (clamp) clamped else raw
       when(mx === mn, lit(0L)).otherwise(q)
     })
   }

@@ -161,6 +161,29 @@ class QuantizeSpec extends SparkSpec {
       .as[Int].collect().head == 0)
   }
 
+  test("clamped quantization keeps null elements null (no silent saturation)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("quantstore_null").toString
+    operators.QuantStore.build(emb, root)
+    import org.apache.spark.sql.functions._
+    // a null element must quantize to a null code — least/greatest SKIP
+    // nulls, so an unguarded clamp would emit a saturated max code (127):
+    // a wrong extreme value where the module contract propagates null
+    val nullBatch = emb.limit(1)
+      .select((col("vec_id") + 3000000L).as("vec_id"),
+        concat(slice(col("embedding"), 1, 3),
+          array(lit(null).cast("float")),
+          slice(col("embedding"), 5, 10000)).as("embedding"))
+    operators.QuantStore.ingestBatch(nullBatch, root)
+    val codes = operators.QuantStore.read(spark, root)
+      .filter(col("vec_id") >= 3000000L)
+      .selectExpr("codes[3] AS c").collect()
+    assert(codes.length == 1 && codes.head.isNullAt(0),
+      s"null element must stay null through the clamp, got ${codes.head}")
+  }
+
   test("codes stay within [0, 255] on testdata and max is attained") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())

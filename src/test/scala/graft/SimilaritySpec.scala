@@ -237,6 +237,39 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("IvfStore: a tickId makes the refresh tick crash-idempotent (model and postings)") {
+    import graft.operators.{CentroidStore, IvfStore, ManifestTable}
+    val df = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.1f, 0.9f))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivftick").toString
+    IvfStore.build(df, root, nCentroids = 2)
+    val batch = emb(10L -> Seq(0.8f, 0.3f))
+    // simulate a crash BETWEEN the tick's two commits: the model refresh
+    // landed, the postings commit did not — then replay the whole tick
+    CentroidStore.refresh(batch, s"$root/model", tick = Some("t1"))
+    val mvCrash = CentroidStore.versions(spark, s"$root/model").last
+    val wCrash = CentroidStore.readWeightsAt(spark, s"$root/model", mvCrash)
+    val v2 = IvfStore.ingestBatch(batch, root, refreshModel = true, tickId = Some("t1"))
+    // the replay must NOT refresh again: same model version, same weights
+    // (a double-apply would re-absorb the batch mass — silent model skew)
+    assert(CentroidStore.versions(spark, s"$root/model").last == mvCrash)
+    assert(CentroidStore.readWeightsAt(spark, s"$root/model", mvCrash) == wCrash)
+    assert(IvfStore.modelVersionOf(spark, root, v2) == mvCrash)
+    // full replay after BOTH commits landed: the same version comes back
+    // and nothing re-commits (no duplicate postings append)
+    val v2b = IvfStore.ingestBatch(batch, root, refreshModel = true, tickId = Some("t1"))
+    assert(v2b == v2)
+    assert(ManifestTable.currentVersion(spark, s"$root/postings").contains(v2))
+    assert(CentroidStore.versions(spark, s"$root/model").last == mvCrash)
+    // the tick still produced a correct index: full-probe search parity
+    // with the self-contained form over the union
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    assert(rows(IvfStore.annIvfSelf(spark, root, k = 4, nProbe = 2, nQueries = 2))
+      == rows(Similarity.annIvf(df.union(batch), nCentroids = 2, k = 4,
+        nProbe = 2, nQueries = 2)))
+    spark.catalog.clearCache()
+  }
+
   test("graft_dot propagates a null element as NULL, not 0.0 (codegen + interpreted)") {
     graft.functions.VectorExpressions.register(spark)
     // codegen path (Project under whole-stage codegen)
