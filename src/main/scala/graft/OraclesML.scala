@@ -1380,21 +1380,43 @@ object OraclesML {
     * 1024, seed 'graft'. Multiply-referenced frames are MATERIALIZED —
     * inlining would re-expand the survivor chain per consumer.
     */
-  val corpusPipelineSql: String = {
+  /** The batch pipeline's stage-1 CTE chain (quality gate → exact dedup →
+    * near-dup survivors) — shared by the manifest and funnel oracles.
+    */
+  private val batchSurvivorCtes: String = {
     val groupsOverDocs2 = dedupGroupsSql.replace("FROM documents", "FROM docs2")
-    pipelineTailSql(s"""quality AS ($textQualitySql),
-       |docs_clean AS (
+    s"""quality AS ($textQualitySql),
+       |docs_clean AS MATERIALIZED (
        |  SELECT d.* FROM documents d JOIN quality q ON d.doc_id = q.doc_id
        |  WHERE q.quality_score >= 0.70),
        |exact_keep AS (
        |  SELECT min(doc_id) AS doc_id FROM docs_clean GROUP BY md5(text)),
-       |docs2 AS (
+       |docs2 AS MATERIALIZED (
        |  SELECT d.* FROM docs_clean d JOIN exact_keep k USING (doc_id)),
        |groups AS (SELECT * FROM ($groupsOverDocs2) g),
        |survivors AS (
        |  SELECT d.* FROM docs2 d LEFT JOIN groups g ON d.doc_id = g.node
-       |  WHERE g.node IS NULL OR g.component = d.doc_id)""".stripMargin)
+       |  WHERE g.node IS NULL OR g.component = d.doc_id)""".stripMargin
   }
+
+  val corpusPipelineSql: String = pipelineTailSql(batchSurvivorCtes)
+
+  /** Mirrors `Corpus.pipelineFunnel`: the per-stage survivor counts of the
+    * batch pipeline, one count per CTE boundary of THE SAME chain the
+    * manifest oracle runs ([[batchSurvivorCtes]] + [[pipelineTailCtes]]).
+    */
+  val corpusFunnelSql: String =
+    pipelineTailCtes(batchSurvivorCtes) + s"""
+       |SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+       |  CAST(count(*) AS BIGINT) AS n_docs FROM documents
+       |UNION ALL SELECT 1, 'quality_gate', count(*) FROM docs_clean
+       |UNION ALL SELECT 2, 'exact_dedup', count(*) FROM docs2
+       |UNION ALL SELECT 3, 'near_dedup', count(*) FROM survivors
+       |UNION ALL SELECT 4, 'boilerplate_scrub', count(*) FROM red
+       |UNION ALL SELECT 5, 'model_gates', count(*) FROM gated
+       |UNION ALL SELECT 6, 'train_split', count(*) FROM train
+       |UNION ALL SELECT 7, 'decontaminated', count(*) FROM toks
+       |UNION ALL SELECT 8, 'budget_kept', count(*) FROM kept""".stripMargin
 
   /** Mirrors `Corpus.corpusPipelineIncremental`: the quality gate, the
     * exact first-arrival-wins pre-dedup (earliest wave then min doc_id —
@@ -1427,7 +1449,18 @@ object OraclesML {
     * (doc_id, text, lang, source, …) — shared by the batch, staged, and
     * incremental pipeline oracles.
     */
-  private def pipelineTailSql(survivorCtes: String): String = {
+  private def pipelineTailSql(survivorCtes: String): String =
+    pipelineTailCtes(survivorCtes) + s"""
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |  CAST((pc - n_tokens) // 1024 AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM packed GROUP BY 1, 2""".stripMargin
+
+  /** The tail's full CTE chain (WITH … packed) without a final SELECT —
+    * [[pipelineTailSql]] closes it with the manifest aggregate,
+    * [[corpusFunnelSql]] with the per-stage counts.
+    */
+  private def pipelineTailCtes(survivorCtes: String): String = {
     val perpOverRed = perplexityScoresSql.replace("FROM documents", "FROM red")
     val clsfOverRed = classifierScoresSql.replace("FROM documents", "FROM red")
     val contOverGated = contaminationScoresSql.replace("FROM documents", "FROM gated")
@@ -1496,11 +1529,7 @@ object OraclesML {
        |  SELECT train_rank % 8 AS shard, n_tokens,
        |    sum(n_tokens) OVER (PARTITION BY train_rank % 8
        |      ORDER BY train_rank) AS pc
-       |  FROM rk)
-       |SELECT CAST(shard AS BIGINT) AS shard,
-       |  CAST((pc - n_tokens) // 1024 AS BIGINT) AS bin,
-       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-       |FROM packed GROUP BY 1, 2""".stripMargin
+       |  FROM rk)""".stripMargin
   }
 
   /** Mirrors Sampling.budgetSample (budget=800): hash-ordered running token

@@ -92,7 +92,16 @@ object Corpus {
     * [[cleanCorpusStats]] aggregates and [[corpusPipeline]] continues).
     */
   private def cleanedSurvivors(docs: DataFrame, minQuality: Double,
-                               pairsOf: DataFrame => DataFrame): DataFrame = {
+                               pairsOf: DataFrame => DataFrame): DataFrame =
+    survivorStages(docs, minQuality, pairsOf)._3
+
+  /** The stage-1 chain with each boundary exposed: (quality-gated,
+    * exact-deduped, near-dup survivors) — [[cleanedSurvivors]] consumes
+    * only the last; [[pipelineFunnel]] counts all three.
+    */
+  private def survivorStages(docs: DataFrame, minQuality: Double,
+                             pairsOf: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     // inline per-row gate — no metrics self-join; the filter runs inside
     // the scan stage and prunes before any shingling work
     val clean = docs.filter(TextOps.qualityScore(col("text")) >= minQuality)
@@ -108,10 +117,11 @@ object Corpus {
     // survive by the null branch
     val groups = Dedup.connectedComponents(
       pairsOf(deduped).select(col("doc_a"), col("doc_b")))
-    deduped
+    val survivors = deduped
       .join(groups, deduped("doc_id") === groups("node"), "left")
       .filter(col("node").isNull || col("component") === col("doc_id"))
       .drop("node", "component")
+    (clean, deduped, survivors)
   }
 
   /** THE end-to-end training-corpus build — every curation stage the suite
@@ -269,7 +279,25 @@ object Corpus {
                            totalBudget: Long,
                            nShards: Int,
                            seqBudget: Long,
-                           seed: String): DataFrame = {
+                           seed: String): DataFrame =
+    tailStages(survivors, perplexityThreshold, flagAt, totalBudget,
+      nShards, seqBudget, seed).manifest
+
+  /** The tail's stage boundaries, exposed for [[pipelineFunnel]]'s counts
+    * — the same frames [[pipelineTail]] wires, so the funnel can never
+    * drift from the pipeline's real decisions.
+    */
+  private case class TailStages(red: DataFrame, gated: DataFrame,
+                                train: DataFrame, toks: DataFrame,
+                                kept: DataFrame, manifest: DataFrame)
+
+  private def tailStages(survivors: DataFrame,
+                         perplexityThreshold: Double,
+                         flagAt: Double,
+                         totalBudget: Long,
+                         nShards: Int,
+                         seqBudget: Long,
+                         seed: String): TailStages = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
@@ -330,11 +358,59 @@ object Corpus {
       .join(kept.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
       .withColumn("shard", col("train_rank") % nShards)
     val wPack = Window.partitionBy(col("shard")).orderBy(col("train_rank"))
-    ranked
+    val manifest = ranked
       .withColumn("__cum", sum(col("n_tokens")).over(wPack))
       .withColumn("bin", expr(s"(__cum - n_tokens) div $seqBudget"))
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    TailStages(red, gated, train, toks, kept, manifest)
+  }
+
+  /** Per-stage survivor counts of the batch pipeline — the funnel a corpus
+    * build publishes per tick so a collapse at any gate (a quality
+    * threshold eating a source, a decontamination set gone degenerate, a
+    * budget starving the mix) is visible as ONE ordered row set instead of
+    * nine ad-hoc counts. Counts come from the SAME frames
+    * [[corpusPipeline]] wires (the [[survivorStages]]/[[tailStages]]
+    * boundaries), so the funnel can never disagree with the build's own
+    * decisions.
+    *
+    * Scale shape: nine 1-row count aggregates over the pipeline's shared
+    * DAG; the multiply-consumed frames are persisted by the tail exactly
+    * as in the build, and the stage-1 chain is persisted here (each count
+    * is a separate action — unpersisted, the quality regexes would re-run
+    * once per downstream stage).
+    */
+  def pipelineFunnel(docs: DataFrame,
+                     minQuality: Double = 0.70,
+                     perplexityThreshold: Double = 3.5,
+                     flagAt: Double = 0.2,
+                     totalBudget: Long = 20000L,
+                     nShards: Int = 8,
+                     seqBudget: Long = 1024L,
+                     seed: String = "graft"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val (clean0, deduped0, survivors0) =
+      survivorStages(docs, minQuality, d => Dedup.minhashLshPairs(d))
+    val clean = clean0.persist(StorageLevel.MEMORY_AND_DISK)
+    val survivors = survivors0.persist(StorageLevel.MEMORY_AND_DISK)
+    val t = tailStages(survivors, perplexityThreshold, flagAt, totalBudget,
+      nShards, seqBudget, seed)
+    val stages: Seq[(Long, String, DataFrame)] = Seq(
+      (0L, "raw", docs),
+      (1L, "quality_gate", clean),
+      (2L, "exact_dedup", deduped0),
+      (3L, "near_dedup", survivors),
+      (4L, "boilerplate_scrub", t.red),
+      (5L, "model_gates", t.gated),
+      (6L, "train_split", t.train),
+      (7L, "decontaminated", t.toks), // 1 row per decon doc (token stamp)
+      (8L, "budget_kept", t.kept))
+    stages.map { case (i, name, df) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
+    }.reduce(_.union(_))
   }
 
   /** Token-budget sequence packing (contiguous fill): documents of one

@@ -214,11 +214,21 @@ class CurationSpec extends SparkSpec {
     out.result()
   }
 
-  /** The full pure-Scala pipeline model → (shard, bin) -> (n_docs, tokens). */
-  private def modelManifest(input: Seq[(Long, String, String)], flagAt: Double,
-                            totalBudget: Long, nShards: Int, seqBudget: Long,
-                            dedup: Seq[(Long, String, String)] => Seq[(Long, String, String)] = batchDedup)
-      : Map[(Long, Long), (Long, Long)] = {
+  /** Every stage boundary of the pure-Scala model — the funnel test counts
+    * these; [[modelManifest]] packs the last.
+    */
+  private case class ModelStages(clean: Seq[(Long, String, String)],
+                                 deduped: Seq[(Long, String, String)],
+                                 red: Seq[(Long, String, String)],
+                                 gated: Seq[(Long, String, String)],
+                                 train: Seq[(Long, String, String)],
+                                 decon: Seq[(Long, String, String)],
+                                 kept: Seq[(Long, Long)])
+
+  private def modelStages(input: Seq[(Long, String, String)], flagAt: Double,
+                          totalBudget: Long,
+                          dedup: Seq[(Long, String, String)] => Seq[(Long, String, String)])
+      : ModelStages = {
     // stage 1: quality gate -> dedup survivorship (batch or arrival-order)
     val clean = input.filter { case (_, t, _) => modelQuality(t) >= 0.70 }
     val deduped = dedup(clean)
@@ -241,7 +251,8 @@ class CurationSpec extends SparkSpec {
     }
     val held = gated.filter(d => modelSplit(d._1) != "train")
       .flatMap(d => shingles(d._2)).toSet
-    val decon = gated.filter(d => modelSplit(d._1) == "train").filter { d =>
+    val train = gated.filter(d => modelSplit(d._1) == "train")
+    val decon = train.filter { d =>
       val sh = shingles(d._2)
       sh.isEmpty || (sh.count(held.contains).toDouble / sh.size) < flagAt
     }
@@ -264,6 +275,15 @@ class CurationSpec extends SparkSpec {
           if (cum - n < budget(src)) Some((id, n)) else None
       }
     }
+    ModelStages(clean, deduped, red, gated, train, decon, kept)
+  }
+
+  /** The full pure-Scala pipeline model → (shard, bin) -> (n_docs, tokens). */
+  private def modelManifest(input: Seq[(Long, String, String)], flagAt: Double,
+                            totalBudget: Long, nShards: Int, seqBudget: Long,
+                            dedup: Seq[(Long, String, String)] => Seq[(Long, String, String)] = batchDedup)
+      : Map[(Long, Long), (Long, Long)] = {
+    val kept = modelStages(input, flagAt, totalBudget, dedup).kept
     // stage 7: global seeded order -> round-robin shards -> packed bins
     val ranked = kept.sortBy { case (id, _) => (md5hex(s"graft:$id"), id) }
       .zipWithIndex.map { case ((id, n), rk) => (rk.toLong % nShards, rk.toLong, n) }
@@ -329,6 +349,51 @@ class CurationSpec extends SparkSpec {
     assert(tight.values.map(_._2).sum < loose.values.map(_._2).sum,
       "contamination flag must drop doc A at the tight threshold")
     // pipelineTail persists per invocation; don't leak into later suites
+    spark.catalog.clearCache()
+  }
+
+  test("pipelineFunnel counts every stage boundary of the same build") {
+    // the corpusPipeline fixture, verbatim (same ids, texts, sources)
+    val trainIds = (1L to 100L).filter(modelSplit(_) == "train")
+      .filter(_ % 10 < 3).take(4) ++
+      (1L to 100L).filter(modelSplit(_) == "train").filter(_ % 10 >= 3).take(4)
+    val valId = (1L to 100L).find(modelSplit(_) == "val").get
+    val dupText = "it is of a way of it a cat who can sleep far today of it"
+    val texts = Seq(
+      "of alpha it beta a gamma of delta it epsilon a zeta of eta it " +
+        "theta a iota of kappa it lam a mu",
+      dupText, dupText,
+      "a bird of it a hand of it a man who are wise today of it",
+      "of it a dog of it a tree of it a day far mainly today",
+      "it of a sun of it a park of it a fact who stays today",
+      "a way of it a man of it a cat who sleep mainly far today",
+      "@@@@ #### %%%% ^^^^ &&&& ****")
+    val ids = trainIds.take(texts.size)
+    val vText = "it of a a gamma of delta it epsilon a zeta of it a who today"
+    val rows = ids.zip(texts).zipWithIndex.map { case ((id, t), i) =>
+      (id, t, if (i % 2 == 0) "web" else "books")
+    } :+ ((valId, vText, "web"))
+    val df = rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = modelStages(rows, flagAt = 0.2, totalBudget = 10000000L, batchDedup)
+    val expected = Seq[(Long, String, Long)](
+      (0L, "raw", rows.size.toLong),
+      (1L, "quality_gate", m.clean.size.toLong),
+      (2L, "exact_dedup", m.deduped.size.toLong),
+      (3L, "near_dedup", m.deduped.size.toLong), // fixture plants no near-dups
+      (4L, "boilerplate_scrub", m.red.size.toLong),
+      (5L, "model_gates", m.gated.size.toLong),
+      (6L, "train_split", m.train.size.toLong),
+      (7L, "decontaminated", m.decon.size.toLong),
+      (8L, "budget_kept", m.kept.size.toLong))
+    val got = operators.Corpus.pipelineFunnel(df,
+      perplexityThreshold = 1.0e9, flagAt = 0.2, totalBudget = 10000000L,
+      nShards = 2, seqBudget = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == expected)
+    // the funnel must actually narrow where the fixture says it does
+    assert(m.clean.size < rows.size && m.deduped.size < m.clean.size)
     spark.catalog.clearCache()
   }
 
