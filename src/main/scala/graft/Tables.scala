@@ -71,20 +71,38 @@ object Tables {
         // wall-clock is UTC. A bare cast("timestamp") would interpret it in
         // the SESSION time zone — silently hours off in any non-UTC session
         // (Tables is a public entry point; nothing pins consumers to UTC) —
-        // so decompose the tz-free wall-clock into epoch micros
-        // arithmetically instead: date offset + time-of-day, all tz- and
-        // DST-independent, exact for the full timestamp range.
-        val d = col("ts").cast("date")
-        val us = datediff(d, lit("1970-01-01").cast("date")).cast("long") *
-            lit(86400000000L) +
-          hour(col("ts")).cast("long") * lit(3600000000L) +
-          minute(col("ts")).cast("long") * lit(60000000L) +
-          (date_part(lit("SECOND"), col("ts")) * lit(1000000)).cast("long")
-        raw.withColumn("ts", timestamp_micros(us))
+        // so the conversion is a Catalyst Cast PINNED to UTC: the same
+        // single intrinsic op as the plain cast (ts feeds per-row derivation
+        // in optionTrades; a field-decomposition rewrite here measurably
+        // slowed the parse queries), exact for every instant (UTC has no
+        // DST ambiguity), independent of the consumer session's zone.
+        registerUtcCast(spark)
+        raw.withColumn("ts", call_function("graft_utc_ts", col("ts")))
       case _ => raw
     }
     Schemas.validate("events", normalized)
   }
+  /** `graft_utc_ts(ntz)` — a [[org.apache.spark.sql.catalyst.expressions.Cast]]
+    * to TimestampType with the zone EXPLICITLY pinned to UTC, so the
+    * wall-clock → instant interpretation cannot follow the session time
+    * zone (the analyzer only fills in a zone when the expression carries
+    * none). Registered idempotently per session, the [[functions.TextExpressions]]
+    * registry convention.
+    */
+  private def registerUtcCast(spark: SparkSession): Unit = {
+    val name = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_utc_ts")
+    if (!spark.sessionState.functionRegistry.functionExists(name)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        name,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.Cast].getName,
+          "graft_utc_ts"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head, org.apache.spark.sql.types.TimestampType, Some("UTC")))
+    }
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "customer")
