@@ -76,31 +76,11 @@ object Tables {
         // in optionTrades; a field-decomposition rewrite here measurably
         // slowed the parse queries), exact for every instant (UTC has no
         // DST ambiguity), independent of the consumer session's zone.
-        registerUtcCast(spark)
+        functions.TimeExprs.registerUtcCast(spark)
         raw.withColumn("ts", call_function("graft_utc_ts", col("ts")))
       case _ => raw
     }
     Schemas.validate("events", normalized)
-  }
-  /** `graft_utc_ts(ntz)` — a [[org.apache.spark.sql.catalyst.expressions.Cast]]
-    * to TimestampType with the zone EXPLICITLY pinned to UTC, so the
-    * wall-clock → instant interpretation cannot follow the session time
-    * zone (the analyzer only fills in a zone when the expression carries
-    * none). Registered idempotently per session, the [[functions.TextExpressions]]
-    * registry convention.
-    */
-  private def registerUtcCast(spark: SparkSession): Unit = {
-    val name = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_utc_ts")
-    if (!spark.sessionState.functionRegistry.functionExists(name)) {
-      spark.sessionState.functionRegistry.registerFunction(
-        name,
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.Cast].getName,
-          "graft_utc_ts"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          org.apache.spark.sql.catalyst.expressions.Cast(
-            children.head, org.apache.spark.sql.types.TimestampType, Some("UTC")))
-    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = loadValidated(spark, dir, "lineitem")

@@ -17,6 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object TimeExprs {
 
+  /** Register `graft_utc_ts(ntz)` — a
+    * [[org.apache.spark.sql.catalyst.expressions.Cast]] to TimestampType
+    * with the zone EXPLICITLY pinned to UTC, so the wall-clock → instant
+    * interpretation cannot follow the session time zone (the analyzer only
+    * fills in a zone when the expression carries none). The same single
+    * intrinsic op as a bare cast — a field-decomposition equivalent
+    * measurably slowed every consumer that derives per-row values from the
+    * timestamp. Idempotent per session, the [[TextExpressions.register]]
+    * convention.
+    */
+  def registerUtcCast(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val name = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_utc_ts")
+    if (!spark.sessionState.functionRegistry.functionExists(name)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        name,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.Cast].getName,
+          "graft_utc_ts"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head, org.apache.spark.sql.types.TimestampType,
+            Some("UTC")))
+    }
+  }
+
   private val H8 = expr("INTERVAL 8 HOURS")
 
   /** Start of the daily session containing `ts`: date_trunc(day, ts-8h)+8h. */

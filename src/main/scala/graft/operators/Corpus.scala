@@ -393,6 +393,9 @@ object Corpus {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val (clean0, deduped0, survivors0) =
       survivorStages(docs, minQuality, d => Dedup.minhashLshPairs(d))
+    // persisting AFTER the chain is built still caches for the downstream
+    // frames: Spark matches cached data by logical plan, and deduped0/
+    // survivors0 embed clean0's exact plan as their child
     val clean = clean0.persist(StorageLevel.MEMORY_AND_DISK)
     val survivors = survivors0.persist(StorageLevel.MEMORY_AND_DISK)
     val t = tailStages(survivors, perplexityThreshold, flagAt, totalBudget,

@@ -297,20 +297,23 @@ class CurationSpec extends SparkSpec {
       .mapValues(g => (g.size.toLong, g.map(_._3).sum)).toMap
   }
 
-  test("corpusPipeline end-to-end equals the pure-Scala stage model") {
-    // ids picked by split-hash so the fixture controls train/val membership
+  /** The shared end-to-end pipeline fixture: 8 train docs (a contamination
+    * target, an exact-dup pair — min id survives, four clean docs, a junk
+    * doc that fails the quality gate) + 1 val doc sharing one sliding
+    * 8-token shingle with the contamination target (1/17 ≈ 0.059 overlap).
+    * Ids picked by split-hash so the fixture controls train/val membership;
+    * texts lean on positively-classifier-weighted words (of/it/a/who/today)
+    * so the hashed linear gate keeps them.
+    */
+  private lazy val pipelineFixtureRows: Seq[(Long, String, String)] = {
     val trainIds = (1L to 100L).filter(modelSplit(_) == "train")
       .filter(_ % 10 < 3).take(4) ++
       (1L to 100L).filter(modelSplit(_) == "train").filter(_ % 10 >= 3).take(4)
     val valId = (1L to 100L).find(modelSplit(_) == "val").get
-    // texts lean on positively-classifier-weighted words (of/it/a/who/today)
-    // so the hashed linear gate keeps them; the junk doc fails the quality
-    // gate instead
-    val a = "of alpha it beta a gamma of delta it epsilon a zeta of eta it " +
-      "theta a iota of kappa it lam a mu"
     val dupText = "it is of a way of it a cat who can sleep far today of it"
     val texts = Seq(
-      a,                                                                // contamination target
+      "of alpha it beta a gamma of delta it epsilon a zeta of eta it " +
+        "theta a iota of kappa it lam a mu",                            // contamination target
       dupText,                                                          // exact-dup pair,
       dupText,                                                          //   min id survives
       "a bird of it a hand of it a man who are wise today of it",
@@ -320,18 +323,25 @@ class CurationSpec extends SparkSpec {
       "@@@@ #### %%%% ^^^^ &&&& ****")                                  // fails the quality gate
     val ids = trainIds.take(texts.size)
     assert(ids.size == texts.size, "fixture needs 8 train ids")
-    // val doc: contains doc A's tokens 5..12 as a contiguous run that
-    // straddles A's chunk boundary, so the scrub keeps both but the sliding
-    // 8-token shingle is shared -> A is 1/17 ~ 0.059 contaminated
+    // val doc: contains the target's tokens 5..12 as a contiguous run that
+    // straddles its chunk boundary, so the scrub keeps both but the sliding
+    // 8-token shingle is shared
     val vText = "it of a a gamma of delta it epsilon a zeta of it a who today"
-    val rows = ids.zip(texts).zipWithIndex.map { case ((id, t), i) =>
+    ids.zip(texts).zipWithIndex.map { case ((id, t), i) =>
       (id, t, if (i % 2 == 0) "web" else "books")
     } :+ ((valId, vText, "web"))
-    val df = rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+  }
+
+  private def pipelineFixtureDf =
+    pipelineFixtureRows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("corpusPipeline end-to-end equals the pure-Scala stage model") {
+    val rows = pipelineFixtureRows
+    val df = pipelineFixtureDf
     // model sanity: the fixture exercises what it claims to
-    assert(modelQuality(texts.last) < 0.70, "junk doc must fail the gate")
-    assert(modelQuality(a) >= 0.70 && modelQuality(vText) >= 0.70)
+    assert(modelQuality(rows(7)._2) < 0.70, "junk doc must fail the gate")
+    assert(modelQuality(rows.head._2) >= 0.70 && modelQuality(rows.last._2) >= 0.70)
     for (flagAt <- Seq(0.05, 0.2)) {
       val expected = modelManifest(rows, flagAt, 10000000L, 2, 10L)
       val got = operators.Corpus.corpusPipeline(df,
@@ -353,28 +363,7 @@ class CurationSpec extends SparkSpec {
   }
 
   test("pipelineFunnel counts every stage boundary of the same build") {
-    // the corpusPipeline fixture, verbatim (same ids, texts, sources)
-    val trainIds = (1L to 100L).filter(modelSplit(_) == "train")
-      .filter(_ % 10 < 3).take(4) ++
-      (1L to 100L).filter(modelSplit(_) == "train").filter(_ % 10 >= 3).take(4)
-    val valId = (1L to 100L).find(modelSplit(_) == "val").get
-    val dupText = "it is of a way of it a cat who can sleep far today of it"
-    val texts = Seq(
-      "of alpha it beta a gamma of delta it epsilon a zeta of eta it " +
-        "theta a iota of kappa it lam a mu",
-      dupText, dupText,
-      "a bird of it a hand of it a man who are wise today of it",
-      "of it a dog of it a tree of it a day far mainly today",
-      "it of a sun of it a park of it a fact who stays today",
-      "a way of it a man of it a cat who sleep mainly far today",
-      "@@@@ #### %%%% ^^^^ &&&& ****")
-    val ids = trainIds.take(texts.size)
-    val vText = "it of a a gamma of delta it epsilon a zeta of it a who today"
-    val rows = ids.zip(texts).zipWithIndex.map { case ((id, t), i) =>
-      (id, t, if (i % 2 == 0) "web" else "books")
-    } :+ ((valId, vText, "web"))
-    val df = rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = pipelineFixtureRows
     val m = modelStages(rows, flagAt = 0.2, totalBudget = 10000000L, batchDedup)
     val expected = Seq[(Long, String, Long)](
       (0L, "raw", rows.size.toLong),
@@ -386,7 +375,7 @@ class CurationSpec extends SparkSpec {
       (6L, "train_split", m.train.size.toLong),
       (7L, "decontaminated", m.decon.size.toLong),
       (8L, "budget_kept", m.kept.size.toLong))
-    val got = operators.Corpus.pipelineFunnel(df,
+    val got = operators.Corpus.pipelineFunnel(pipelineFixtureDf,
       perplexityThreshold = 1.0e9, flagAt = 0.2, totalBudget = 10000000L,
       nShards = 2, seqBudget = 10L)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
