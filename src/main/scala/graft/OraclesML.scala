@@ -1406,11 +1406,18 @@ object OraclesML {
     * manifest oracle runs ([[batchSurvivorCtes]] + [[pipelineTailCtes]]).
     */
   val corpusFunnelSql: String =
-    pipelineTailCtes(batchSurvivorCtes) + s"""
+    pipelineTailCtes(batchSurvivorCtes) + funnelCountsSql(exactCte = "docs2")
+
+  /** The funnel's closing SELECT — per-stage counts over the shared CTE
+    * chain. Only the exact-dedup CTE name differs between the batch
+    * (`docs2`, min-id rule) and incremental (`docs_exact`,
+    * first-arrival rule) chains.
+    */
+  private def funnelCountsSql(exactCte: String): String = s"""
        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
        |  CAST(count(*) AS BIGINT) AS n_docs FROM documents
        |UNION ALL SELECT 1, 'quality_gate', count(*) FROM docs_clean
-       |UNION ALL SELECT 2, 'exact_dedup', count(*) FROM docs2
+       |UNION ALL SELECT 2, 'exact_dedup', count(*) FROM $exactCte
        |UNION ALL SELECT 3, 'near_dedup', count(*) FROM survivors
        |UNION ALL SELECT 4, 'boilerplate_scrub', count(*) FROM red
        |UNION ALL SELECT 5, 'model_gates', count(*) FROM gated
@@ -1418,19 +1425,21 @@ object OraclesML {
        |UNION ALL SELECT 7, 'decontaminated', count(*) FROM toks
        |UNION ALL SELECT 8, 'budget_kept', count(*) FROM kept""".stripMargin
 
-  /** Mirrors `Corpus.corpusPipelineIncremental`: the quality gate, the
-    * exact first-arrival-wins pre-dedup (earliest wave then min doc_id —
-    * the Spark side's md5-keyed window; without it two identical
-    * shingle-less docs in different waves would both survive the fold),
-    * then the [[ingestDedupSql]] greedy arrival-wave fold RETARGETED at
-    * the exact-deduped docs (the same single-substitution convention as
+  /** The arrival-order stage-1 CTE chain (mirrors
+    * `Corpus.incrementalSurvivorStages`): the quality gate, the exact
+    * first-arrival-wins pre-dedup (earliest wave then min doc_id — the
+    * Spark side's md5-keyed window; without it two identical shingle-less
+    * docs in different waves would both survive the fold), then the
+    * [[ingestDedupSql]] greedy arrival-wave fold RETARGETED at the
+    * exact-deduped docs (the same single-substitution convention as
     * [[dedupRatesSql]] — the only `FROM documents` inside it is the
-    * shingle CTE's), then the identical stage 2–7 tail. `docs_clean` is
-    * MATERIALIZED: the pre-dedup and the survivor join both consume it.
+    * shingle CTE's). `docs_clean` is MATERIALIZED: the pre-dedup and the
+    * survivor join both consume it. Shared by the incremental manifest
+    * and funnel oracles.
     */
-  val corpusPipelineIncrementalSql: String = {
+  private val incrementalSurvivorCtes: String = {
     val ingestOverExact = ingestDedupSql.replace("FROM documents", "FROM docs_exact")
-    pipelineTailSql(s"""quality AS ($textQualitySql),
+    s"""quality AS ($textQualitySql),
        |docs_clean AS MATERIALIZED (
        |  SELECT d.* FROM documents d JOIN quality q ON d.doc_id = q.doc_id
        |  WHERE q.quality_score >= 0.70),
@@ -1442,8 +1451,18 @@ object OraclesML {
        |  WHERE __rn = 1),
        |keepers AS (SELECT doc_id FROM ($ingestOverExact) ing),
        |survivors AS (
-       |  SELECT d.* FROM docs_clean d JOIN keepers k USING (doc_id))""".stripMargin)
+       |  SELECT d.* FROM docs_clean d JOIN keepers k USING (doc_id))""".stripMargin
   }
+
+  val corpusPipelineIncrementalSql: String =
+    pipelineTailSql(incrementalSurvivorCtes)
+
+  /** Mirrors `Corpus.pipelineFunnelIncremental` — the per-stage counts of
+    * the arrival-order chain ([[incrementalSurvivorCtes]] + the shared
+    * tail).
+    */
+  val corpusFunnelIncrementalSql: String =
+    pipelineTailCtes(incrementalSurvivorCtes) + funnelCountsSql(exactCte = "docs_exact")
 
   /** Stage 2–7 oracle tail over a CTE chain ending in `survivors`
     * (doc_id, text, lang, source, …) — shared by the batch, staged, and

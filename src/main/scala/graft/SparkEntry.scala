@@ -128,6 +128,8 @@ object SparkEntry {
     // Pipeline observability: per-stage survivor counts off the same frames
     // the build wires — a gate collapse is visible as one ordered row set
     "q_corpus_funnel" -> ((s, dir) => operators.Corpus.pipelineFunnel(Tables.documents(s, dir))),
+    "q_corpus_funnel_incremental" -> ((s, dir) =>
+      operators.Corpus.pipelineFunnelIncremental(Tables.documents(s, dir))),
     // Dedup observability: per-(lang, source) removal counts + survival rate
     "q_dedup_rates" -> ((s, dir) => operators.Corpus.dedupRates(Tables.documents(s, dir))),
     "q_pack_bins" -> ((s, dir) => operators.Corpus.packBins(Tables.documents(s, dir))),
@@ -283,6 +285,7 @@ object SparkEntry {
     "q_corpus_pipeline" -> OraclesML.corpusPipelineSql,
     "q_corpus_pipeline_incremental" -> OraclesML.corpusPipelineIncrementalSql,
     "q_corpus_funnel" -> OraclesML.corpusFunnelSql,
+    "q_corpus_funnel_incremental" -> OraclesML.corpusFunnelIncrementalSql,
     "q_dedup_rates" -> OraclesML.dedupRatesSql,
     "q_pack_bins" -> OraclesML.packBinsSql,
     "q_decontaminate" -> OraclesML.decontaminateSql,

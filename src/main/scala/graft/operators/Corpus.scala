@@ -246,6 +246,17 @@ object Corpus {
     // EAGERLY per wave, so deferring to the tail's require would run the
     // whole fold before rejecting a bad shard count
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    pipelineTail(incrementalSurvivorStages(docs, nWaves, minQuality)._3,
+      perplexityThreshold, flagAt, totalBudget, nShards, seqBudget, seed)
+  }
+
+  /** The incremental stage-1 chain with each boundary exposed —
+    * [[corpusPipelineIncremental]] consumes only the survivors;
+    * [[pipelineFunnelIncremental]] counts all three.
+    */
+  private def incrementalSurvivorStages(docs: DataFrame, nWaves: Int,
+                                        minQuality: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     // persisted: each ingest wave filters it and the survivors join reads
     // it again — unpersisted, the scan + quality regexes would re-run
     // nWaves+1 times (module persist policy, same as pipelineTail's frames)
@@ -265,8 +276,7 @@ object Corpus {
       .filter(col("__rn") === 1).drop("__rn")
     val keepers = Dedup.sequentialIngest(exact, nWaves)
     val survivors = clean.join(keepers.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    pipelineTail(survivors, perplexityThreshold, flagAt, totalBudget,
-      nShards, seqBudget, seed)
+    (clean, exact, survivors)
   }
 
   /** Stages 2–7 of the corpus build (everything after survivor selection):
@@ -398,12 +408,49 @@ object Corpus {
     // survivors0 embed clean0's exact plan as their child
     val clean = clean0.persist(StorageLevel.MEMORY_AND_DISK)
     val survivors = survivors0.persist(StorageLevel.MEMORY_AND_DISK)
+    funnelFrom(docs, clean, deduped0, survivors,
+      perplexityThreshold, flagAt, totalBudget, nShards, seqBudget, seed)
+  }
+
+  /** [[pipelineFunnel]] for the arrival-order build — the funnel the
+    * PRODUCTION pipeline ([[corpusPipelineIncremental]]) publishes per
+    * tick: stage 2 is the exact first-arrival-wins pre-dedup and stage 3
+    * the greedy wave-vs-store ingest fold, then the identical tail counts.
+    */
+  def pipelineFunnelIncremental(docs: DataFrame,
+                                nWaves: Int = 3,
+                                minQuality: Double = 0.70,
+                                perplexityThreshold: Double = 3.5,
+                                flagAt: Double = 0.2,
+                                totalBudget: Long = 20000L,
+                                nShards: Int = 8,
+                                seqBudget: Long = 1024L,
+                                seed: String = "graft"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val (clean, exact, survivors0) =
+      incrementalSurvivorStages(docs, nWaves, minQuality)
+    // clean is persisted by the stage chain (the wave fold re-reads it);
+    // survivors feeds both its own count and the whole tail
+    val survivors = survivors0.persist(StorageLevel.MEMORY_AND_DISK)
+    funnelFrom(docs, clean, exact, survivors,
+      perplexityThreshold, flagAt, totalBudget, nShards, seqBudget, seed)
+  }
+
+  /** The shared funnel close: nine 1-row counts over the stage frames
+    * (stage-1 boundaries passed in, tail boundaries from [[tailStages]]).
+    */
+  private def funnelFrom(docs: DataFrame, clean: DataFrame, exact: DataFrame,
+                         survivors: DataFrame,
+                         perplexityThreshold: Double, flagAt: Double,
+                         totalBudget: Long, nShards: Int, seqBudget: Long,
+                         seed: String): DataFrame = {
     val t = tailStages(survivors, perplexityThreshold, flagAt, totalBudget,
       nShards, seqBudget, seed)
     val stages: Seq[(Long, String, DataFrame)] = Seq(
       (0L, "raw", docs),
       (1L, "quality_gate", clean),
-      (2L, "exact_dedup", deduped0),
+      (2L, "exact_dedup", exact),
       (3L, "near_dedup", survivors),
       (4L, "boilerplate_scrub", t.red),
       (5L, "model_gates", t.gated),

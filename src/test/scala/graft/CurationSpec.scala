@@ -386,6 +386,33 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pipelineFunnelIncremental counts the arrival-order boundaries") {
+    val rows = pipelineFixtureRows
+    // the same stage model under the arrival-order dedup rule: stage 2 is
+    // the exact first-arrival-wins pre-dedup, stage 3 the greedy ingest
+    // fold — identical counts on this fixture (no near-dups planted), but
+    // WHICH dup id survives differs from the batch min-id rule, so the
+    // downstream split membership (and its counts) can differ too
+    val m = modelStages(rows, flagAt = 0.2, totalBudget = 10000000L, ingestDedup(3))
+    val expected = Seq[(Long, String, Long)](
+      (0L, "raw", rows.size.toLong),
+      (1L, "quality_gate", m.clean.size.toLong),
+      (2L, "exact_dedup", m.deduped.size.toLong),
+      (3L, "near_dedup", m.deduped.size.toLong),
+      (4L, "boilerplate_scrub", m.red.size.toLong),
+      (5L, "model_gates", m.gated.size.toLong),
+      (6L, "train_split", m.train.size.toLong),
+      (7L, "decontaminated", m.decon.size.toLong),
+      (8L, "budget_kept", m.kept.size.toLong))
+    val got = operators.Corpus.pipelineFunnelIncremental(pipelineFixtureDf,
+      nWaves = 3, perplexityThreshold = 1.0e9, flagAt = 0.2,
+      totalBudget = 10000000L, nShards = 2, seqBudget = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == expected)
+    spark.catalog.clearCache()
+  }
+
   test("corpusPipelineIncremental: first-arrival-wins vs the batch min-id rule") {
     // dup pair chosen so the LARGER id lands in an EARLIER wave (id % 3):
     // the batch build keeps the min id, the arrival-order build keeps the
