@@ -66,8 +66,12 @@ object Bpe {
     * reference derive from.
     */
   private def pairCounts(cur: DataFrame): DataFrame = {
-    val syms = split(trim(col("sym")), "  ")
+    // symbol array staged before the pair lambda (the TextOps.tokens()
+    // evaluation contract): captured, the split re-ran per adjacent pair —
+    // bounded here by word length, but the idiom stays linear everywhere
+    val syms = col("__syms")
     cur
+      .select(col("freq"), split(trim(col("sym")), "  ").as("__syms"))
       .select(col("freq"),
         explode(when(size(syms) >= 2,
           transform(sequence(lit(1), size(syms) - 1),

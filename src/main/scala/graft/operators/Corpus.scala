@@ -497,9 +497,14 @@ object Corpus {
     */
   def decontaminate(docs: DataFrame, k: Int = 8): DataFrame = {
     val split = Sampling.trainValTestSplit(docs, col("doc_id"))
-    val shingled = split.select(col("doc_id"), col("split"),
-      explode(array_distinct(
-        Shingles.shingles(TextOps.tokens(col("text")), k))).as("shingle"))
+    // token array staged before the shingle lambda (the TextOps.tokens()
+    // evaluation contract — captured, the split re-ran per shingle)
+    val shingled = split
+      .select(col("doc_id"), col("split"),
+        TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(
+          Shingles.shingles(col("__toks"), k))).as("shingle"))
     val held = shingled.filter(col("split") =!= "train")
       .select(col("shingle")).distinct()
     shingled.filter(col("split") === "train")
@@ -539,9 +544,14 @@ object Corpus {
                          expectedItems: Long = 1L << 20): DataFrame = {
     graft.functions.TextExpressions.registerBloom(docs.sparkSession)
     val split = Sampling.trainValTestSplit(docs, col("doc_id"))
-    val shingled = split.select(col("doc_id"), col("split"),
-      explode(array_distinct(
-        Shingles.shingles(TextOps.tokens(col("text")), k))).as("shingle"))
+    // token array staged before the shingle lambda (the TextOps.tokens()
+    // evaluation contract — captured, the split re-ran per shingle)
+    val shingled = split
+      .select(col("doc_id"), col("split"),
+        TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(
+          Shingles.shingles(col("__toks"), k))).as("shingle"))
     val held = shingled.filter(col("split") =!= "train")
       .select(col("shingle")).distinct()
     // scalar subquery: might_contain requires a constant/scalar bloom, and
@@ -575,9 +585,13 @@ object Corpus {
   def contaminationScores(docs: DataFrame, k: Int = 8,
                           flagAt: Double = 0.2): DataFrame = {
     val split = Sampling.trainValTestSplit(docs, col("doc_id"))
-    val withSh = split.select(col("doc_id"), col("split"),
-      array_distinct(
-        Shingles.shingles(TextOps.tokens(col("text")), k)).as("sh"))
+    // token array staged before the shingle lambda (the TextOps.tokens()
+    // evaluation contract — captured, the split re-ran per shingle)
+    val withSh = split
+      .select(col("doc_id"), col("split"),
+        TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("split"),
+        array_distinct(Shingles.shingles(col("__toks"), k)).as("sh"))
     // explode_OUTER + the per-doc size carried through: shingle-less docs
     // keep a null-shingle row (they must appear in the output), n_shingles
     // rides along so no join-back onto the train docs is needed, and the

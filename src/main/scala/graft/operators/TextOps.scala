@@ -17,7 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of `text`. */
+  /** Whitespace tokens of `text`.
+    *
+    * EVALUATION CONTRACT: never pass this expression into a higher-order
+    * lambda ([[Shingles.shingles]]'s `slice`, a bigram `element_at`, a chunk
+    * `slice`) — a lambda body re-evaluates every captured non-lambda
+    * subexpression PER ELEMENT, so the split becomes O(tokens) per element =
+    * quadratic per document (measured 40–115 s for 500 docs × 2000 tokens
+    * across the shingle family; linear after staging). Stage the token
+    * array in a parent projection first and hand the lambda a bound column
+    * reference; CollapseProject keeps the staged alias because the split is
+    * non-cheap and multiply-referenced.
+    */
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
@@ -59,24 +70,41 @@ object TextOps {
     */
   def textQuality(docs: DataFrame): DataFrame = {
     val t = col("text")
-    val n = length(t)
-    val w = tokens(t)
-    val nWords = size(w).cast("long")
-    val alpha = length(regexp_replace(t, "[^a-zA-Z]", ""))
-    val punct = length(regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
-    val nonSpace = length(regexp_replace(t, "\\s", ""))
-    val nStop = size(filter(w, x => x.isInCollection(stopwords))).cast("long")
+    // parts staged once (the tokens() evaluation contract, constant-factor
+    // form): inlined, the split and the alpha/punct regexes each re-ran per
+    // consuming output column — ~8 tokenizations per row via the
+    // quality_score recompute. Values and rounding identical: the staged
+    // columns are the exact subexpressions the inline form evaluated.
+    val n = col("__n")
+    val nWords = col("__nw")
     def ratio(num: Column): Column =
       when(n > 0, bround(num.cast("double") / n, 4))
     docs.select(
       col("doc_id"),
+      length(t).as("__n"),
+      tokens(t).as("__toks"),
+      length(regexp_replace(t, "[^a-zA-Z]", "")).as("__alpha"),
+      length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).as("__punct"),
+      length(regexp_replace(t, "\\s", "")).as("__nonspace"))
+    .select(
+      col("doc_id"), col("__n"), col("__alpha"), col("__punct"),
+      col("__nonspace"),
+      size(col("__toks")).cast("long").as("__nw"),
+      size(filter(col("__toks"), x => x.isInCollection(stopwords)))
+        .cast("long").as("__nstop"))
+    .select(
+      col("doc_id"),
       n.cast("long").as("n_chars"),
       nWords.as("n_words"),
-      bround(nonSpace.cast("double") / nWords, 4).as("mean_word_len"),
-      ratio(alpha).as("alpha_ratio"),
-      ratio(punct).as("punct_ratio"),
-      bround(nStop.cast("double") / nWords, 4).as("stopword_ratio"),
-      qualityScore(t).as("quality_score"))
+      bround(col("__nonspace").cast("double") / nWords, 4).as("mean_word_len"),
+      ratio(col("__alpha")).as("alpha_ratio"),
+      ratio(col("__punct")).as("punct_ratio"),
+      bround(col("__nstop").cast("double") / nWords, 4).as("stopword_ratio"),
+      bround(
+        ratio(col("__alpha")) * 0.4 + (lit(1.0) - ratio(col("__punct"))) * 0.3
+          + bround(col("__nstop").cast("double") / nWords, 4) * 0.2
+          + least(lit(1.0), nWords.cast("double") / 100) * 0.1, 4)
+        .as("quality_score"))
   }
 
   /** Per-language marker stopwords for the n-gram/stopword language-ID
@@ -93,19 +121,26 @@ object TextOps {
     * wins ties, 'und' when nothing matches.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val w = tokens(col("text"))
+    // staged in two layers (the tokens() evaluation contract, constant-
+    // factor form): the split feeds one marker filter per language, and
+    // each score feeds its output column + the greatest() + the argmax
+    // when-chain — inlined, the tokenize ran ~20× per row
     val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(w, x => x.isInCollection(markers))).cast("long")
+      lang -> size(filter(col("__toks"), x => x.isInCollection(markers)))
+        .cast("long")
     }
-    val maxScore = greatest(scores.map(_._2): _*)
-    val predicted = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
-    }
+    val scoreRefs = langMarkers.map { case (lang, _) => col(s"score_$lang") }
+    val maxScore = greatest(scoreRefs: _*)
+    val predicted = langMarkers.map(_._1).zip(scoreRefs)
+      .foldRight(lit("und")) { case ((lang, s), acc) =>
+        when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+      }
     // foldRight + when-chain → first language in priority order that attains
     // the max wins (en > de > fr > es), mirroring the oracle's CASE order.
-    docs.select(
-      (col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }
-        :+ predicted.as("predicted_lang")): _*)
+    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id") +:
+        scores.map { case (l, s) => s.as(s"score_$l") }: _*)
+      .select(col("*"), predicted.as("predicted_lang"))
   }
 
   /** Percentile length statistics per language (exact interpolated
@@ -220,7 +255,11 @@ object TextOps {
     docs.select(
       col("doc_id"),
       md5(col("text")).as("content_hash"),
-      Shingles.shingles(tokens(col("text")), 3).as("__sh"))
+      tokens(col("text")).as("__toks"))
+    .select(
+      col("doc_id"),
+      col("content_hash"),
+      Shingles.shingles(col("__toks"), 3).as("__sh"))
     .select(
       col("doc_id"),
       col("content_hash"),
@@ -246,10 +285,11 @@ object TextOps {
   def repetitionStats(docs: DataFrame): DataFrame = {
     graft.functions.TextExpressions.register(docs.sparkSession)
     def runStats(c: Column) = call_function("graft_run_stats", c)
-    docs.select(
+    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+    .select(
       col("doc_id"),
-      Shingles.shingles(tokens(col("text")), 2).as("__bg"),
-      Shingles.shingles(tokens(col("text")), 3).as("__tg"))
+      Shingles.shingles(col("__toks"), 2).as("__bg"),
+      Shingles.shingles(col("__toks"), 3).as("__tg"))
     .select(
       col("doc_id"),
       size(col("__bg")).cast("long").as("n_bigrams"),
@@ -371,11 +411,16 @@ object TextOps {
     */
   def perplexityScores(docs: DataFrame, trainMod: Int = 10, trainLt: Int = 3,
                        threshold: Double = 3.5): DataFrame = {
-    val w = tokens(col("text"))
-    val bg = docs.select(col("doc_id"), col("lang"),
-      explode(when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+    // token array staged BEFORE the bigram lambda (the tokens() evaluation
+    // contract): element_at(w, i) with the split captured in the lambda
+    // re-tokenizes per bigram — quadratic per document
+    val t = col("__toks")
+    val bg = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("lang"),
+      explode(when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val isTrain = col("doc_id") % trainMod < trainLt
@@ -390,8 +435,9 @@ object TextOps {
     // continuation totals and vocabulary derive from already-aggregated or
     // train-slice-only frames — neither re-scans the full corpus
     val cu = cb.groupBy(col("lang"), col("w1")).agg(sum(col("cb")).as("cu"))
+    // single-use generator input — evaluated once per row, no staging needed
     val vocab = docs.filter(isTrain)
-      .select(col("lang"), explode(w).as("tok"))
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("lang")).agg(count_distinct(col("tok")).as("v"))
     bg.join(cb, Seq("lang", "w1", "w2"), "left")
       .join(cu, Seq("lang", "w1"), "left")
@@ -446,10 +492,13 @@ object TextOps {
     */
   private def chunkExplode(docs: DataFrame, k: Int,
                            passthrough: Seq[String]): DataFrame = {
-    val w = tokens(col("text"))
+    // token array staged BEFORE the chunk lambda (the tokens() evaluation
+    // contract): slice(w, …) with the split captured re-tokenizes per chunk
+    val w = col("__toks")
     val nChunks = floor((size(w) + (k - 1)) / lit(k)).cast("int")
     val keys = col("doc_id") +: passthrough.map(col)
-    docs.select(keys :+
+    docs.select(keys :+ tokens(col("text")).as("__toks"): _*)
+      .select(keys :+
       explode(when(size(w) >= 1,
         transform(sequence(lit(1), nChunks),
           i => struct(i.as("idx"),
