@@ -283,7 +283,7 @@ object Corpus {
     * scrub → redact → LM/classifier gates → split + contamination →
     * mixture budgets + prefix fill → order → shards → packed manifest.
     */
-  private def pipelineTail(survivors: DataFrame,
+  private[operators] def pipelineTail(survivors: DataFrame,
                            perplexityThreshold: Double,
                            flagAt: Double,
                            totalBudget: Long,

@@ -1,0 +1,185 @@
+package graft.operators
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The continuously-built training corpus as ONE disk-backed store — the
+  * production composition of the whole curation suite, and the corpus twin
+  * of [[Orchestrator]]'s market-data loop:
+  *
+  *   per arriving batch ([[tick]]): quality gate → within-batch exact dedup
+  *   (first arrival wins) → exact-vs-store dedup (md5 anti-join, column-
+  *   pruned) → greedy near-dup-vs-store ingest ([[Dedup.ingestTick]], the
+  *   [[SignatureStore.ingestBatch]] kernel) → ONE atomic append of the
+  *   keepers' full rows; on demand ([[manifest]]): the packed per-shard
+  *   training manifest rebuilt from the accumulated keepers through the
+  *   SAME stage 2–7 tail as [[Corpus.corpusPipeline]].
+  *
+  * One [[ManifestTable]] holds document columns AND dedup state per row
+  * (doc_id, lang, source, text, text_md5, tick, shingles, sig_0..15), so a
+  * tick is a SINGLE atomic snapshot commit — there is no window where the
+  * dedup state and the document set disagree (the two-store alternative
+  * loses documents on a crash between commits: replayed docs self-match
+  * their own orphaned signatures). Consumers column-prune: the dedup side
+  * of a tick reads only (doc_id, shingles, sig_*), the manifest rebuild
+  * only (doc_id, lang, source, text), the exact check only text_md5.
+  *
+  * Convergence contract (spec-asserted): driving the doc_id % nWaves wave
+  * slices through [[tick]] in arrival order yields a store — and a
+  * [[manifest]] — identical to [[Corpus.corpusPipelineIncremental]] run
+  * over the whole corpus at once. The exact stage differs mechanically
+  * (the incremental build pre-dedups exact copies across ALL waves before
+  * its fold; a tick can only see the store's KEPT md5s), but the outcomes
+  * agree: a later exact copy of a kept doc drops at the md5 check, and a
+  * later exact copy of a near-dup-DROPPED doc carries identical shingles,
+  * so the same store match that disqualified the original disqualifies it
+  * (shingle-less docs never drop at the near-dup stage, so their exact
+  * copies are always caught by the md5 check).
+  *
+  * Replay safety (at-least-once delivery): a named tick that already rode
+  * a committed snapshot is skipped by the `_ticks/` marker fast path; an
+  * unnamed (or marker-lost) replay re-runs and drops every document at the
+  * exact/near-dup checks — zero keepers commit nothing, so the store is
+  * byte-stable under re-delivery either way (the
+  * [[streaming.StreamingDedup]] contract, extended to the full row).
+  *
+  * Scale shape: per-tick work is O(batch + touched band buckets) — the
+  * store is never rewritten (appends only), never reshuffled (the near-dup
+  * corpus side is the broadcast-semi-join prune of
+  * [[Dedup.incrementalNearDupsFromSigs]]), and the md5 anti-join reads one
+  * short column of the store. The manifest rebuild is a metadata-scale
+  * pass over the kept documents — the same cost every rebuild of a packed
+  * training mix pays, amortized across however many ticks land between
+  * loader refreshes.
+  */
+object CorpusStore {
+
+  /** One tick's driver-side report: the committed (or reused) snapshot
+    * version and the per-stage survivor counts — the funnel a production
+    * ingest publishes per batch.
+    */
+  case class TickReport(version: Long, nRaw: Long, nQuality: Long,
+                        nExactNew: Long, nKept: Long, replaySkipped: Boolean)
+
+  private def sigCols: Seq[String] =
+    (0 until Dedup.NumHashes).map(j => s"sig_$j")
+
+  /** Latest store snapshot (full schema). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    ManifestTable.read(spark, root)
+
+  /** The kept documents of the latest snapshot — the frame [[manifest]]
+    * and any downstream analysis consume (column-pruned scan).
+    */
+  def docs(spark: SparkSession, root: String): DataFrame =
+    read(spark, root).select(col("doc_id"), col("lang"), col("source"),
+      col("text"))
+
+  /** Tick ids that have committed (marker fast path — one FS listing). */
+  def committedTicks(spark: SparkSession, root: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_ticks")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+  }
+
+  /** Ingest one arriving batch of raw documents; returns the tick's
+    * funnel counts and committed version. `tickId` (optional, `[A-Za-z0-9._-]+`)
+    * enables the replay fast path; the marker is written AFTER the commit,
+    * so a crash between commit and marker degrades to the (byte-stable)
+    * semantic replay, never to loss or duplication.
+    */
+  def tick(rawBatch: DataFrame, root: String,
+           tickId: Option[String] = None,
+           minQuality: Double = 0.70,
+           threshold: Double = 0.5,
+           cap: Int = Dedup.MaxBucketSize): TickReport = {
+    val spark = rawBatch.sparkSession
+    tickId.foreach(id => require(id.matches("[A-Za-z0-9._-]+"),
+      s"unsafe tick id: $id"))
+    val prev = ManifestTable.currentVersion(spark, root)
+    if (tickId.exists(committedTicks(spark, root).contains))
+      return TickReport(prev.get, 0L, 0L, 0L, 0L, replaySkipped = true)
+
+    val nRaw = rawBatch.count()
+    // quality gate inside the scan stage, then within-batch exact dedup
+    // (first arrival = min doc_id, one md5-keyed window — the
+    // corpusPipelineIncremental stage shapes)
+    val clean = rawBatch
+      .filter(TextOps.qualityScore(col("text")) >= minQuality)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        md5(col("text")).as("text_md5"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nQuality = clean.count()
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text_md5")).orderBy(col("doc_id"))
+    val inBatch = clean
+      .withColumn("__rn", row_number().over(wExact))
+      .filter(col("__rn") === 1).drop("__rn")
+    val store = prev.map(_ => read(spark, root))
+    // exact-vs-store: the store side is ONE short column (text_md5) — a
+    // column-pruned scan, and the smaller batch side hashes/broadcasts
+    val exact = store match {
+      case Some(s) =>
+        inBatch.join(s.select(col("text_md5")), Seq("text_md5"), "left_anti")
+      case None => inBatch
+    }
+    val exactP = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    val nExactNew = exactP.count()
+    val batchSigs = Dedup.shingleSignatures(exactP)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val storeSigs = store.map(
+      _.select((col("doc_id") +: col("shingles") +: sigCols.map(col)): _*))
+    val keepSigs = Dedup.ingestTick(batchSigs, storeSigs, threshold, cap)
+    // keepers' FULL rows: docs + their dedup state, one batch-scale join
+    // (keepSigs is the keepers' full signature rows — doc_id, shingles,
+    // sig_0..15 — per the ingestTick contract)
+    val keepRows = exactP.join(keepSigs, Seq("doc_id"))
+      .withColumn("tick", lit(tickId.getOrElse("untracked")))
+    // zero keepers commit NOTHING: replay without a marker must leave the
+    // version untouched, not mint empty snapshots (an empty DataFrame
+    // write still produces an empty part file, so gate on the count, not
+    // on the published file list)
+    val nKept = keepSigs.count()
+    val version =
+      if (nKept == 0L) prev.getOrElse(
+        throw new IllegalStateException(
+          s"first tick at $root kept no documents — nothing to commit"))
+      else {
+        val staging = s"$root/_staging/${UUID.randomUUID()}"
+        keepRows.write.mode(SaveMode.Overwrite).parquet(staging)
+        val added = ManifestTable.publishFiles(spark, root, staging)
+        val v = ManifestTable.commitReplace(spark, root, Seq.empty, added)
+        ManifestTable.vacuum(spark, root)
+        v
+      }
+    tickId.foreach { id =>
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_ticks"))
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/_ticks/$id")).close()
+    }
+    clean.unpersist(); exactP.unpersist(); batchSigs.unpersist()
+    TickReport(version, nRaw, nQuality, nExactNew, nKept,
+      replaySkipped = false)
+  }
+
+  /** The packed (shard, bin) training manifest over the accumulated
+    * keepers — [[Corpus.corpusPipeline]]'s stage 2–7 tail off the store
+    * (identical output to the all-at-once incremental build when the
+    * ticks were its arrival waves; spec-asserted).
+    */
+  def manifest(spark: SparkSession, root: String,
+               perplexityThreshold: Double = 3.5,
+               flagAt: Double = 0.2,
+               totalBudget: Long = 20000L,
+               nShards: Int = 8,
+               seqBudget: Long = 1024L,
+               seed: String = "graft"): DataFrame =
+    Corpus.pipelineTail(docs(spark, root), perplexityThreshold, flagAt,
+      totalBudget, nShards, seqBudget, seed)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Corpus, CorpusStore, Dedup, ManifestTable}
+
+class CorpusStoreSpec extends SparkSpec {
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("orchestrated ticks converge to the all-at-once incremental build") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_corpstore").toString
+    try {
+      val n = 3
+      val reports = (0 until n).map { i =>
+        CorpusStore.tick(docs.filter(col("doc_id") % n === i), root,
+          tickId = Some(s"wave$i"))
+      }
+      assert(reports.map(_.version) == Seq(1L, 2L, 3L))
+      assert(reports.forall(!_.replaySkipped))
+      // funnel counts are internally consistent per tick
+      reports.foreach { r =>
+        assert(r.nRaw >= r.nQuality && r.nQuality >= r.nExactNew
+          && r.nExactNew >= r.nKept, s"non-monotone funnel: $r")
+      }
+
+      // the store's kept documents = the incremental pipeline's survivors:
+      // quality gate + (wave, doc_id)-ordered exact pre-dedup + greedy
+      // sequential near-dup fold over the SAME wave slices
+      val clean = docs
+        .filter(graft.operators.TextOps.qualityScore(col("text")) >= 0.70)
+      val wExact = org.apache.spark.sql.expressions.Window
+        .partitionBy(org.apache.spark.sql.functions.md5(col("text")))
+        .orderBy(col("doc_id") % n, col("doc_id"))
+      val exact = clean
+        .withColumn("__rn",
+          org.apache.spark.sql.functions.row_number().over(wExact))
+        .filter(col("__rn") === 1).drop("__rn")
+      val expectIds = Dedup.sequentialIngest(exact, n).select("doc_id")
+      assert(sameRows(CorpusStore.docs(spark, root).select("doc_id"), expectIds),
+        "store keeper set diverged from the sequential-fold contract")
+
+      // ...and the packed manifest equals the all-at-once incremental build
+      assert(sameRows(CorpusStore.manifest(spark, root),
+        Corpus.corpusPipelineIncremental(docs, n)),
+        "store-backed manifest diverged from corpusPipelineIncremental")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("replayed ticks are byte-stable: marker fast path and semantic no-op") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_corpreplay").toString
+    try {
+      val n = 3
+      (0 until n).foreach { i =>
+        CorpusStore.tick(docs.filter(col("doc_id") % n === i), root,
+          tickId = Some(s"wave$i"))
+      }
+      val before = CorpusStore.read(spark, root)
+        .orderBy("doc_id").collect().toSeq
+      val vBefore = ManifestTable.currentVersion(spark, root).get
+
+      // marker fast path: same tick id skips before any work
+      val fast = CorpusStore.tick(docs.filter(col("doc_id") % n === 1), root,
+        tickId = Some("wave1"))
+      assert(fast.replaySkipped && fast.version == vBefore)
+
+      // semantic path: NO tick id — every doc drops at the exact/near-dup
+      // checks, zero keepers commit nothing, version untouched
+      val slow = CorpusStore.tick(docs.filter(col("doc_id") % n === 1), root)
+      assert(!slow.replaySkipped && slow.nKept == 0L
+        && slow.version == vBefore,
+        s"unnamed replay was not a no-op: $slow")
+      assert(ManifestTable.currentVersion(spark, root).contains(vBefore))
+      assert(CorpusStore.read(spark, root)
+        .orderBy("doc_id").collect().toSeq == before,
+        "replay changed store contents")
+    } finally spark.catalog.clearCache()
+  }
+}
