@@ -101,9 +101,12 @@ object CorpusStore {
     val spark = rawBatch.sparkSession
     tickId.foreach(id => require(id.matches("[A-Za-z0-9._-]+"),
       s"unsafe tick id: $id"))
+    // version 0 = "store still empty" (a processed tick whose documents all
+    // dropped leaves no snapshot; its marker alone records the delivery)
     val prev = ManifestTable.currentVersion(spark, root)
     if (tickId.exists(committedTicks(spark, root).contains))
-      return TickReport(prev.get, 0L, 0L, 0L, 0L, replaySkipped = true)
+      return TickReport(prev.getOrElse(0L), 0L, 0L, 0L, 0L,
+        replaySkipped = true)
 
     val nRaw = rawBatch.count()
     // quality gate inside the scan stage, then within-batch exact dedup
@@ -146,9 +149,7 @@ object CorpusStore {
     // on the published file list)
     val nKept = keepSigs.count()
     val version =
-      if (nKept == 0L) prev.getOrElse(
-        throw new IllegalStateException(
-          s"first tick at $root kept no documents — nothing to commit"))
+      if (nKept == 0L) prev.getOrElse(0L)
       else {
         val staging = s"$root/_staging/${UUID.randomUUID()}"
         keepRows.write.mode(SaveMode.Overwrite).parquet(staging)

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{CorpusStore, Dedup}
+
+/** Streaming arrival of raw documents into the continuously-built training
+  * corpus: each micro-batch is one [[CorpusStore.tick]] — quality gate,
+  * exact + near-dup dedup against everything kept so far, one atomic
+  * keeper-append. The streaming form of the production corpus loop
+  * (micro-batches = the arrival waves of `corpusPipelineIncremental`);
+  * [[CorpusStore.manifest]] rebuilds the packed training manifest from the
+  * accumulated store whenever a loader refresh needs it.
+  */
+object StreamingCorpus {
+
+  /** foreachBatch sink for a stream of `documents`-shaped rows. Use as
+    * `docs.writeStream.foreachBatch(foreachBatchIngest(root) _)`.
+    *
+    * Replay safety (foreachBatch is at-least-once): the Spark batch id is
+    * the tick id, so a re-delivered batch skips via the store's `_ticks/`
+    * marker before any work; a marker lost to a crash between commit and
+    * marker write degrades to the semantic replay — every document drops
+    * at the exact-md5/near-dup checks and zero keepers commit nothing
+    * (both paths spec-asserted byte-stable on [[CorpusStore]]). A batch
+    * whose documents ALL drop (junk below the quality gate, or pure
+    * duplicates) is a recorded no-op, never a stream failure.
+    */
+  def foreachBatchIngest(storeRoot: String, minQuality: Double = 0.70,
+                         threshold: Double = 0.5,
+                         cap: Int = Dedup.MaxBucketSize)
+                        (batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty)
+      CorpusStore.tick(batch, storeRoot, tickId = Some(s"batch-$batchId"),
+        minQuality = minQuality, threshold = threshold, cap = cap)
+    ()
+  }
+}
