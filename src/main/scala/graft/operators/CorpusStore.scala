@@ -49,8 +49,10 @@ import org.apache.spark.storage.StorageLevel
   * Scale shape: per-tick work is O(batch + touched band buckets) — the
   * store is never rewritten (appends only), never reshuffled (the near-dup
   * corpus side is the broadcast-semi-join prune of
-  * [[Dedup.incrementalNearDupsFromSigs]]), and the md5 anti-join reads one
-  * short column of the store. The manifest rebuild is a metadata-scale
+  * [[Dedup.incrementalNearDupsFromSigs]]; the exact check broadcasts the
+  * batch's md5 set over the store's column-pruned text_md5 scan and
+  * anti-joins the batch against the batch-bounded touched set — no store
+  * exchange on either path). The manifest rebuild is a metadata-scale
   * pass over the kept documents — the same cost every rebuild of a packed
   * training mix pays, amortized across however many ticks land between
   * loader refreshes.
@@ -124,11 +126,18 @@ object CorpusStore {
       .withColumn("__rn", row_number().over(wExact))
       .filter(col("__rn") === 1).drop("__rn")
     val store = prev.map(_ => read(spark, root))
-    // exact-vs-store: the store side is ONE short column (text_md5) — a
-    // column-pruned scan, and the smaller batch side hashes/broadcasts
+    // exact-vs-store, in two broadcast steps so the store NEVER shuffles
+    // (a direct left_anti against the store would hash-exchange the whole
+    // corpus md5 column per tick): the batch's md5 set broadcasts into a
+    // map-side semi-join over the store's column-pruned text_md5 scan —
+    // the surviving "touched" set is batch-bounded — and the batch
+    // anti-joins that broadcast. The StreamingDedup id-guard shape.
     val exact = store match {
       case Some(s) =>
-        inBatch.join(s.select(col("text_md5")), Seq("text_md5"), "left_anti")
+        val touched = s.select(col("text_md5")).join(
+          broadcast(inBatch.select(col("text_md5")).distinct()),
+          Seq("text_md5"), "left_semi")
+        inBatch.join(broadcast(touched), Seq("text_md5"), "left_anti")
       case None => inBatch
     }
     val exactP = exact.persist(StorageLevel.MEMORY_AND_DISK)
