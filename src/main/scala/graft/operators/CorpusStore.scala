@@ -178,6 +178,58 @@ object CorpusStore {
       replaySkipped = false)
   }
 
+  /** The FULL platform tick: [[tick]] plus vector-index maintenance in one
+    * production step. After the corpus tick, the batch's embeddings
+    * restricted to the tick's KEPT doc_ids (`vec_id` = `doc_id`; the kept
+    * set is batch-bounded, recovered from the store's `tick` column, so
+    * the restriction broadcasts) flow into the staged IVF index: the first
+    * kept batch trains and builds ([[IvfStore.build]]), later batches
+    * append postings under the staged model — optionally after one
+    * mini-batch model refresh ([[IvfStore.ingestBatch]]).
+    *
+    * Replay safety composes: the corpus tick skips (marker) or no-ops
+    * (semantic), the kept set re-derives from committed store rows either
+    * way, and the SAME tick id rides the IVF postings/model commit guards
+    * — so a crash anywhere in the chain re-lands exactly the commits that
+    * are missing, never a double-append (the bootstrap build stamps the
+    * marker too). A tick id is therefore REQUIRED here, unlike [[tick]].
+    */
+  def tickWithIndex(rawBatch: DataFrame, batchEmb: DataFrame,
+                    root: String, ivfRoot: String, tickId: String,
+                    refreshModel: Boolean = false,
+                    minQuality: Double = 0.70,
+                    threshold: Double = 0.5,
+                    cap: Int = Dedup.MaxBucketSize): TickReport = {
+    val spark = rawBatch.sparkSession
+    val r = tick(rawBatch, root, Some(tickId), minQuality, threshold, cap)
+    if (ManifestTable.currentVersion(spark, root).isEmpty) return r
+    // composed-tick marker (own `_ticks_ivf/` namespace): IvfStore's guard
+    // covers only the CURRENT postings version's marker — enough for the
+    // immediate replay at-least-once delivers, but a re-delivery arriving
+    // after LATER ticks have committed would re-append an old batch. Later
+    // ticks can only run once this one completed (marker included), so the
+    // marker is always present exactly when the current-version guard no
+    // longer covers the tick.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ivfMarker = new org.apache.hadoop.fs.Path(s"$root/_ticks_ivf/$tickId")
+    if (!fs.exists(ivfMarker)) {
+      val keptIds = read(spark, root).filter(col("tick") === tickId)
+        .select(col("doc_id").as("vec_id"))
+      val keptVecs =
+        batchEmb.join(broadcast(keptIds), Seq("vec_id"), "left_semi")
+      if (!keptVecs.isEmpty) {
+        if (!IvfStore.isBuilt(spark, ivfRoot))
+          IvfStore.build(keptVecs, ivfRoot, tickId = Some(tickId))
+        else
+          IvfStore.ingestBatch(keptVecs, ivfRoot, refreshModel, Some(tickId))
+      }
+      fs.mkdirs(ivfMarker.getParent)
+      fs.create(ivfMarker).close()
+    }
+    r
+  }
+
   /** The packed (shard, bin) training manifest over the accumulated
     * keepers — [[Corpus.corpusPipeline]]'s stage 2–7 tail off the store
     * (identical output to the all-at-once incremental build when the

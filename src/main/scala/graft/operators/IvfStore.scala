@@ -45,10 +45,14 @@ object IvfStore {
 
   /** Train (via the nested [[CentroidStore]]) and materialize the postings
     * for a corpus snapshot. One normalization pass feeds both training and
-    * the postings write. Returns the committed postings version.
+    * the postings write. Returns the committed postings version. `tickId`
+    * stamps the postings commit (same marker [[ingestBatch]] writes), so
+    * an at-least-once caller whose bootstrap build crashed after the
+    * commit can retry through [[ingestBatch]] without double-appending.
     */
   def build(emb: DataFrame, root: String, nCentroids: Int = 8,
-            iters: Int = Similarity.KmeansIters): Long = {
+            iters: Int = Similarity.KmeansIters,
+            tickId: Option[String] = None): Long = {
     val spark = emb.sparkSession
     val e = Similarity.normalized(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -56,9 +60,15 @@ object IvfStore {
       val mv = CentroidStore.buildFrom(e, modelRoot(root), nCentroids, iters)
       val cents = CentroidStore.readCentroidsAt(spark, modelRoot(root), mv)
       commitPostings(spark, root,
-        Similarity.assignedMembers(e, cents), mv, replaced = Seq(""))
+        Similarity.assignedMembers(e, cents), mv, replaced = Seq(""), tickId)
     } finally e.unpersist()
   }
+
+  /** Whether a postings snapshot exists — the bootstrap-vs-append switch
+    * for composed platform ticks ([[CorpusStore.tickWithIndex]]).
+    */
+  def isBuilt(spark: SparkSession, root: String): Boolean =
+    ManifestTable.currentVersion(spark, postingsRoot(root)).nonEmpty
 
   /** One incremental index tick — the [[SignatureStore.ingestBatch]]
     * pattern for the postings: a NEW batch of embeddings is assigned

@@ -50,6 +50,45 @@ class CorpusStoreSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("platform tick maintains the IVF index alongside the corpus") {
+    import graft.operators.IvfStore
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_platform").toString
+    val ivf = java.nio.file.Files.createTempDirectory("graft_platform_ivf").toString
+    try {
+      val n = 3
+      (0 until n).foreach { i =>
+        CorpusStore.tickWithIndex(
+          docs.filter(col("doc_id") % n === i),
+          emb.filter(col("vec_id") % n === i),
+          root, ivf, s"wave$i")
+      }
+      // every kept document's vector is indexed — nothing more, nothing less
+      val keptIds = CorpusStore.docs(spark, root)
+        .select(col("doc_id").as("vec_id"))
+      val postedIds = ManifestTable.read(spark, s"$ivf/postings")
+        .select("vec_id")
+      assert(sameRows(postedIds, keptIds),
+        "IVF postings diverged from the kept document set")
+
+      // replay of an old tick after later ticks: the composed marker skips
+      // the index step — no double-append, no version movement anywhere
+      val pvBefore = ManifestTable.currentVersion(spark, s"$ivf/postings").get
+      val vBefore = ManifestTable.currentVersion(spark, root).get
+      val r = CorpusStore.tickWithIndex(
+        docs.filter(col("doc_id") % n === 0),
+        emb.filter(col("vec_id") % n === 0), root, ivf, "wave0")
+      assert(r.replaySkipped)
+      assert(ManifestTable.currentVersion(spark, s"$ivf/postings")
+        .contains(pvBefore), "replay advanced the postings")
+      assert(ManifestTable.currentVersion(spark, root).contains(vBefore))
+      assert(sameRows(ManifestTable.read(spark, s"$ivf/postings")
+        .select("vec_id"), keptIds), "replay changed the postings rows")
+    } finally spark.catalog.clearCache()
+  }
+
   test("replayed ticks are byte-stable: marker fast path and semantic no-op") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val root = java.nio.file.Files.createTempDirectory("graft_corpreplay").toString
