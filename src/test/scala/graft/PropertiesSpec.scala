@@ -140,4 +140,24 @@ class PropertiesSpec extends SparkSpec {
         sum(col("b.value").cast("decimal(38,6)")).cast("double").as("trailing_value"))
     assert(windowed.exceptAll(expected).isEmpty && expected.exceptAll(windowed).isEmpty)
   }
+
+  test("no tokenizer expression is captured by a shingle lambda (tokens() evaluation contract)") {
+    // a HOF lambda re-evaluates captured subexpressions per element, so a
+    // split passed directly into the shingle builder re-tokenizes per
+    // shingle — quadratic per document (measured 23-84x on 2000-token
+    // docs; SCALE.md round 8). Source-level guard: the builder must always
+    // receive a staged column reference.
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/main/scala/graft"))
+      .iterator().asScala.filter(_.toString.endsWith(".scala")).toSeq
+    val banned = Seq("Shingles.shingles(TextOps.tokens(",
+      "Shingles.shingles(tokens(", "shingles(split(")
+    val offenders = files.flatMap { p =>
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      banned.filter(text.contains).map(b => s"$p contains `$b`")
+    }
+    assert(offenders.isEmpty,
+      s"tokenizer captured inside a HOF lambda:\n${offenders.mkString("\n")}")
+  }
 }
