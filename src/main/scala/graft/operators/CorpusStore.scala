@@ -56,6 +56,12 @@ import org.apache.spark.storage.StorageLevel
   * pass over the kept documents — the same cost every rebuild of a packed
   * training mix pays, amortized across however many ticks land between
   * loader refreshes.
+  *
+  * Housekeeping: per-tick appends fragment the store into batch-sized
+  * files; [[Layout.compactTable]] over the root rewrites the snapshot to
+  * target-size files atomically (rows, dedup state, and tick markers all
+  * unchanged — spec-asserted), the same maintenance cadence any
+  * streaming-ingest table runs.
   */
 object CorpusStore {
 

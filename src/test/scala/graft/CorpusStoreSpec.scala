@@ -117,6 +117,19 @@ class CorpusStoreSpec extends SparkSpec {
       assert(CorpusStore.read(spark, root)
         .orderBy("doc_id").collect().toSeq == before,
         "replay changed store contents")
+
+      // housekeeping: compaction rewrites the fragmented per-tick files
+      // without changing rows, and a replayed tick against the compacted
+      // store is still a semantic no-op (the dedup state survived intact)
+      val (nb, na) = graft.operators.Layout.compactTable(spark, root,
+        targetBytes = 1L << 30)
+      assert(na <= nb, s"compaction grew the file count: $nb -> $na")
+      assert(CorpusStore.read(spark, root)
+        .orderBy("doc_id").collect().toSeq == before,
+        "compaction changed store contents")
+      val again = CorpusStore.tick(docs.filter(col("doc_id") % n === 2), root)
+      assert(again.nKept == 0L,
+        "replay against the compacted store was not a no-op")
     } finally spark.catalog.clearCache()
   }
 }
