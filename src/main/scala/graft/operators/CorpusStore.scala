@@ -52,10 +52,14 @@ import org.apache.spark.storage.StorageLevel
   * [[Dedup.incrementalNearDupsFromSigs]]; the exact check broadcasts the
   * batch's md5 set over the store's column-pruned text_md5 scan and
   * anti-joins the batch against the batch-bounded touched set — no store
-  * exchange on either path). The manifest rebuild is a metadata-scale
-  * pass over the kept documents — the same cost every rebuild of a packed
-  * training mix pays, amortized across however many ticks land between
-  * loader refreshes.
+  * exchange on either path). The manifest rebuild is one pipeline-tail
+  * pass over the accumulated SURVIVORS (never the raw corpus): the
+  * scrub/gate/decontamination stages are corpus-dependent — the LM trains
+  * on a slice of the current corpus, the held-out set grows with it — so
+  * freezing their per-tick results would silently diverge from the
+  * all-at-once build this store is contractually convergent with; only
+  * the budget/order/pack stages are metadata-scale. The rebuild runs per
+  * loader refresh, amortized across however many ticks land in between.
   *
   * Housekeeping: per-tick appends fragment the store into batch-sized
   * files; [[Layout.compactTable]] over the root rewrites the snapshot to
