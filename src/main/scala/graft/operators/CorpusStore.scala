@@ -156,7 +156,10 @@ object CorpusStore {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val storeSigs = store.map(
       _.select((col("doc_id") +: col("shingles") +: sigCols.map(col)): _*))
-    val keepSigs = Dedup.ingestTick(batchSigs, storeSigs, threshold, cap)
+    // releaseIntermediate: a production loop runs one tick per batch —
+    // the fold's internal persist must not accumulate across ticks
+    val keepSigs = Dedup.ingestTick(batchSigs, storeSigs, threshold, cap,
+      releaseIntermediate = true)
     // keepers' FULL rows: docs + their dedup state, one batch-scale join
     // (keepSigs is the keepers' full signature rows — doc_id, shingles,
     // sig_0..15 — per the ingestTick contract)
@@ -184,6 +187,7 @@ object CorpusStore {
       fs.create(new org.apache.hadoop.fs.Path(s"$root/_ticks/$id")).close()
     }
     clean.unpersist(); exactP.unpersist(); batchSigs.unpersist()
+    keepSigs.unpersist() // no-op on the bootstrap path (nothing cached)
     TickReport(version, nRaw, nQuality, nExactNew, nKept,
       replaySkipped = false)
   }

@@ -93,8 +93,19 @@ object Dedup {
     */
   private[operators] def pairsFromShingleSigs(ss: DataFrame, rowsPerBand: Int,
                                               threshold: Double, cap: Int): DataFrame =
-    verifyJaccard(bandedCandidates(ss, rowsPerBand, cap),
-      ss.select(col("doc_id"), col("shingles")), threshold)
+    pairsFromShingleSigsWithHandle(ss, rowsPerBand, threshold, cap)._1
+
+  /** [[pairsFromShingleSigs]] plus the band-cache handle (see
+    * [[bandPairsWithHandle]]) — the tick loop's form.
+    */
+  private def pairsFromShingleSigsWithHandle(ss: DataFrame, rowsPerBand: Int,
+                                             threshold: Double, cap: Int)
+      : (DataFrame, DataFrame) = {
+    val (cand, bands) = bandPairsWithHandle(
+      explodedBands(ss, rowsPerBand), cap, "doc_a", "doc_b")
+    (verifyJaccard(cand, ss.select(col("doc_id"), col("shingles")), threshold),
+      bands)
+  }
 
   /** Band hash over `rowsPerBand` consecutive signatures.
     * concat (NOT concat_ws): null sigs — a doc with < ShingleK tokens — must
@@ -145,18 +156,29 @@ object Dedup {
     * ids only, so band explosion never multiplies payload columns.
     */
   private[graft] def bandPairs(buckets: DataFrame, cap: Int,
-                               aName: String, bName: String): DataFrame = {
+                               aName: String, bName: String): DataFrame =
+    bandPairsWithHandle(buckets, cap, aName, bName)._1
+
+  /** [[bandPairs]] plus the persisted band frame itself, for callers that
+    * outlive a per-query cache lifecycle (the store tick loop): once the
+    * pairs are fully consumed, the caller unpersists the handle so a
+    * stream of ticks holds no accumulating band caches.
+    */
+  private def bandPairsWithHandle(buckets: DataFrame, cap: Int,
+                                  aName: String, bName: String)
+      : (DataFrame, DataFrame) = {
     val b = buckets.toDF("id", "band_id", "band_val")
       .filter(col("band_val").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val capped = capBuckets(b, Seq("band_id", "band_val"), cap)
-    capped.as("a")
+    val pairs = capped.as("a")
       .join(capped.as("b"),
         col("a.band_id") === col("b.band_id")
           && col("a.band_val") === col("b.band_val")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as(aName), col("b.id").as(bName))
       .distinct()
+    (pairs, b)
   }
 
   /** (doc_id, band_id, band_val) exploded band buckets of a
@@ -360,9 +382,18 @@ object Dedup {
       _.dataType == org.apache.spark.sql.types.LongType)
     if (longTyped) {
       val persisted = edges.persist(StorageLevel.MEMORY_AND_DISK)
-      if (persisted.count() <= localEdgeLimit) return localComponents(persisted)
-    }
-    distributedComponents(edges, maxIter)
+      val result =
+        if (persisted.count() <= localEdgeLimit) localComponents(persisted)
+        else distributedComponents(persisted, maxIter)
+      // released HERE, not left to the caller's session: localComponents
+      // returns driver-collected data and distributedComponents eagerly
+      // checkpoints the symmetrized edges as its first step, so the
+      // persist is fully consumed by the time either returns — and a
+      // long-running tick loop (CorpusStore/SignatureStore) must not
+      // accumulate one cached edge set per tick
+      persisted.unpersist()
+      result
+    } else distributedComponents(edges, maxIter)
   }
 
   /** Driver-side exact union-find: path halving + union under the smaller
@@ -521,11 +552,21 @@ object Dedup {
     * of a new document would both enter the store. Returns the keepers'
     * full signature rows, ready to append to the store. `storeSigs = None`
     * is the bootstrap tick (empty store → within-batch dedup only).
+    *
+    * `releaseIntermediate = true` is the LONG-RUNNING caller's form (the
+    * disk-backed store ticks): the internal `rem` persist is released
+    * before returning, with the keepers persisted + materialized in its
+    * place — the caller unpersists the returned frame after its commit,
+    * so a stream of ticks holds no accumulating executor storage. One-shot
+    * query callers keep the default (their session clears caches per
+    * query; the extra materialization pass would be pure cost).
     */
   private[operators] def ingestTick(batchSigs: DataFrame,
                                     storeSigs: Option[DataFrame],
                                     threshold: Double,
-                                    cap: Int): DataFrame = {
+                                    cap: Int,
+                                    releaseIntermediate: Boolean = false)
+      : DataFrame = {
     val rem = storeSigs match {
       case Some(store) =>
         // ids only — the best-match ranking of the public operator is
@@ -536,12 +577,24 @@ object Dedup {
           .persist(StorageLevel.MEMORY_AND_DISK)
       case None => batchSigs
     }
+    val (pairs, bands) =
+      pairsFromShingleSigsWithHandle(rem, NumHashes / NumBands, threshold, cap)
+    // connectedComponents is eager (its size probe + local/checkpointed
+    // result), so by the next line the band cache is fully consumed
     val nonCanonical = connectedComponents(
-      pairsFromShingleSigs(rem, NumHashes / NumBands, threshold, cap)
-        .select(col("doc_a"), col("doc_b")))
+      pairs.select(col("doc_a"), col("doc_b")))
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
-    rem.join(nonCanonical, Seq("doc_id"), "left_anti")
+    if (releaseIntermediate) bands.unpersist()
+    val keep = rem.join(nonCanonical, Seq("doc_id"), "left_anti")
+    if (releaseIntermediate && storeSigs.nonEmpty) {
+      // rem is this call's own persist (the bootstrap path reuses the
+      // caller's batchSigs) — swap it for the materialized keepers
+      val k = keep.persist(StorageLevel.MEMORY_AND_DISK)
+      k.count()
+      rem.unpersist()
+      k
+    } else keep
   }
 
   /** Sequential dedup ingest, pure-DataFrame form: split `docs` into

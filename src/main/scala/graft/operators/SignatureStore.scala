@@ -63,12 +63,18 @@ object SignatureStore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // no snapshot yet = bootstrap tick: within-batch dedup only
     val store = ManifestTable.currentVersion(spark, root).map(_ => read(spark, root))
-    val keep = Dedup.ingestTick(batchSigs, store, threshold, cap)
+    // releaseIntermediate: a long-running ingest loop (StreamingDedup) runs
+    // one tick per micro-batch — without the release every tick's internal
+    // persist would accumulate in executor storage for the stream's lifetime
+    val keep = Dedup.ingestTick(batchSigs, store, threshold, cap,
+      releaseIntermediate = true)
     val staging = s"$root/_staging/${UUID.randomUUID()}"
     keep.write.mode(SaveMode.Overwrite).parquet(staging)
     val added = ManifestTable.publishFiles(spark, root, staging)
     val version = ManifestTable.commitReplace(spark, root, Seq.empty, added)
     ManifestTable.vacuum(spark, root)
+    keep.unpersist()
+    batchSigs.unpersist()
     version
   }
 

@@ -89,6 +89,20 @@ class CorpusStoreSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("store ticks leave no cached state behind (long-running loop safety)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_corpleak").toString
+    spark.catalog.clearCache()
+    (0 until 2).foreach { i =>
+      CorpusStore.tick(docs.filter(col("doc_id") % 2 === i), root,
+        tickId = Some(s"t$i"))
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"a tick leaked ${leaked.size} cached RDD(s): " +
+        leaked.values.map(_.name).mkString(", "))
+  }
+
   test("replayed ticks are byte-stable: marker fast path and semantic no-op") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val root = java.nio.file.Files.createTempDirectory("graft_corpreplay").toString
