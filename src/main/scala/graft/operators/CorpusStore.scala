@@ -248,6 +248,11 @@ object CorpusStore {
     * keepers — [[Corpus.corpusPipeline]]'s stage 2–7 tail off the store
     * (identical output to the all-at-once incremental build when the
     * ticks were its arrival waves; spec-asserted).
+    *
+    * Cache lifecycle: the tail persists its multiply-consumed stage frames
+    * under the session-cache contract — a long-running caller materializes
+    * the manifest, then clears the session cache (or runs each refresh in
+    * its own session), unlike [[tick]], which releases its own caches.
     */
   def manifest(spark: SparkSession, root: String,
                perplexityThreshold: Double = 3.5,
@@ -258,4 +263,23 @@ object CorpusStore {
                seed: String = "graft"): DataFrame =
     Corpus.pipelineTail(docs(spark, root), perplexityThreshold, flagAt,
       totalBudget, nShards, seqBudget, seed)
+
+  /** [[manifest]] over a PINNED store snapshot — the byte-reproducible
+    * rebuild of the manifest a past loader refresh saw (the tail is a
+    * deterministic function of the snapshot's rows, and a snapshot's files
+    * are immutable while the retention window holds them). The training-
+    * reproducibility read: "which exact (shard, bin) packing did version v
+    * train on".
+    */
+  def manifestAt(spark: SparkSession, root: String, version: Long,
+                 perplexityThreshold: Double = 3.5,
+                 flagAt: Double = 0.2,
+                 totalBudget: Long = 20000L,
+                 nShards: Int = 8,
+                 seqBudget: Long = 1024L,
+                 seed: String = "graft"): DataFrame =
+    Corpus.pipelineTail(
+      ManifestTable.readAt(spark, root, version)
+        .select(col("doc_id"), col("lang"), col("source"), col("text")),
+      perplexityThreshold, flagAt, totalBudget, nShards, seqBudget, seed)
 }

@@ -13,14 +13,25 @@ class CorpusStoreSpec extends SparkSpec {
   test("orchestrated ticks converge to the all-at-once incremental build") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val root = java.nio.file.Files.createTempDirectory("graft_corpstore").toString
+    var midManifest: Seq[org.apache.spark.sql.Row] = Seq.empty
     try {
       val n = 3
       val reports = (0 until n).map { i =>
-        CorpusStore.tick(docs.filter(col("doc_id") % n === i), root,
+        val r = CorpusStore.tick(docs.filter(col("doc_id") % n === i), root,
           tickId = Some(s"wave$i"))
+        // snapshot of the manifest a loader refreshing at this version saw
+        if (i == 1) midManifest = CorpusStore.manifest(spark, root)
+          .orderBy("shard", "bin").collect().toSeq
+        r
       }
       assert(reports.map(_.version) == Seq(1L, 2L, 3L))
       assert(reports.forall(!_.replaySkipped))
+
+      // time travel: the pinned-snapshot rebuild reproduces the manifest
+      // exactly as it stood at version 2, after version 3 landed
+      assert(CorpusStore.manifestAt(spark, root, 2L)
+        .orderBy("shard", "bin").collect().toSeq == midManifest,
+        "manifestAt(v2) diverged from the manifest computed at v2")
       // funnel counts are internally consistent per tick
       reports.foreach { r =>
         assert(r.nRaw >= r.nQuality && r.nQuality >= r.nExactNew
