@@ -99,6 +99,33 @@ object CorpusStore {
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
   }
 
+  /** Marker housekeeping: keep only the `keep` most recent tick markers
+    * (by marker mtime), in both the `_ticks/` and `_ticks_ivf/`
+    * namespaces. Markers grow one file per named tick forever otherwise;
+    * pruning is safe because the marker is only the FAST replay path — a
+    * re-delivered tick whose marker was pruned falls back to the semantic
+    * replay (every document drops at the exact/near-dup checks, zero
+    * keepers commit nothing; spec-asserted byte-stable). Size `keep` to
+    * the delivery system's maximum redelivery lag, the same reasoning as
+    * snapshot retention. Returns markers deleted.
+    */
+  def pruneTickMarkers(spark: SparkSession, root: String,
+                       keep: Int = 1000): Long = {
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"$root/_ticks", s"$root/_ticks_ivf").map { d =>
+      val dir = new org.apache.hadoop.fs.Path(d)
+      if (!fs.exists(dir)) 0L
+      else {
+        val expired = fs.listStatus(dir).sortBy(-_.getModificationTime)
+          .drop(keep)
+        expired.foreach(st => fs.delete(st.getPath, false))
+        expired.length.toLong
+      }
+    }.sum
+  }
+
   /** Ingest one arriving batch of raw documents; returns the tick's
     * funnel counts and committed version. `tickId` (optional, `[A-Za-z0-9._-]+`)
     * enables the replay fast path; the marker is written AFTER the commit,

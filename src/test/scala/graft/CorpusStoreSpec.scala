@@ -155,6 +155,20 @@ class CorpusStoreSpec extends SparkSpec {
       val again = CorpusStore.tick(docs.filter(col("doc_id") % n === 2), root)
       assert(again.nKept == 0L,
         "replay against the compacted store was not a no-op")
+
+      // marker housekeeping: pruned ids fall back to the semantic replay —
+      // a re-delivered tick whose marker is gone still changes nothing
+      // keep = 0 so the surviving set is deterministic (same-second mtimes
+      // make "which marker survives keep=1" ambiguous)
+      val deleted = CorpusStore.pruneTickMarkers(spark, root, keep = 0)
+      assert(deleted == 3L, s"expected 3 pruned markers, got $deleted")
+      assert(CorpusStore.committedTicks(spark, root).isEmpty)
+      val vNow = ManifestTable.currentVersion(spark, root)
+      val pruned = CorpusStore.tick(
+        docs.filter(col("doc_id") % n === 0), root, tickId = Some("wave0"))
+      assert(!pruned.replaySkipped && pruned.nKept == 0L
+        && ManifestTable.currentVersion(spark, root) == vNow,
+        s"pruned-marker replay was not a semantic no-op: $pruned")
     } finally spark.catalog.clearCache()
   }
 }
