@@ -35,4 +35,29 @@ object StreamingCorpus {
         minQuality = minQuality, threshold = threshold, cap = cap)
     ()
   }
+
+  /** The streaming PLATFORM tick: documents arrive with their embeddings in
+    * the same rows (an `embedding` array column alongside the document
+    * columns), and each micro-batch runs [[CorpusStore.tickWithIndex]] —
+    * corpus tick plus IVF index maintenance, all under the batch-id tick
+    * marker chain, so crash-replay re-lands exactly the commits that are
+    * missing anywhere in the chain.
+    */
+  def foreachBatchIngestWithIndex(storeRoot: String, ivfRoot: String,
+                                  refreshModel: Boolean = false,
+                                  minQuality: Double = 0.70,
+                                  threshold: Double = 0.5,
+                                  cap: Int = Dedup.MaxBucketSize)
+                                 (batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      CorpusStore.tickWithIndex(
+        batch.drop("embedding"),
+        batch.select(col("doc_id").as("vec_id"), col("embedding")),
+        storeRoot, ivfRoot, s"batch-$batchId",
+        refreshModel = refreshModel, minQuality = minQuality,
+        threshold = threshold, cap = cap)
+    }
+    ()
+  }
 }

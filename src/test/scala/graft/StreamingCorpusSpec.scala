@@ -60,4 +60,36 @@ class StreamingCorpusSpec extends SparkSpec {
       "replayed batch advanced the store version")
     spark.catalog.clearCache()
   }
+
+  test("streaming platform tick: embeddings ride the document rows into the index") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_spidx").toString
+    val ivf = java.nio.file.Files.createTempDirectory("graft_spidx_ivf").toString
+    val cols = Seq("doc_id", "lang", "source", "text", "embedding")
+    def doc(id: Long, t: String, v: Seq[Float]) = (id, "en", "web", t, v)
+
+    val mem = MemoryStream[(Long, String, String, String, Seq[Float])]
+    val q = mem.toDF().toDF(cols: _*)
+      .writeStream
+      .foreachBatch(StreamingCorpus.foreachBatchIngestWithIndex(root, ivf) _)
+      .start()
+    try {
+      mem.addData(
+        doc(1L, goodText("alpha"), Seq(1f, 0f)),
+        doc(2L, goodText("beta"), Seq(0f, 1f)))
+      q.processAllAvailable()
+      mem.addData(
+        doc(3L, goodText("alpha"), Seq(0.9f, 0.1f)), // exact-dup text: dropped
+        doc(4L, goodText("gamma"), Seq(0.2f, 0.9f)))
+      q.processAllAvailable()
+      val kept = CorpusStore.docs(spark, root)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 2L, 4L), s"kept $kept")
+      val posted = graft.operators.ManifestTable.read(spark, s"$ivf/postings")
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(posted == kept,
+        s"index diverged from the kept set: posted=$posted kept=$kept")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
 }
