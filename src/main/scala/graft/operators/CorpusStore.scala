@@ -79,6 +79,24 @@ object CorpusStore {
   private def sigCols: Seq[String] =
     (0 until Dedup.NumHashes).map(j => s"sig_$j")
 
+  // the marker layout, in one place: every reader/writer goes through these
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def markerDir(root: String, ns: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$ns")
+  private def markerPath(root: String, ns: String, id: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$ns/$id")
+  private def writeMarker(spark: SparkSession, root: String, ns: String,
+                          id: String): Unit = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(markerDir(root, ns))
+    fs.create(markerPath(root, ns, id)).close()
+  }
+  private def markerExists(spark: SparkSession, root: String, ns: String,
+                           id: String): Boolean =
+    fsOf(spark, root).exists(markerPath(root, ns, id))
+
   /** Latest store snapshot (full schema). */
   def read(spark: SparkSession, root: String): DataFrame =
     ManifestTable.read(spark, root)
@@ -90,40 +108,43 @@ object CorpusStore {
     read(spark, root).select(col("doc_id"), col("lang"), col("source"),
       col("text"))
 
-  /** Tick ids that have committed (marker fast path — one FS listing). */
+  /** Tick ids that have committed (one FS listing — observability; the
+    * per-tick replay check uses an O(1) `exists` on the single marker).
+    */
   def committedTicks(spark: SparkSession, root: String): Seq[String] = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new org.apache.hadoop.fs.Path(s"$root/_ticks")
+    val fs = fsOf(spark, root)
+    val dir = markerDir(root, "_ticks")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
   }
 
-  /** Marker housekeeping: keep only the `keep` most recent tick markers
-    * (by marker mtime), in both the `_ticks/` and `_ticks_ivf/`
-    * namespaces. Markers grow one file per named tick forever otherwise;
-    * pruning is safe because the marker is only the FAST replay path — a
-    * re-delivered tick whose marker was pruned falls back to the semantic
-    * replay (every document drops at the exact/near-dup checks, zero
-    * keepers commit nothing; spec-asserted byte-stable). Size `keep` to
-    * the delivery system's maximum redelivery lag, the same reasoning as
-    * snapshot retention. Returns markers deleted.
+  /** Marker housekeeping: keep only the `keep` most recent CORPUS tick
+    * markers (`_ticks/`, by marker mtime). Markers grow one file per named
+    * tick forever otherwise; pruning the corpus namespace is safe because
+    * that marker is only the FAST replay path — a re-delivered tick whose
+    * marker was pruned falls back to the semantic replay (every document
+    * drops at the exact/near-dup checks, zero keepers commit nothing;
+    * spec-asserted byte-stable). Size `keep` to the delivery system's
+    * maximum redelivery lag, the same reasoning as snapshot retention.
+    *
+    * `_ticks_ivf/` markers are deliberately NOT pruned: the index side has
+    * no semantic-replay backstop (a re-delivered old tick would re-append
+    * its postings — `IvfStore`'s guard only covers the current version),
+    * so those markers are load-bearing for as long as a re-delivery is
+    * possible at all. Returns markers deleted.
     */
   def pruneTickMarkers(spark: SparkSession, root: String,
                        keep: Int = 1000): Long = {
     require(keep >= 0, s"keep must be >= 0, got $keep")
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(s"$root/_ticks", s"$root/_ticks_ivf").map { d =>
-      val dir = new org.apache.hadoop.fs.Path(d)
-      if (!fs.exists(dir)) 0L
-      else {
-        val expired = fs.listStatus(dir).sortBy(-_.getModificationTime)
-          .drop(keep)
-        expired.foreach(st => fs.delete(st.getPath, false))
-        expired.length.toLong
-      }
-    }.sum
+    val fs = fsOf(spark, root)
+    val dir = markerDir(root, "_ticks")
+    if (!fs.exists(dir)) 0L
+    else {
+      val expired = fs.listStatus(dir).sortBy(-_.getModificationTime)
+        .drop(keep)
+      expired.foreach(st => fs.delete(st.getPath, false))
+      expired.length.toLong
+    }
   }
 
   /** Ingest one arriving batch of raw documents; returns the tick's
@@ -136,16 +157,31 @@ object CorpusStore {
            tickId: Option[String] = None,
            minQuality: Double = 0.70,
            threshold: Double = 0.5,
-           cap: Int = Dedup.MaxBucketSize): TickReport = {
+           cap: Int = Dedup.MaxBucketSize): TickReport =
+    tickCollecting(rawBatch, root, tickId, minQuality, threshold, cap,
+      collectKeeperIds = false)._1
+
+  /** [[tick]] plus the tick's keeper doc_ids collected to the driver
+    * (batch-bounded, the broadcast-id-guard sizing contract) —
+    * [[tickWithIndex]]'s fresh path consumes them so the index step needs
+    * no store scan. Empty when skipped or when nothing was kept.
+    */
+  private def tickCollecting(rawBatch: DataFrame, root: String,
+                             tickId: Option[String],
+                             minQuality: Double,
+                             threshold: Double,
+                             cap: Int,
+                             collectKeeperIds: Boolean)
+      : (TickReport, Array[Long]) = {
     val spark = rawBatch.sparkSession
     tickId.foreach(id => require(id.matches("[A-Za-z0-9._-]+"),
       s"unsafe tick id: $id"))
     // version 0 = "store still empty" (a processed tick whose documents all
     // dropped leaves no snapshot; its marker alone records the delivery)
     val prev = ManifestTable.currentVersion(spark, root)
-    if (tickId.exists(committedTicks(spark, root).contains))
-      return TickReport(prev.getOrElse(0L), 0L, 0L, 0L, 0L,
-        replaySkipped = true)
+    if (tickId.exists(id => markerExists(spark, root, "_ticks", id)))
+      return (TickReport(prev.getOrElse(0L), 0L, 0L, 0L, 0L,
+        replaySkipped = true), Array.empty)
 
     val nRaw = rawBatch.count()
     // quality gate inside the scan stage, then within-batch exact dedup
@@ -156,67 +192,78 @@ object CorpusStore {
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         md5(col("text")).as("text_md5"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nQuality = clean.count()
-    val wExact = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text_md5")).orderBy(col("doc_id"))
-    val inBatch = clean
-      .withColumn("__rn", row_number().over(wExact))
-      .filter(col("__rn") === 1).drop("__rn")
-    val store = prev.map(_ => read(spark, root))
-    // exact-vs-store, in two broadcast steps so the store NEVER shuffles
-    // (a direct left_anti against the store would hash-exchange the whole
-    // corpus md5 column per tick): the batch's md5 set broadcasts into a
-    // map-side semi-join over the store's column-pruned text_md5 scan —
-    // the surviving "touched" set is batch-bounded — and the batch
-    // anti-joins that broadcast. The StreamingDedup id-guard shape.
-    val exact = store match {
-      case Some(s) =>
-        val touched = s.select(col("text_md5")).join(
-          broadcast(inBatch.select(col("text_md5")).distinct()),
-          Seq("text_md5"), "left_semi")
-        inBatch.join(broadcast(touched), Seq("text_md5"), "left_anti")
-      case None => inBatch
-    }
-    val exactP = exact.persist(StorageLevel.MEMORY_AND_DISK)
-    val nExactNew = exactP.count()
-    val batchSigs = Dedup.shingleSignatures(exactP)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val storeSigs = store.map(
-      _.select((col("doc_id") +: col("shingles") +: sigCols.map(col)): _*))
-    // releaseIntermediate: a production loop runs one tick per batch —
-    // the fold's internal persist must not accumulate across ticks
-    val keepSigs = Dedup.ingestTick(batchSigs, storeSigs, threshold, cap,
-      releaseIntermediate = true)
-    // keepers' FULL rows: docs + their dedup state, one batch-scale join
-    // (keepSigs is the keepers' full signature rows — doc_id, shingles,
-    // sig_0..15 — per the ingestTick contract)
-    val keepRows = exactP.join(keepSigs, Seq("doc_id"))
-      .withColumn("tick", lit(tickId.getOrElse("untracked")))
-    // zero keepers commit NOTHING: replay without a marker must leave the
-    // version untouched, not mint empty snapshots (an empty DataFrame
-    // write still produces an empty part file, so gate on the count, not
-    // on the published file list)
-    val nKept = keepSigs.count()
-    val version =
-      if (nKept == 0L) prev.getOrElse(0L)
-      else {
-        val staging = s"$root/_staging/${UUID.randomUUID()}"
-        keepRows.write.mode(SaveMode.Overwrite).parquet(staging)
-        val added = ManifestTable.publishFiles(spark, root, staging)
-        val v = ManifestTable.commitReplace(spark, root, Seq.empty, added)
-        ManifestTable.vacuum(spark, root)
-        v
+    var exactP: DataFrame = null
+    var batchSigs: DataFrame = null
+    var keepSigs: DataFrame = null
+    // try/finally: an at-least-once caller CATCHES and retries a failed
+    // tick, so a mid-tick exception must not strand this attempt's caches
+    // in executor storage (the IvfStore.build discipline)
+    try {
+      val nQuality = clean.count()
+      val wExact = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text_md5")).orderBy(col("doc_id"))
+      val inBatch = clean
+        .withColumn("__rn", row_number().over(wExact))
+        .filter(col("__rn") === 1).drop("__rn")
+      val store = prev.map(_ => read(spark, root))
+      // exact-vs-store, in two broadcast steps so the store NEVER shuffles
+      // (a direct left_anti against the store would hash-exchange the whole
+      // corpus md5 column per tick): the batch's md5 set broadcasts into a
+      // map-side semi-join over the store's column-pruned text_md5 scan —
+      // the surviving "touched" set is batch-bounded — and the batch
+      // anti-joins that broadcast. The StreamingDedup id-guard shape.
+      val exact = store match {
+        case Some(s) =>
+          val touched = s.select(col("text_md5")).join(
+            broadcast(inBatch.select(col("text_md5")).distinct()),
+            Seq("text_md5"), "left_semi")
+          inBatch.join(broadcast(touched), Seq("text_md5"), "left_anti")
+        case None => inBatch
       }
-    tickId.foreach { id =>
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_ticks"))
-      fs.create(new org.apache.hadoop.fs.Path(s"$root/_ticks/$id")).close()
+      exactP = exact.persist(StorageLevel.MEMORY_AND_DISK)
+      val nExactNew = exactP.count()
+      batchSigs = Dedup.shingleSignatures(exactP)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val storeSigs = store.map(
+        _.select((col("doc_id") +: col("shingles") +: sigCols.map(col)): _*))
+      // releaseIntermediate: a production loop runs one tick per batch —
+      // the fold's internal persist must not accumulate across ticks
+      keepSigs = Dedup.ingestTick(batchSigs, storeSigs, threshold, cap,
+        releaseIntermediate = true)
+      // keepers' FULL rows: docs + their dedup state, one batch-scale join
+      // (keepSigs is the keepers' full signature rows — doc_id, shingles,
+      // sig_0..15 — per the ingestTick contract)
+      val keepRows = exactP.join(keepSigs, Seq("doc_id"))
+        .withColumn("tick", lit(tickId.getOrElse("untracked")))
+      // zero keepers commit NOTHING: replay without a marker must leave the
+      // version untouched, not mint empty snapshots (an empty DataFrame
+      // write still produces an empty part file, so gate on the count, not
+      // on the published file list)
+      val nKept = keepSigs.count()
+      val version =
+        if (nKept == 0L) prev.getOrElse(0L)
+        else {
+          val staging = s"$root/_staging/${UUID.randomUUID()}"
+          keepRows.write.mode(SaveMode.Overwrite).parquet(staging)
+          val added = ManifestTable.publishFiles(spark, root, staging)
+          val v = ManifestTable.commitReplace(spark, root, Seq.empty, added)
+          ManifestTable.vacuum(spark, root)
+          v
+        }
+      val keeperIds =
+        if (collectKeeperIds && nKept > 0L)
+          keepSigs.select(col("doc_id")).collect().map(_.getLong(0))
+        else Array.empty[Long]
+      tickId.foreach(id => writeMarker(spark, root, "_ticks", id))
+      (TickReport(version, nRaw, nQuality, nExactNew, nKept,
+        replaySkipped = false), keeperIds)
+    } finally {
+      clean.unpersist()
+      if (exactP != null) exactP.unpersist()
+      if (batchSigs != null) batchSigs.unpersist()
+      // no-op on the bootstrap path (nothing cached)
+      if (keepSigs != null) keepSigs.unpersist()
     }
-    clean.unpersist(); exactP.unpersist(); batchSigs.unpersist()
-    keepSigs.unpersist() // no-op on the bootstrap path (nothing cached)
-    TickReport(version, nRaw, nQuality, nExactNew, nKept,
-      replaySkipped = false)
   }
 
   /** The FULL platform tick: [[tick]] plus vector-index maintenance in one
@@ -242,7 +289,8 @@ object CorpusStore {
                     threshold: Double = 0.5,
                     cap: Int = Dedup.MaxBucketSize): TickReport = {
     val spark = rawBatch.sparkSession
-    val r = tick(rawBatch, root, Some(tickId), minQuality, threshold, cap)
+    val (r, keeperIds) = tickCollecting(rawBatch, root, Some(tickId),
+      minQuality, threshold, cap, collectKeeperIds = true)
     if (ManifestTable.currentVersion(spark, root).isEmpty) return r
     // composed-tick marker (own `_ticks_ivf/` namespace): IvfStore's guard
     // covers only the CURRENT postings version's marker — enough for the
@@ -250,13 +298,18 @@ object CorpusStore {
     // after LATER ticks have committed would re-append an old batch. Later
     // ticks can only run once this one completed (marker included), so the
     // marker is always present exactly when the current-version guard no
-    // longer covers the tick.
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ivfMarker = new org.apache.hadoop.fs.Path(s"$root/_ticks_ivf/$tickId")
-    if (!fs.exists(ivfMarker)) {
-      val keptIds = read(spark, root).filter(col("tick") === tickId)
-        .select(col("doc_id").as("vec_id"))
+    // longer covers the tick. NOT pruned by [[pruneTickMarkers]] — the
+    // index side has no semantic-replay backstop.
+    if (!markerExists(spark, root, "_ticks_ivf", tickId)) {
+      import spark.implicits._
+      // fresh path: the tick just collected its keeper ids (batch-bounded)
+      // — no store scan. Replay/retry path (corpus tick skipped or its
+      // keeper collection lost): re-derive from the committed store rows'
+      // tick column, the correctness fallback.
+      val keptIds =
+        if (keeperIds.nonEmpty) keeperIds.toSeq.toDF("vec_id")
+        else read(spark, root).filter(col("tick") === tickId)
+          .select(col("doc_id").as("vec_id"))
       val keptVecs =
         batchEmb.join(broadcast(keptIds), Seq("vec_id"), "left_semi")
       if (!keptVecs.isEmpty) {
@@ -265,8 +318,7 @@ object CorpusStore {
         else
           IvfStore.ingestBatch(keptVecs, ivfRoot, refreshModel, Some(tickId))
       }
-      fs.mkdirs(ivfMarker.getParent)
-      fs.create(ivfMarker).close()
+      writeMarker(spark, root, "_ticks_ivf", tickId)
     }
     r
   }

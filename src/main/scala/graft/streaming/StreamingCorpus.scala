@@ -17,21 +17,33 @@ object StreamingCorpus {
   /** foreachBatch sink for a stream of `documents`-shaped rows. Use as
     * `docs.writeStream.foreachBatch(foreachBatchIngest(root) _)`.
     *
-    * Replay safety (foreachBatch is at-least-once): the Spark batch id is
-    * the tick id, so a re-delivered batch skips via the store's `_ticks/`
-    * marker before any work; a marker lost to a crash between commit and
-    * marker write degrades to the semantic replay — every document drops
-    * at the exact-md5/near-dup checks and zero keepers commit nothing
-    * (both paths spec-asserted byte-stable on [[CorpusStore]]). A batch
-    * whose documents ALL drop (junk below the quality gate, or pure
-    * duplicates) is a recorded no-op, never a stream failure.
+    * Replay safety (foreachBatch is at-least-once): `tickPrefix` + the
+    * Spark batch id is the tick id, so a re-delivered batch skips via the
+    * store's `_ticks/` marker before any work; a marker lost to a crash
+    * between commit and marker write degrades to the semantic replay —
+    * every document drops at the exact-md5/near-dup checks and zero
+    * keepers commit nothing (both paths spec-asserted byte-stable on
+    * [[CorpusStore]]). A batch whose documents ALL drop (junk below the
+    * quality gate, or pure duplicates) is a recorded no-op, never a
+    * stream failure.
+    *
+    * CHECKPOINT-LINEAGE CONTRACT: batch ids are only unique within ONE
+    * streaming checkpoint. A query restarted against the same store root
+    * with a NEW (or deleted) checkpoint restarts batch numbering at 0,
+    * and the default prefix would collide with the old lineage's markers
+    * — silently replay-skipping genuinely new batches. Give each
+    * checkpoint lineage its own `tickPrefix` (e.g. derived from the
+    * query's runId or the checkpoint path) whenever the checkpoint is not
+    * the store's sole, permanent one.
     */
   def foreachBatchIngest(storeRoot: String, minQuality: Double = 0.70,
                          threshold: Double = 0.5,
-                         cap: Int = Dedup.MaxBucketSize)
+                         cap: Int = Dedup.MaxBucketSize,
+                         tickPrefix: String = "batch")
                         (batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty)
-      CorpusStore.tick(batch, storeRoot, tickId = Some(s"batch-$batchId"),
+      CorpusStore.tick(batch, storeRoot,
+        tickId = Some(s"$tickPrefix-$batchId"),
         minQuality = minQuality, threshold = threshold, cap = cap)
     ()
   }
@@ -39,22 +51,26 @@ object StreamingCorpus {
   /** The streaming PLATFORM tick: documents arrive with their embeddings in
     * the same rows (an `embedding` array column alongside the document
     * columns), and each micro-batch runs [[CorpusStore.tickWithIndex]] —
-    * corpus tick plus IVF index maintenance, all under the batch-id tick
-    * marker chain, so crash-replay re-lands exactly the commits that are
-    * missing anywhere in the chain.
+    * corpus tick plus IVF index maintenance, all under one tick-marker
+    * chain, so crash-replay re-lands exactly the commits that are missing
+    * anywhere in the chain. The [[foreachBatchIngest]] checkpoint-lineage
+    * contract applies doubly here: the `_ticks_ivf/` markers have no
+    * semantic-replay backstop, so a colliding prefix from a new checkpoint
+    * lineage would silently skip indexing new batches.
     */
   def foreachBatchIngestWithIndex(storeRoot: String, ivfRoot: String,
                                   refreshModel: Boolean = false,
                                   minQuality: Double = 0.70,
                                   threshold: Double = 0.5,
-                                  cap: Int = Dedup.MaxBucketSize)
+                                  cap: Int = Dedup.MaxBucketSize,
+                                  tickPrefix: String = "batch")
                                  (batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
       import org.apache.spark.sql.functions.col
       CorpusStore.tickWithIndex(
         batch.drop("embedding"),
         batch.select(col("doc_id").as("vec_id"), col("embedding")),
-        storeRoot, ivfRoot, s"batch-$batchId",
+        storeRoot, ivfRoot, s"$tickPrefix-$batchId",
         refreshModel = refreshModel, minQuality = minQuality,
         threshold = threshold, cap = cap)
     }
