@@ -160,10 +160,16 @@ object Bench {
         }
       }
     }
+    // Two clauses: the 2x ratio (with a 1 s absolute floor so trivial
+    // queries don't flag on millisecond jitter), OR an absolute +5 s move
+    // regardless of ratio — a heavy query drifting 15 s -> 24 s (1.6x) is
+    // the regression that actually matters at the suite's tail and sailed
+    // through the ratio-only rule in round 8.
     def flaggedIn(mins: Map[String, Double]): Seq[String] =
       results.collect {
         case (name, _, _) if mins.get(name).exists(t => t > 0
-          && baseMins.get(name).exists(b => b > 0 && t > 2 * b && t - b > 1.0)) => name
+          && baseMins.get(name).exists(b => b > 0
+            && ((t > 2 * b && t - b > 1.0) || t - b > 5.0))) => name
       }
     val mins0 = results.map { case (n, _, m) => n -> m }.toMap
     // A first-pass flag can be a transient load spike on this shared box

@@ -54,11 +54,8 @@ object Corpus {
     * quality gate, so rates reconcile with the pipeline's own decisions.
     */
   def dedupRates(docs: DataFrame): DataFrame = {
-    val keepFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val exactKept = docs
-      .withColumn("__rn", row_number().over(keepFirst))
-      .filter(col("__rn") === 1).drop("__rn")
+    // skew-immune exact stage (see Dedup.keepMinBy)
+    val exactKept = Dedup.keepMinBy(docs, md5(col("text")), col("doc_id"))
     val nearRemoved = Dedup.connectedComponents(
       Dedup.minhashLshPairs(exactKept).select(col("doc_a"), col("doc_b")))
       .filter(col("node") =!= col("component"))
@@ -105,13 +102,10 @@ object Corpus {
     // inline per-row gate — no metrics self-join; the filter runs inside
     // the scan stage and prunes before any shingling work
     val clean = docs.filter(TextOps.qualityScore(col("text")) >= minQuality)
-    // exact dedup: lowest doc_id survives per identical text — one window
-    // over the hash (single shuffle), not a groupBy + join-back pass
-    val keepFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val deduped = clean
-      .withColumn("__rn", row_number().over(keepFirst))
-      .filter(col("__rn") === 1).drop("__rn")
+    // exact dedup: lowest doc_id survives per identical text — a partial-
+    // aggregating min_by (skew-immune: a boilerplate text with millions of
+    // copies combines map-side instead of landing in one window task)
+    val deduped = Dedup.keepMinBy(clean, md5(col("text")), col("doc_id"))
     // near-dup groups among the survivors: keep the canonical (minimum)
     // member of each component; docs in no pair never enter the graph and
     // survive by the null branch
@@ -267,17 +261,24 @@ object Corpus {
     // the fold's jaccard-1.0 path only sees shingle-FULL copies — a
     // < ShingleK-token doc has null bands and never co-buckets, so two
     // identical tiny docs in different waves would otherwise both survive.
-    // One text-keyed window, the exact-dedup shape cleanedSurvivors uses.
-    val keepFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text")))
-      .orderBy(col("doc_id") % nWaves, col("doc_id"))
-    val exact = clean
-      .withColumn("__rn", row_number().over(keepFirst))
-      .filter(col("__rn") === 1).drop("__rn")
+    // Same skew-immune min_by kernel as cleanedSurvivors, ordered by
+    // (wave, doc_id) via a struct ordering key.
+    val exact = Dedup.keepMinBy(clean, md5(col("text")),
+      struct(col("doc_id") % nWaves, col("doc_id")))
     val keepers = Dedup.sequentialIngest(exact, nWaves)
     val survivors = clean.join(keepers.select(col("doc_id")), Seq("doc_id"), "left_semi")
     (clean, exact, survivors)
   }
+
+  /** The tail's corpus-dependent MODEL state — the perplexity LM (bigram
+    * counts + per-lang vocabulary) and the held-out decontamination
+    * shingle set. These are deterministic functions of the survivor set,
+    * so a versioned store can stage them per snapshot ([[CorpusStore]]'s
+    * `_models/v{N}` sidecars) and a loader refresh over an unchanged
+    * snapshot reuses them instead of re-training.
+    */
+  case class TailModels(lmBigrams: DataFrame, lmVocab: DataFrame,
+                        heldShingles: DataFrame)
 
   /** Stages 2–7 of the corpus build (everything after survivor selection):
     * scrub → redact → LM/classifier gates → split + contamination →
@@ -293,13 +294,35 @@ object Corpus {
     tailStages(survivors, perplexityThreshold, flagAt, totalBudget,
       nShards, seqBudget, seed).manifest
 
+  /** [[pipelineTail]] with the corpus-dependent models surfaced: returns
+    * the manifest plus the [[TailModels]] it used — freshly derived when
+    * `staged` is None (the caller may then persist them as version
+    * sidecars), or exactly the supplied ones. Output is byte-identical
+    * either way when the staged frames equal the derived ones
+    * (spec-asserted).
+    */
+  private[operators] def pipelineTailWithModels(survivors: DataFrame,
+                           perplexityThreshold: Double,
+                           flagAt: Double,
+                           totalBudget: Long,
+                           nShards: Int,
+                           seqBudget: Long,
+                           seed: String,
+                           staged: Option[TailModels])
+      : (DataFrame, TailModels) = {
+    val t = tailStages(survivors, perplexityThreshold, flagAt, totalBudget,
+      nShards, seqBudget, seed, staged)
+    (t.manifest, t.models)
+  }
+
   /** The tail's stage boundaries, exposed for [[pipelineFunnel]]'s counts
     * — the same frames [[pipelineTail]] wires, so the funnel can never
     * drift from the pipeline's real decisions.
     */
   private case class TailStages(red: DataFrame, gated: DataFrame,
                                 train: DataFrame, toks: DataFrame,
-                                kept: DataFrame, manifest: DataFrame)
+                                kept: DataFrame, manifest: DataFrame,
+                                models: TailModels)
 
   private def tailStages(survivors: DataFrame,
                          perplexityThreshold: Double,
@@ -307,7 +330,8 @@ object Corpus {
                          totalBudget: Long,
                          nShards: Int,
                          seqBudget: Long,
-                         seed: String): TailStages = {
+                         seed: String,
+                         staged: Option[TailModels] = None): TailStages = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
@@ -316,7 +340,15 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.redactPii(col("clean_text")).as("text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pKeep = TextOps.perplexityScores(red, threshold = perplexityThreshold)
+    // the perplexity LM: staged (a versioned sidecar) or freshly trained on
+    // the reference slice of the scrubbed corpus; fresh counts persist (cb
+    // feeds both the score join and the continuation-total derivation)
+    val (lmB, lmV) = staged.map(m => (m.lmBigrams, m.lmVocab)).getOrElse {
+      val (cb, v) = TextOps.perplexityModel(red)
+      (cb.persist(StorageLevel.MEMORY_AND_DISK), v)
+    }
+    val pKeep = TextOps.perplexityScoresWith(red, lmB, lmV,
+      threshold = perplexityThreshold)
       .filter(col("keep")).select(col("doc_id"))
     val cKeep = TextOps.classifierScores(red).filter(col("label"))
       .select(col("doc_id"))
@@ -333,8 +365,11 @@ object Corpus {
       Sampling.trainValTestSplit(gated, col("doc_id"))
         .filter(col("split") === "train").select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+    // the held-out shingle set: staged sidecar or derived from this
+    // snapshot's gated set — identical by determinism
+    val held = staged.map(_.heldShingles).getOrElse(heldOutShingles(gated))
     val decon = train.join(
-      contaminationScores(gated, flagAt = flagAt)
+      contaminationScoresWith(gated, held, flagAt = flagAt)
         .filter(!col("flagged")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val toks = decon.select(col("source"), col("doc_id"),
@@ -373,7 +408,8 @@ object Corpus {
       .withColumn("bin", expr(s"(__cum - n_tokens) div $seqBudget"))
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
-    TailStages(red, gated, train, toks, kept, manifest)
+    TailStages(red, gated, train, toks, kept, manifest,
+      staged.getOrElse(TailModels(lmB, lmV, held)))
   }
 
   /** Per-stage survivor counts of the batch pipeline — the funnel a corpus
@@ -583,29 +619,37 @@ object Corpus {
     * decontamination presumes are rare).
     */
   def contaminationScores(docs: DataFrame, k: Int = 8,
-                          flagAt: Double = 0.2): DataFrame = {
-    val split = Sampling.trainValTestSplit(docs, col("doc_id"))
-    // token array staged before the shingle lambda (the TextOps.tokens()
-    // evaluation contract — captured, the split re-ran per shingle)
-    val withSh = split
-      .select(col("doc_id"), col("split"),
-        TextOps.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), col("split"),
-        array_distinct(Shingles.shingles(col("__toks"), k)).as("sh"))
+                          flagAt: Double = 0.2): DataFrame =
+    contaminationScoresWith(docs, heldOutShingles(docs, k), k, flagAt)
+
+  /** The held-out half of [[contaminationScores]]: the distinct `k`-token
+    * shingle set of the val/test split. Split out so a versioned store
+    * ([[CorpusStore]]'s model sidecars) can materialize it once per corpus
+    * snapshot and feed [[contaminationScoresWith]] on later refreshes.
+    */
+  def heldOutShingles(docs: DataFrame, k: Int = 8): DataFrame =
+    docShingleSets(docs, k).filter(col("split") =!= "train")
+      .select(explode(col("sh")).as("shingle")).distinct()
+
+  /** The scoring half of [[contaminationScores]] against a supplied
+    * held-out shingle set — byte-identical to the self-deriving form when
+    * `held` equals the internally-derived set (spec-asserted).
+    */
+  def contaminationScoresWith(docs: DataFrame, held: DataFrame, k: Int = 8,
+                              flagAt: Double = 0.2): DataFrame = {
     // explode_OUTER + the per-doc size carried through: shingle-less docs
     // keep a null-shingle row (they must appear in the output), n_shingles
     // rides along so no join-back onto the train docs is needed, and the
     // shingle pass runs exactly once per row subset (one train, one held)
-    val shingled = withSh.filter(col("split") === "train")
+    val shingled = docShingleSets(docs, k).filter(col("split") === "train")
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         explode_outer(col("sh")).as("shingle"))
-    val held = withSh.filter(col("split") =!= "train")
-      .select(explode(col("sh")).as("shingle")).distinct()
+    val heldHit = held.select(col("shingle")).distinct()
       .withColumn("__hit", lit(1L))
     // one shuffle join + one aggregate computes BOTH counts (vs the
     // semi-join + count + join-back form: same shuffled volume on the
     // heavy side, one fewer pass over the corpus text)
-    shingled.join(held, Seq("shingle"), "left")
+    shingled.join(heldHit, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(max(col("n_shingles")).as("n_shingles"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
@@ -615,4 +659,16 @@ object Corpus {
       .withColumn("flagged",
         col("contamination").isNotNull && col("contamination") >= flagAt)
   }
+
+  /** (doc_id, split, sh) per-document distinct shingle sets with the
+    * train/val/test stamp — the shared input of both contamination halves.
+    * Token array staged before the shingle lambda (the TextOps.tokens()
+    * evaluation contract — captured, the split re-ran per shingle).
+    */
+  private def docShingleSets(docs: DataFrame, k: Int): DataFrame =
+    Sampling.trainValTestSplit(docs, col("doc_id"))
+      .select(col("doc_id"), col("split"),
+        TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("split"),
+        array_distinct(Shingles.shingles(col("__toks"), k)).as("sh"))
 }

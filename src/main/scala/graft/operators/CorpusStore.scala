@@ -2,8 +2,9 @@ package graft.operators
 
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 /** The continuously-built training corpus as ONE disk-backed store — the
@@ -11,61 +12,86 @@ import org.apache.spark.storage.StorageLevel
   * of [[Orchestrator]]'s market-data loop:
   *
   *   per arriving batch ([[tick]]): quality gate → within-batch exact dedup
-  *   (first arrival wins) → exact-vs-store dedup (md5 anti-join, column-
-  *   pruned) → greedy near-dup-vs-store ingest ([[Dedup.ingestTick]], the
-  *   [[SignatureStore.ingestBatch]] kernel) → ONE atomic append of the
-  *   keepers' full rows; on demand ([[manifest]]): the packed per-shard
-  *   training manifest rebuilt from the accumulated keepers through the
-  *   SAME stage 2–7 tail as [[Corpus.corpusPipeline]].
+  *   (first arrival wins) → exact-vs-store dedup (md5 anti-join against the
+  *   kept md5s AND the dropped-doc tombstones, file-pruned) → near-dup-vs-
+  *   store dedup (band prune + exact-Jaccard verification, file-pruned) →
+  *   within-batch near-dup components → ONE atomic append of the keepers'
+  *   rows plus their dedup state; on demand ([[manifest]]): the packed
+  *   per-shard training manifest rebuilt from the accumulated keepers
+  *   through the SAME stage 2–7 tail as [[Corpus.corpusPipeline]].
   *
-  * One [[ManifestTable]] holds document columns AND dedup state per row
-  * (doc_id, lang, source, text, text_md5, tick, shingles, sig_0..15), so a
-  * tick is a SINGLE atomic snapshot commit — there is no window where the
-  * dedup state and the document set disagree (the two-store alternative
-  * loses documents on a crash between commits: replayed docs self-match
-  * their own orphaned signatures). Consumers column-prune: the dedup side
-  * of a tick reads only (doc_id, shingles, sig_*), the manifest rebuild
-  * only (doc_id, lang, source, text), the exact check only text_md5.
+  * PHYSICAL LAYOUT — the 100 TB design. One [[ManifestTable]] holds FOUR
+  * row kinds, each under its own partition prefix, all committed in ONE
+  * atomic snapshot (so dedup state and the document set can never
+  * disagree, and a crash between "two stores" cannot orphan either):
+  *
+  *   - `p_kind=doc/p_b=<md5 bucket>`   (doc_id, lang, source, text,
+  *     text_md5, tick) — the documents; bucketed by md5 so the exact check
+  *     plans only over buckets the batch's md5s hash to.
+  *   - `p_kind=tomb/p_b=<md5 bucket>`  (text_md5) — tombstones of docs the
+  *     near-dup stage DROPPED. Without them, an exact redelivery of a doc
+  *     dropped TRANSITIVELY (component chain O–X–C where only C was kept
+  *     and jaccard(O, C) < threshold) would pass the exact check, find no
+  *     direct store match, and be re-appended — the store would not be
+  *     byte-stable under marker-less replay. With them, every md5 the
+  *     store ever processed past the quality gate is either kept or
+  *     tombstoned, so exact redelivery always drops at the exact stage.
+  *   - `p_kind=band/p_b=<band bucket>` (doc_id, band_id, band_val) — the
+  *     LSH band postings, bucketed by (band_id, hash(band_val)) so a
+  *     tick's band prune plans only over the buckets the batch's band
+  *     values hash to — the [[IvfStore]] `p_cell` inverted-file pattern
+  *     applied to LSH.
+  *   - `p_kind=sh/p_b=<doc_id bucket>` (doc_id, shingles) — the exact
+  *     shingle sets for candidate verification, bucketed by doc_id so the
+  *     verification fetch plans only over the candidates' buckets instead
+  *     of joining a full corpus-wide shingle scan.
+  *
+  * Scale shape: per-tick INPUT is O(touched buckets), not O(store) — the
+  * store is never rewritten (appends only), never reshuffled (batch sides
+  * broadcast into semi-joins evaluated inside the pruned scans), and the
+  * text-scale columns (text, shingles) are only read from partitions the
+  * batch actually touches (spec-asserted: every tick scan's file list ⊆
+  * the batch-touched partitions). Per-doc tick cost is O(store/buckets)
+  * bytes instead of O(store); raise the bucket constants for production
+  * stores (they are baked into the directory layout — changing them is a
+  * [[compact]]-with-rebucket, not a config flip). The skew cap stays
+  * EXACT under pruning: the band semi-join keys on the full
+  * (band_id, band_val), so it keeps or drops whole buckets and counting
+  * the surviving rows equals counting the original corpus bucket.
   *
   * Convergence contract (spec-asserted): driving the doc_id % nWaves wave
   * slices through [[tick]] in arrival order yields a store — and a
   * [[manifest]] — identical to [[Corpus.corpusPipelineIncremental]] run
   * over the whole corpus at once. The exact stage differs mechanically
   * (the incremental build pre-dedups exact copies across ALL waves before
-  * its fold; a tick can only see the store's KEPT md5s), but the outcomes
-  * agree: a later exact copy of a kept doc drops at the md5 check, and a
-  * later exact copy of a near-dup-DROPPED doc carries identical shingles,
-  * so the same store match that disqualified the original disqualifies it
-  * (shingle-less docs never drop at the near-dup stage, so their exact
-  * copies are always caught by the md5 check).
+  * its fold; a tick sees the store's kept md5s plus tombstones), but the
+  * outcomes agree: a later exact copy of a kept doc drops at the md5
+  * check, and a later exact copy of a DROPPED doc drops at the tombstone
+  * check — including transitive within-batch drops, which a direct-match
+  * check alone would miss.
   *
   * Replay safety (at-least-once delivery): a named tick that already rode
   * a committed snapshot is skipped by the `_ticks/` marker fast path; an
-  * unnamed (or marker-lost) replay re-runs and drops every document at the
-  * exact/near-dup checks — zero keepers commit nothing, so the store is
-  * byte-stable under re-delivery either way (the
-  * [[streaming.StreamingDedup]] contract, extended to the full row).
+  * unnamed (or marker-lost/pruned) replay re-runs and drops every
+  * document at the exact (kept + tombstoned md5s) stage — zero keepers
+  * and zero new tombstones commit nothing, so the store is byte-stable
+  * under re-delivery either way (the [[streaming.StreamingDedup]]
+  * contract, extended to the full row and to transitively-dropped docs).
   *
-  * Scale shape: per-tick work is O(batch + touched band buckets) — the
-  * store is never rewritten (appends only), never reshuffled (the near-dup
-  * corpus side is the broadcast-semi-join prune of
-  * [[Dedup.incrementalNearDupsFromSigs]]; the exact check broadcasts the
-  * batch's md5 set over the store's column-pruned text_md5 scan and
-  * anti-joins the batch against the batch-bounded touched set — no store
-  * exchange on either path). The manifest rebuild is one pipeline-tail
-  * pass over the accumulated SURVIVORS (never the raw corpus): the
-  * scrub/gate/decontamination stages are corpus-dependent — the LM trains
-  * on a slice of the current corpus, the held-out set grows with it — so
-  * freezing their per-tick results would silently diverge from the
-  * all-at-once build this store is contractually convergent with; only
-  * the budget/order/pack stages are metadata-scale. The rebuild runs per
-  * loader refresh, amortized across however many ticks land in between.
+  * The manifest rebuild is one pipeline-tail pass over the accumulated
+  * SURVIVORS (never the raw corpus): the scrub/gate/decontamination
+  * stages are corpus-dependent — the LM trains on a slice of the current
+  * corpus, the held-out set grows with it — so freezing their per-tick
+  * results would silently diverge from the all-at-once build this store
+  * is contractually convergent with; only the budget/order/pack stages
+  * are metadata-scale. The rebuild runs per loader refresh, amortized
+  * across however many ticks land in between.
   *
-  * Housekeeping: per-tick appends fragment the store into batch-sized
-  * files; [[Layout.compactTable]] over the root rewrites the snapshot to
-  * target-size files atomically (rows, dedup state, and tick markers all
-  * unchanged — spec-asserted), the same maintenance cadence any
-  * streaming-ingest table runs.
+  * Housekeeping: per-tick appends fragment each bucket into batch-sized
+  * files; [[compact]] rewrites the snapshot kind-by-kind to target-size
+  * files in ONE atomic commit (rows, dedup state, and tick markers all
+  * unchanged — spec-asserted). [[Layout.compactTable]] cannot be applied
+  * to this root directly: the kinds carry different schemas.
   */
 object CorpusStore {
 
@@ -76,8 +102,69 @@ object CorpusStore {
   case class TickReport(version: Long, nRaw: Long, nQuality: Long,
                         nExactNew: Long, nKept: Long, replaySkipped: Boolean)
 
-  private def sigCols: Seq[String] =
-    (0 until Dedup.NumHashes).map(j => s"sig_$j")
+  // ---- physical layout: bucket partitions for file-pruned tick scans ----
+
+  /** Buckets for the md5-keyed kinds (doc, tomb). Layout constants are
+    * baked into the store's directory names — raise for production stores
+    * at store-creation time (or via a [[compact]] rebuild), not per query.
+    */
+  val Md5Buckets = 16
+  /** Band-value buckets PER band id (band kind has NumBands × this dirs). */
+  val BandValBuckets = 16
+  /** doc_id buckets for the shingle kind. */
+  val ShingleBuckets = 16
+
+  private[graft] def md5Bucket(c: Column): Column =
+    pmod(conv(substring(c, 1, 4), 16, 10).cast("int"), lit(Md5Buckets))
+  private[graft] def bandBucket(bandId: Column, bandVal: Column): Column =
+    bandId.cast("int") * BandValBuckets +
+      pmod(conv(substring(bandVal, 1, 4), 16, 10).cast("int"), lit(BandValBuckets))
+  private[graft] def shingleBucket(id: Column): Column =
+    pmod(id, lit(ShingleBuckets)).cast("int")
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("source", StringType), StructField("text", StringType),
+    StructField("text_md5", StringType), StructField("tick", StringType)))
+  private val shSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("shingles", ArrayType(StringType))))
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band_id", IntegerType),
+    StructField("band_val", StringType)))
+  private val tombSchema = StructType(Seq(StructField("text_md5", StringType)))
+
+  /** Live files of one kind (manifest-listed, no directory walk). */
+  private[graft] def kindFiles(spark: SparkSession, root: String,
+                               kind: String): Seq[String] =
+    ManifestTable.liveFiles(spark, root).filter(_.startsWith(s"p_kind=$kind/"))
+
+  /** [[kindFiles]] restricted to the given bucket partitions — THE file
+    * prune every tick scan goes through (spec-asserted ⊆ batch-touched
+    * partitions).
+    */
+  private[graft] def prunedKindFiles(spark: SparkSession, root: String,
+                                     kind: String,
+                                     buckets: Set[Int]): Seq[String] =
+    kindFiles(spark, root, kind)
+      .filter(f => buckets.exists(b => f.startsWith(s"p_kind=$kind/p_b=$b/")))
+
+  /** Scan an explicit kind file list; an empty list yields a correctly
+    * typed empty frame from the kind's static schema (the store owns its
+    * schemas, so no schema-donor file is needed — a tomb-only first
+    * commit, for instance, has no doc file to borrow from).
+    */
+  private def readKindFiles(spark: SparkSession, root: String,
+                            files: Seq[String], schema: StructType): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val dd = ManifestTable.dataDir(root)
+      spark.read.option("basePath", dd)
+        .parquet(files.map(f => s"$dd/$f"): _*)
+        .drop("p_kind", "p_b")
+    }
 
   // the marker layout, in one place: every reader/writer goes through these
   private def fsOf(spark: SparkSession, root: String) =
@@ -97,9 +184,14 @@ object CorpusStore {
                            id: String): Boolean =
     fsOf(spark, root).exists(markerPath(root, ns, id))
 
-  /** Latest store snapshot (full schema). */
-  def read(spark: SparkSession, root: String): DataFrame =
-    ManifestTable.read(spark, root)
+  /** The kept documents of the latest snapshot (doc kind: doc_id, lang,
+    * source, text, text_md5, tick).
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    require(ManifestTable.currentVersion(spark, root).nonEmpty,
+      s"no committed snapshot at $root")
+    readKindFiles(spark, root, kindFiles(spark, root, "doc"), docSchema)
+  }
 
   /** The kept documents of the latest snapshot — the frame [[manifest]]
     * and any downstream analysis consume (column-pruned scan).
@@ -118,33 +210,42 @@ object CorpusStore {
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
   }
 
-  /** Marker housekeeping: keep only the `keep` most recent CORPUS tick
-    * markers (`_ticks/`, by marker mtime). Markers grow one file per named
-    * tick forever otherwise; pruning the corpus namespace is safe because
-    * that marker is only the FAST replay path — a re-delivered tick whose
-    * marker was pruned falls back to the semantic replay (every document
-    * drops at the exact/near-dup checks, zero keepers commit nothing;
-    * spec-asserted byte-stable). Size `keep` to the delivery system's
-    * maximum redelivery lag, the same reasoning as snapshot retention.
+  /** Marker housekeeping: delete tick markers whose mtime is older than
+    * `olderThanMillis` (an AGE cutoff, not a count — count-based retention
+    * depends on tick rate and on mtime tie-ordering, so on coarse-mtime
+    * object stores a marker still inside the redelivery window could be
+    * pruned while an older one survived). Size the cutoff to the delivery
+    * system's maximum redelivery lag, the same reasoning as snapshot
+    * retention; the default (7 days) dwarfs any realistic redelivery
+    * horizon. Markers grow one file per named tick forever otherwise.
     *
-    * `_ticks_ivf/` markers are deliberately NOT pruned: the index side has
-    * no semantic-replay backstop (a re-delivered old tick would re-append
-    * its postings — `IvfStore`'s guard only covers the current version),
-    * so those markers are load-bearing for as long as a re-delivery is
-    * possible at all. Returns markers deleted.
+    * Pruning the corpus namespace (`_ticks/`) is safe because that marker
+    * is only the FAST replay path — a re-delivered tick whose marker was
+    * pruned falls back to the semantic replay: every document drops at
+    * the exact (store md5s + dropped-doc tombstones) / near-dup checks,
+    * zero keepers commit nothing (spec-asserted byte-stable). The
+    * `_ticks_ivf/` namespace is pruned on the same cutoff: a re-delivered
+    * platform tick whose marker is gone is caught by the postings
+    * presence check in [[tickWithIndex]] (its keeper vectors are already
+    * posted — the index-side semantic backstop), so the marker there is
+    * also only the fast path. Returns markers deleted.
     */
   def pruneTickMarkers(spark: SparkSession, root: String,
-                       keep: Int = 1000): Long = {
-    require(keep >= 0, s"keep must be >= 0, got $keep")
+                       olderThanMillis: Long = 7L * 24 * 3600 * 1000): Long = {
+    require(olderThanMillis >= 0,
+      s"olderThanMillis must be >= 0, got $olderThanMillis")
     val fs = fsOf(spark, root)
-    val dir = markerDir(root, "_ticks")
-    if (!fs.exists(dir)) 0L
-    else {
-      val expired = fs.listStatus(dir).sortBy(-_.getModificationTime)
-        .drop(keep)
-      expired.foreach(st => fs.delete(st.getPath, false))
-      expired.length.toLong
-    }
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    Seq("_ticks", "_ticks_ivf").map { ns =>
+      val dir = markerDir(root, ns)
+      if (!fs.exists(dir)) 0L
+      else {
+        val expired = fs.listStatus(dir)
+          .filter(_.getModificationTime <= cutoff)
+        expired.foreach(st => fs.delete(st.getPath, false))
+        expired.length.toLong
+      }
+    }.sum
   }
 
   /** Ingest one arriving batch of raw documents; returns the tick's
@@ -152,14 +253,73 @@ object CorpusStore {
     * enables the replay fast path; the marker is written AFTER the commit,
     * so a crash between commit and marker degrades to the (byte-stable)
     * semantic replay, never to loss or duplication.
+    *
+    * `retainSnapshots` is the per-tick vacuum's retention window — it
+    * bounds how far back [[manifestAt]] can reproduce a training manifest
+    * (only the retained versions stay readable). The default keeps the
+    * current and previous snapshot; a deployment that needs deeper
+    * training-reproducibility raises it (disk cost: the store is
+    * append-only, so old snapshots share all but the newest files).
     */
   def tick(rawBatch: DataFrame, root: String,
            tickId: Option[String] = None,
            minQuality: Double = 0.70,
            threshold: Double = 0.5,
-           cap: Int = Dedup.MaxBucketSize): TickReport =
+           cap: Int = Dedup.MaxBucketSize,
+           retainSnapshots: Int = ManifestTable.RetainSnapshots): TickReport =
     tickCollecting(rawBatch, root, tickId, minQuality, threshold, cap,
-      collectKeeperIds = false)._1
+      collectKeeperIds = false, retainSnapshots)._1
+
+  /** Near-dup-vs-store: banded candidates off the store's band postings
+    * (file-pruned to the buckets the batch's band values hash to), skew-
+    * capped on the TRUE corpus bucket sizes, verified against shingle
+    * rows fetched from the candidates' doc_id buckets only. Returns the
+    * distinct duplicated batch doc_ids, PERSISTED and materialized (the
+    * caller unpersists after its downstream consumption) — the
+    * intermediates release before returning, the long-running-loop cache
+    * discipline.
+    */
+  private def prunedStoreDupIds(batchSigs: DataFrame, root: String,
+                                threshold: Double, cap: Int): DataFrame = {
+    val spark = batchSigs.sparkSession
+    val rowsPerBand = Dedup.NumHashes / Dedup.NumBands
+    val batchBands = Dedup.explodedBands(batchSigs, rowsPerBand)
+    // persisted: feeds the bucket collect, the semi-join broadcast, and
+    // the candidate join — unpersisted, the 16-hash banding re-runs thrice
+    val batchKeys = batchBands.select(col("band_id"), col("band_val"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val buckets = batchKeys
+        .select(bandBucket(col("band_id"), col("band_val")).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val storeBands = readKindFiles(spark, root,
+        prunedKindFiles(spark, root, "band", buckets), bandSchema)
+      val touched = storeBands.join(broadcast(batchKeys),
+        Seq("band_id", "band_val"), "left_semi")
+      val capped = Dedup.capBuckets(touched, Seq("band_id", "band_val"), cap)
+      val candidates = batchBands.as("n")
+        .join(capped.as("c"), Seq("band_id", "band_val"))
+        .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val shBuckets = candidates
+          .select(shingleBucket(col("dup_of")).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val candShingles = readKindFiles(spark, root,
+          prunedKindFiles(spark, root, "sh", shBuckets), shSchema)
+          .join(broadcast(
+            candidates.select(col("dup_of").as("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi")
+        val dup = Dedup.verifyCandidates(candidates,
+          batchSigs.select(col("doc_id"), col("shingles")), candShingles,
+          threshold)
+          .select(col("new_id").as("doc_id")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        dup.count()
+        dup
+      } finally candidates.unpersist()
+    } finally batchKeys.unpersist()
+  }
 
   /** [[tick]] plus the tick's keeper doc_ids collected to the driver
     * (batch-bounded, the broadcast-id-guard sizing contract) —
@@ -171,7 +331,8 @@ object CorpusStore {
                              minQuality: Double,
                              threshold: Double,
                              cap: Int,
-                             collectKeeperIds: Boolean)
+                             collectKeeperIds: Boolean,
+                             retainSnapshots: Int = ManifestTable.RetainSnapshots)
       : (TickReport, Array[Long]) = {
     val spark = rawBatch.sparkSession
     tickId.foreach(id => require(id.matches("[A-Za-z0-9._-]+"),
@@ -194,27 +355,33 @@ object CorpusStore {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var exactP: DataFrame = null
     var batchSigs: DataFrame = null
+    var dupIds: DataFrame = null
+    var rem: DataFrame = null
     var keepSigs: DataFrame = null
     // try/finally: an at-least-once caller CATCHES and retries a failed
     // tick, so a mid-tick exception must not strand this attempt's caches
     // in executor storage (the IvfStore.build discipline)
     try {
       val nQuality = clean.count()
-      val wExact = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("text_md5")).orderBy(col("doc_id"))
-      val inBatch = clean
-        .withColumn("__rn", row_number().over(wExact))
-        .filter(col("__rn") === 1).drop("__rn")
-      val store = prev.map(_ => read(spark, root))
-      // exact-vs-store, in two broadcast steps so the store NEVER shuffles
-      // (a direct left_anti against the store would hash-exchange the whole
-      // corpus md5 column per tick): the batch's md5 set broadcasts into a
-      // map-side semi-join over the store's column-pruned text_md5 scan —
-      // the surviving "touched" set is batch-bounded — and the batch
-      // anti-joins that broadcast. The StreamingDedup id-guard shape.
-      val exact = store match {
-        case Some(s) =>
-          val touched = s.select(col("text_md5")).join(
+      // within-batch exact dedup, skew-immune (see Dedup.keepMinBy)
+      val inBatch = Dedup.keepMinBy(clean, col("text_md5"), col("doc_id"))
+      // exact-vs-store: the batch's md5 set broadcasts into a map-side
+      // semi-join over the store's kept md5s AND dropped-doc tombstones —
+      // both file-pruned to the buckets the batch's md5s hash to — and the
+      // batch anti-joins the (batch-bounded) touched set. The store side
+      // never shuffles and never reads untouched buckets.
+      val exact = prev match {
+        case Some(_) =>
+          val mdBuckets = inBatch
+            .select(md5Bucket(col("text_md5")).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val storeMd5 = readKindFiles(spark, root,
+            prunedKindFiles(spark, root, "doc", mdBuckets), docSchema)
+            .select(col("text_md5"))
+            .union(readKindFiles(spark, root,
+              prunedKindFiles(spark, root, "tomb", mdBuckets), tombSchema)
+              .select(col("text_md5")))
+          val touched = storeMd5.join(
             broadcast(inBatch.select(col("text_md5")).distinct()),
             Seq("text_md5"), "left_semi")
           inBatch.join(broadcast(touched), Seq("text_md5"), "left_anti")
@@ -224,30 +391,65 @@ object CorpusStore {
       val nExactNew = exactP.count()
       batchSigs = Dedup.shingleSignatures(exactP)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val storeSigs = store.map(
-        _.select((col("doc_id") +: col("shingles") +: sigCols.map(col)): _*))
-      // releaseIntermediate: a production loop runs one tick per batch —
-      // the fold's internal persist must not accumulate across ticks
-      keepSigs = Dedup.ingestTick(batchSigs, storeSigs, threshold, cap,
+      // near-dup-vs-store over the pruned band/shingle kinds, then
+      // within-batch components over the remainder (the ingestTick
+      // bootstrap path — identical composition to the unpruned fold)
+      rem = prev match {
+        case Some(_) =>
+          dupIds = prunedStoreDupIds(batchSigs, root, threshold, cap)
+          batchSigs.join(dupIds, Seq("doc_id"), "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        case None => batchSigs
+      }
+      keepSigs = Dedup.ingestTick(rem, None, threshold, cap,
         releaseIntermediate = true)
-      // keepers' FULL rows: docs + their dedup state, one batch-scale join
-      // (keepSigs is the keepers' full signature rows — doc_id, shingles,
-      // sig_0..15 — per the ingestTick contract)
-      val keepRows = exactP.join(keepSigs, Seq("doc_id"))
-        .withColumn("tick", lit(tickId.getOrElse("untracked")))
-      // zero keepers commit NOTHING: replay without a marker must leave the
-      // version untouched, not mint empty snapshots (an empty DataFrame
-      // write still produces an empty part file, so gate on the count, not
-      // on the published file list)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // zero keepers AND zero tombstones commit NOTHING: replay without a
+      // marker must leave the version untouched, not mint empty snapshots
       val nKept = keepSigs.count()
+      val nTomb = nExactNew - nKept
       val version =
-        if (nKept == 0L) prev.getOrElse(0L)
+        if (nKept == 0L && nTomb == 0L) prev.getOrElse(0L)
         else {
+          val stamp = tickId.getOrElse("untracked")
           val staging = s"$root/_staging/${UUID.randomUUID()}"
-          keepRows.write.mode(SaveMode.Overwrite).parquet(staging)
-          val added = ManifestTable.publishFiles(spark, root, staging)
+          // keepers' doc rows + their dedup state (shingles for
+          // verification, band postings for the prune) + the dropped
+          // docs' tombstones — four bucketed writes, ONE commit. Each
+          // write repartitions on the bucket column first (batch-bounded
+          // shuffle) so a tick appends at most ONE file per touched
+          // bucket, not one per (task × bucket) — per-tick fragmentation
+          // stays O(touched buckets)
+          exactP.join(keepSigs.select(col("doc_id")), Seq("doc_id"))
+            .withColumn("tick", lit(stamp))
+            .withColumn("p_kind", lit("doc"))
+            .withColumn("p_b", md5Bucket(col("text_md5")))
+            .repartition(col("p_b"))
+            .write.partitionBy("p_kind", "p_b")
+            .mode(SaveMode.Overwrite).parquet(s"$staging/doc")
+          keepSigs.select(col("doc_id"), col("shingles"))
+            .withColumn("p_kind", lit("sh"))
+            .withColumn("p_b", shingleBucket(col("doc_id")))
+            .repartition(col("p_b"))
+            .write.partitionBy("p_kind", "p_b")
+            .mode(SaveMode.Overwrite).parquet(s"$staging/sh")
+          Dedup.explodedBands(keepSigs, Dedup.NumHashes / Dedup.NumBands)
+            .withColumn("p_kind", lit("band"))
+            .withColumn("p_b", bandBucket(col("band_id"), col("band_val")))
+            .repartition(col("p_b"))
+            .write.partitionBy("p_kind", "p_b")
+            .mode(SaveMode.Overwrite).parquet(s"$staging/band")
+          exactP.join(keepSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .select(col("text_md5"))
+            .withColumn("p_kind", lit("tomb"))
+            .withColumn("p_b", md5Bucket(col("text_md5")))
+            .repartition(col("p_b"))
+            .write.partitionBy("p_kind", "p_b")
+            .mode(SaveMode.Overwrite).parquet(s"$staging/tomb")
+          val added = Seq("doc", "sh", "band", "tomb")
+            .flatMap(k => ManifestTable.publishFiles(spark, root, s"$staging/$k"))
           val v = ManifestTable.commitReplace(spark, root, Seq.empty, added)
-          ManifestTable.vacuum(spark, root)
+          ManifestTable.vacuum(spark, root, retainSnapshots)
           v
         }
       val keeperIds =
@@ -261,7 +463,9 @@ object CorpusStore {
       clean.unpersist()
       if (exactP != null) exactP.unpersist()
       if (batchSigs != null) batchSigs.unpersist()
-      // no-op on the bootstrap path (nothing cached)
+      if (dupIds != null) dupIds.unpersist()
+      // no-op on the bootstrap path (rem aliases batchSigs there)
+      if (rem != null && (rem ne batchSigs)) rem.unpersist()
       if (keepSigs != null) keepSigs.unpersist()
     }
   }
@@ -298,29 +502,70 @@ object CorpusStore {
     // after LATER ticks have committed would re-append an old batch. Later
     // ticks can only run once this one completed (marker included), so the
     // marker is always present exactly when the current-version guard no
-    // longer covers the tick. NOT pruned by [[pruneTickMarkers]] — the
-    // index side has no semantic-replay backstop.
+    // longer covers the tick. Prunable by [[pruneTickMarkers]] past the
+    // redelivery horizon: the presence check below is the index-side
+    // semantic backstop a marker-less replay falls back to.
     if (!markerExists(spark, root, "_ticks_ivf", tickId)) {
       import spark.implicits._
       // fresh path: the tick just collected its keeper ids (batch-bounded)
-      // — no store scan. Replay/retry path (corpus tick skipped or its
-      // keeper collection lost): re-derive from the committed store rows'
-      // tick column, the correctness fallback.
-      val keptIds =
-        if (keeperIds.nonEmpty) keeperIds.toSeq.toDF("vec_id")
-        else read(spark, root).filter(col("tick") === tickId)
-          .select(col("doc_id").as("vec_id"))
-      val keptVecs =
-        batchEmb.join(broadcast(keptIds), Seq("vec_id"), "left_semi")
-      if (!keptVecs.isEmpty) {
-        if (!IvfStore.isBuilt(spark, ivfRoot))
-          IvfStore.build(keptVecs, ivfRoot, tickId = Some(tickId))
-        else
-          IvfStore.ingestBatch(keptVecs, ivfRoot, refreshModel, Some(tickId))
+      // — no store scan, no presence check (fresh keepers are by
+      // construction unposted). Replay/retry path (corpus tick skipped or
+      // its keeper collection lost): re-derive the keeper ids from the
+      // committed store rows' tick column, then ask the postings whether
+      // this tick already landed — a tick's postings commit atomically, so
+      // ANY posted keeper proves the whole tick's postings did
+      // ([[IvfStore.anyPosted]], vec_id-stat-pruned).
+      val (keptIds, maybePosted) =
+        if (keeperIds.nonEmpty) (keeperIds, false)
+        else (read(spark, root).filter(col("tick") === tickId)
+          .select(col("doc_id")).as[Long].collect(), true)
+      if (!(maybePosted && IvfStore.anyPosted(spark, ivfRoot, keptIds))) {
+        val keptVecs = batchEmb.join(
+          broadcast(keptIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
+        if (!keptVecs.isEmpty) {
+          if (!IvfStore.isBuilt(spark, ivfRoot))
+            IvfStore.build(keptVecs, ivfRoot, tickId = Some(tickId))
+          else
+            IvfStore.ingestBatch(keptVecs, ivfRoot, refreshModel, Some(tickId))
+        }
       }
       writeMarker(spark, root, "_ticks_ivf", tickId)
     }
     r
+  }
+
+  /** Small-file compaction with a truly atomic cutover, kind-aware: each
+    * kind's live files rewrite into ~`targetBytes` files per bucket
+    * partition, and the whole store flips in ONE commit — readers see the
+    * old file set or the new one, never a mix. Rows, dedup state, and tick
+    * markers are all unchanged (spec-asserted). Returns (files_before,
+    * files_after).
+    */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = 128L << 20): (Long, Long) = {
+    val fs = fsOf(spark, root)
+    val dd = ManifestTable.dataDir(root)
+    val live = ManifestTable.liveFiles(spark, root)
+    val staging = s"$root/_staging/compact-${UUID.randomUUID()}"
+    val added = Seq("doc", "sh", "band", "tomb").flatMap { kind =>
+      val files = live.filter(_.startsWith(s"p_kind=$kind/"))
+      if (files.isEmpty) Seq.empty
+      else {
+        val bytes = files.map(f => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$dd/$f")).getLen).sum
+        val nOut = math.max(1, (bytes / targetBytes).toInt)
+        // keep p_kind/p_b (no drop): the rewrite re-partitions by them
+        spark.read.option("basePath", dd)
+          .parquet(files.map(f => s"$dd/$f"): _*)
+          .coalesce(nOut)
+          .write.partitionBy("p_kind", "p_b")
+          .mode(SaveMode.Overwrite).parquet(s"$staging/$kind")
+        ManifestTable.publishFiles(spark, root, s"$staging/$kind")
+      }
+    }
+    ManifestTable.commitReplace(spark, root, Seq(""), added)
+    ManifestTable.vacuum(spark, root)
+    (live.length.toLong, added.length.toLong)
   }
 
   /** The packed (shard, bin) training manifest over the accumulated
@@ -343,12 +588,70 @@ object CorpusStore {
     Corpus.pipelineTail(docs(spark, root), perplexityThreshold, flagAt,
       totalBudget, nShards, seqBudget, seed)
 
+  /** [[manifest]] with the tail's corpus-dependent models STAGED per store
+    * snapshot version (the [[CentroidStore]] versioned-sidecar pattern
+    * applied to the pipeline tail): the first refresh at version v trains
+    * the perplexity LM and derives the held-out decontamination shingle
+    * set, then persists them under `_models/v{v}/` (write, then one
+    * atomic `_DONE` marker — a crash mid-write just re-derives next
+    * refresh); subsequent refreshes at the SAME version load the sidecars
+    * instead of re-training. Byte-identical manifest either way
+    * (spec-asserted) — the models are deterministic functions of the
+    * snapshot, so staging changes cost, never content. Sidecars of
+    * vacuumed versions prune on the shared retention parser.
+    */
+  def manifestCached(spark: SparkSession, root: String,
+                     perplexityThreshold: Double = 3.5,
+                     flagAt: Double = 0.2,
+                     totalBudget: Long = 20000L,
+                     nShards: Int = 8,
+                     seqBudget: Long = 1024L,
+                     seed: String = "graft"): DataFrame = {
+    val v = ManifestTable.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val fs = fsOf(spark, root)
+    val base = new org.apache.hadoop.fs.Path(s"$root/_models")
+    val mdir = s"$root/_models/v$v"
+    val done = new org.apache.hadoop.fs.Path(s"$mdir/_DONE")
+    val staged =
+      if (fs.exists(done))
+        Some(Corpus.TailModels(
+          spark.read.parquet(s"$mdir/lm_bigrams"),
+          spark.read.parquet(s"$mdir/lm_vocab"),
+          spark.read.parquet(s"$mdir/held_shingles")))
+      else None
+    val (m, models) = Corpus.pipelineTailWithModels(docs(spark, root),
+      perplexityThreshold, flagAt, totalBudget, nShards, seqBudget, seed,
+      staged)
+    if (staged.isEmpty) {
+      // the model writes run the tail's shared DAG up to `gated`; its
+      // stage frames are persisted by the tail itself, so the manifest
+      // materialization that follows reuses them, not re-derives
+      models.lmBigrams.write.mode(SaveMode.Overwrite)
+        .parquet(s"$mdir/lm_bigrams")
+      models.lmVocab.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$mdir/lm_vocab")
+      models.heldShingles.write.mode(SaveMode.Overwrite)
+        .parquet(s"$mdir/held_shingles")
+      fs.create(done).close()
+      ManifestTable.pruneVersionDirs(fs, base,
+        ManifestTable.versions(spark, root).toSet)
+    }
+    m
+  }
+
   /** [[manifest]] over a PINNED store snapshot — the byte-reproducible
     * rebuild of the manifest a past loader refresh saw (the tail is a
     * deterministic function of the snapshot's rows, and a snapshot's files
     * are immutable while the retention window holds them). The training-
     * reproducibility read: "which exact (shard, bin) packing did version v
     * train on".
+    *
+    * RETENTION BOUND: only versions inside the per-tick vacuum's window
+    * stay readable — with [[tick]]'s default (`ManifestTable.RetainSnapshots`
+    * = 2) that is the current and previous version only; anything older
+    * fails the readAt require. Pass a larger `retainSnapshots` to [[tick]]
+    * when loaders need to reproduce deeper history.
     */
   def manifestAt(spark: SparkSession, root: String, version: Long,
                  perplexityThreshold: Double = 3.5,
@@ -356,9 +659,13 @@ object CorpusStore {
                  totalBudget: Long = 20000L,
                  nShards: Int = 8,
                  seqBudget: Long = 1024L,
-                 seed: String = "graft"): DataFrame =
+                 seed: String = "graft"): DataFrame = {
+    val files = ManifestTable.filesOf(spark, root, version)
+      .filter(_.startsWith("p_kind=doc/"))
+    require(files.nonEmpty, s"no doc files in snapshot v$version at $root")
     Corpus.pipelineTail(
-      ManifestTable.readAt(spark, root, version)
+      readKindFiles(spark, root, files, docSchema)
         .select(col("doc_id"), col("lang"), col("source"), col("text")),
       perplexityThreshold, flagAt, totalBudget, nShards, seqBudget, seed)
+  }
 }

@@ -44,6 +44,23 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Keep ONE full row per key — the row minimizing `ord` — as a groupBy +
+    * `min_by` over the row struct instead of a row_number window. Same
+    * output (`ord` must be unique per key for determinism), radically
+    * different skew profile: partial aggregation collapses each map
+    * partition to one candidate row per key BEFORE the shuffle, so a
+    * degenerate key (a boilerplate text with millions of exact copies)
+    * shuffles O(map partitions) rows instead of concentrating the whole
+    * group — full text payload included — in one window task. The exact-
+    * dedup stages of every corpus build go through this kernel.
+    */
+  private[graft] def keepMinBy(df: DataFrame, key: Column, ord: Column): DataFrame = {
+    val cols = df.columns
+    df.groupBy(key.as("__k"))
+      .agg(min_by(struct(cols.map(col): _*), ord).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   private def docShingles(docs: DataFrame): DataFrame =
     // token array staged BEFORE the shingle lambda (the TextOps.tokens()
     // evaluation contract): with the split captured in the lambda, slice
@@ -182,12 +199,14 @@ object Dedup {
   }
 
   /** (doc_id, band_id, band_val) exploded band buckets of a
-    * [[shingleSignatures]] frame — the input shape of [[bandPairs]] and of
-    * the asymmetric batch-vs-corpus join in [[incrementalNearDups]]. Null
-    * band values (signature-less docs) are dropped here so neither consumer
+    * [[shingleSignatures]] frame — the input shape of [[bandPairs]], of
+    * the asymmetric batch-vs-corpus join in [[incrementalNearDups]], and
+    * of the band rows [[CorpusStore]] materializes per tick (partitioned
+    * by band bucket, so later ticks file-prune their band scans). Null
+    * band values (signature-less docs) are dropped here so no consumer
     * co-buckets them.
     */
-  private def explodedBands(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+  private[graft] def explodedBands(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
     val numBands = NumHashes / rowsPerBand
     val bandCols = (0 until numBands).map(b =>
       struct(lit(b).as("band_id"), bandHash(b, rowsPerBand).as("band_hash")))
@@ -531,18 +550,33 @@ object Dedup {
       .join(capped.as("c"), Seq("band_id", "band_val"))
       .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
       .distinct()
-    val sn = batchSigs.select(col("doc_id").as("new_id"), col("shingles").as("sn"))
-    val sc = corpusSigs.select(col("doc_id").as("dup_of"), col("shingles").as("sc"))
+    verifyCandidates(candidates,
+      batchSigs.select(col("doc_id"), col("shingles")),
+      corpusSigs.select(col("doc_id"), col("shingles")), threshold)
+  }
+
+  /** Exact-Jaccard verification of asymmetric (new_id, dup_of) candidate
+    * pairs against two (doc_id, shingles) frames — the shared tail of
+    * [[incrementalVerified]] and of [[CorpusStore]]'s pruned tick (which
+    * supplies `corpusShingles` from a file-pruned store read instead of a
+    * full corpus frame). Same null-union guard and explicit spread as the
+    * self-join family.
+    */
+  private[operators] def verifyCandidates(candidates: DataFrame,
+                                          batchShingles: DataFrame,
+                                          corpusShingles: DataFrame,
+                                          threshold: Double): DataFrame = {
+    val sn = batchShingles.select(col("doc_id").as("new_id"), col("shingles").as("sn"))
+    val sc = corpusShingles.select(col("doc_id").as("dup_of"), col("shingles").as("sc"))
     val spread = candidates.repartition(
       candidates.sparkSession.sparkContext.defaultParallelism,
       col("new_id"), col("dup_of"))
-    val verified = spread.join(sn, "new_id").join(sc, "dup_of")
+    spread.join(sn, "new_id").join(sc, "dup_of")
       .withColumn("n_common", size(array_intersect(col("sn"), col("sc"))).cast("long"))
       .withColumn("n_union", size(array_union(col("sn"), col("sc"))).cast("long"))
       .withColumn("jaccard",
         when(col("n_union") > 0, col("n_common").cast("double") / col("n_union")))
       .filter(col("n_union") > 0 && col("jaccard") >= threshold)
-    verified
   }
 
   /** One tick of the dedup-ingest loop: drop batch docs that near-dup the

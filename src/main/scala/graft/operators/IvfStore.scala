@@ -186,6 +186,41 @@ object IvfStore {
     else Option(ref.select(col("tick_id")).collect().head.getString(0))
   }
 
+  /** Whether ANY of `ids` is already posted — the replay backstop for
+    * composed platform ticks ([[CorpusStore.tickWithIndex]]): a tick's
+    * postings land in ONE atomic commit, so presence of any of the tick's
+    * keeper vectors proves the whole tick's postings landed and the tick
+    * can be skipped without its `_ticks_ivf` marker (which thereby becomes
+    * prunable fast-path state, like the corpus markers). The scan plans
+    * only over files whose per-file vec_id min/max stats can hold a
+    * candidate id (the [[annIvfSelf]] pruning), so the check is
+    * O(candidate-range files), not O(postings).
+    */
+  def anyPosted(spark: SparkSession, root: String, ids: Array[Long]): Boolean = {
+    import spark.implicits._
+    if (ids.isEmpty) false
+    else ManifestTable.currentVersion(spark, postingsRoot(root)) match {
+      case None => false
+      case Some(pv) =>
+        val sorted = ids.sorted
+        val kept = ManifestTable.entriesOf(spark, postingsRoot(root), pv)
+          .filter(_.stats.get("vec_id").forall { case (mn, mx) =>
+            val i = java.util.Arrays.binarySearch(sorted, mn)
+            val at = if (i >= 0) i else -i - 1
+            at < sorted.length && sorted(at) <= mx
+          })
+        kept.nonEmpty && {
+          val dd = ManifestTable.dataDir(postingsRoot(root))
+          !spark.read.option("basePath", dd)
+            .parquet(kept.map(e => s"$dd/${e.path}"): _*)
+            .select(col("vec_id"))
+            .join(broadcast(sorted.toSeq.toDF("vec_id")), Seq("vec_id"),
+              "left_semi")
+            .isEmpty
+        }
+    }
+  }
+
   /** Driver-side mirror of the probe expression: the same left-to-right
     * IEEE fold as `graft_dot` and the same ascending (−cosine, cid) order
     * as the `array_sort(struct(nc, cid))` probe list — so the staged

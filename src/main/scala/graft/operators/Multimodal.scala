@@ -99,11 +99,60 @@ object Multimodal {
       featuresOf(decode(payload), dim)
   }
 
+  /** md5 hex of decoded content — the digest column the three codec
+    * queries carry: their driver check is rows-only (a codec round-trip
+    * has no SQL oracle), so without it a silently-broken decoder changes
+    * no recorded value; with it, the dumped result is deterministic
+    * run-to-run and any decode drift shows as a digest change.
+    */
+  private[graft] def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Decoded pixels as canonical (r, g, b) byte triplets in row-major
+    * order — the digest input, independent of the image's internal raster
+    * layout.
+    */
+  private[graft] def pixelBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new Array[Byte](img.getWidth * img.getHeight * 3)
+    var i = 0
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        out(i) = ((rgb >> 16) & 0xff).toByte
+        out(i + 1) = ((rgb >> 8) & 0xff).toByte
+        out(i + 2) = (rgb & 0xff).toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decoded samples as little-endian 16-bit bytes — the audio digest
+    * input.
+    */
+  private[graft] def sampleBytes(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      out(2 * i) = (samples(i) & 0xff).toByte
+      out(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Decoded-image row: REAL width/height read back from the binary payload
-    * plus the first/last luminance-histogram features.
+    * plus the first/last luminance-histogram features and the decoded-pixel
+    * digest.
     */
   case class DecodedMedia(media_id: Long, width: Int, height: Int,
-                          n_bytes: Long, f0: Float, f_last: Float)
+                          n_bytes: Long, f0: Float, f_last: Float,
+                          pix_md5: String)
 
   /** Deterministic REAL PNG payloads synthesized from the `documents`
     * metadata (this container ships no image files): pixel (x, y) of image
@@ -148,7 +197,7 @@ object Multimodal {
         val img = ImageDecoder.decode(r.payload)
         val f = ImageDecoder.featuresOf(img, 16)
         DecodedMedia(r.media_id, img.getWidth, img.getHeight,
-          r.payload.length.toLong, f(0), f(15))
+          r.payload.length.toLong, f(0), f(15), md5Hex(pixelBytes(img)))
       }
     }.toDF()
   }
@@ -197,10 +246,11 @@ object Multimodal {
   }
 
   /** Decoded-audio row: format metadata read back from the REAL WAV header
-    * plus amplitude summary features.
+    * plus amplitude summary features and the decoded-sample digest.
     */
   case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Long,
-                          n_bytes: Long, peak: Int, f0: Float, f_last: Float)
+                          n_bytes: Long, peak: Int, f0: Float, f_last: Float,
+                          pcm_md5: String)
 
   /** Deterministic REAL WAV payloads (this container ships no audio files):
     * sample i of row id is the 16-bit value ((id·31 + i·7) mod 256 − 128)·256,
@@ -250,7 +300,8 @@ object Multimodal {
           peak = math.max(peak, math.abs(samples(i).toInt)); i += 1
         }
         DecodedAudio(r.media_id, fmt.getSampleRate.toInt, samples.length.toLong,
-          r.payload.length.toLong, peak, f(0), f(15))
+          r.payload.length.toLong, peak, f(0), f(15),
+          md5Hex(sampleBytes(samples)))
       }
     }.toDF()
   }
@@ -300,10 +351,12 @@ object Multimodal {
   }
 
   /** Decoded-frame row: one sampled video frame, REAL dims read back from
-    * the frame bytes plus its luminance-histogram features.
+    * the frame bytes plus its luminance-histogram features and the
+    * decoded-pixel digest.
     */
   case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int,
-                          height: Int, n_bytes: Long, f0: Float, f_last: Float)
+                          height: Int, n_bytes: Long, f0: Float, f_last: Float,
+                          pix_md5: String)
 
   /** Fixed dims for synthesized video frames: the frame byte size must be a
     * pure function of the dims so [[sampleFrames]]' fixed-stride slicing
@@ -375,7 +428,8 @@ object Multimodal {
           val img = ImageDecoder.decode(fr.frame_payload)
           val f = ImageDecoder.featuresOf(img, 16)
           DecodedFrame(fr.media_id, fr.frame_idx, img.getWidth, img.getHeight,
-            fr.frame_payload.length.toLong, f(0), f(15))
+            fr.frame_payload.length.toLong, f(0), f(15),
+            md5Hex(pixelBytes(img)))
         }
       }.toDF()
   }

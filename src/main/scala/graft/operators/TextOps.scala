@@ -411,35 +411,47 @@ object TextOps {
     */
   def perplexityScores(docs: DataFrame, trainMod: Int = 10, trainLt: Int = 3,
                        threshold: Double = 3.5): DataFrame = {
-    // token array staged BEFORE the bigram lambda (the tokens() evaluation
-    // contract): element_at(w, i) with the split captured in the lambda
-    // re-tokenizes per bigram — quadratic per document
-    val t = col("__toks")
-    val bg = docs
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), col("lang"),
-      explode(when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val (cb, vocab) = perplexityModel(docs, trainMod, trainLt)
+    perplexityScoresWith(docs,
+      // persisted: cb feeds both the score join and the cu derivation, and
+      // Catalyst duplicates unpersisted common subtrees — without this the
+      // train slice is exploded and aggregated twice (same caller-clearCache
+      // lifecycle contract as the Dedup signature persists)
+      cb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      vocab, threshold)
+  }
+
+  /** The LM half of [[perplexityScores]]: (lang, w1, w2, cb) bigram counts
+    * and (lang, v) vocabulary sizes off the deterministic reference slice.
+    * Split out so a versioned store ([[CorpusStore]]'s model sidecars) can
+    * materialize the trained model once per corpus snapshot and feed
+    * [[perplexityScoresWith]] on later refreshes.
+    */
+  def perplexityModel(docs: DataFrame, trainMod: Int = 10,
+                      trainLt: Int = 3): (DataFrame, DataFrame) = {
     val isTrain = col("doc_id") % trainMod < trainLt
-    // persisted: cb feeds both the score join and the cu derivation, and
-    // Catalyst duplicates unpersisted common subtrees — without this the
-    // train slice is exploded and aggregated twice (same caller-clearCache
-    // lifecycle contract as the Dedup signature persists)
-    val cb = bg.filter(isTrain)
+    val cb = bigrams(docs.filter(isTrain))
       .groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // continuation totals and vocabulary derive from already-aggregated or
-    // train-slice-only frames — neither re-scans the full corpus
-    val cu = cb.groupBy(col("lang"), col("w1")).agg(sum(col("cb")).as("cu"))
-    // single-use generator input — evaluated once per row, no staging needed
+    // vocabulary derives from the train slice only — never the full corpus
     val vocab = docs.filter(isTrain)
       .select(col("lang"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("lang")).agg(count_distinct(col("tok")).as("v"))
-    bg.join(cb, Seq("lang", "w1", "w2"), "left")
+    (cb, vocab)
+  }
+
+  /** The scoring half of [[perplexityScores]] under a supplied model —
+    * byte-identical to the self-training form when the model frames equal
+    * the internally-trained ones (spec-asserted). Continuation totals
+    * derive from the (vocabulary-bounded) bigram counts, so the model side
+    * never re-scans any corpus.
+    */
+  def perplexityScoresWith(docs: DataFrame, cbModel: DataFrame,
+                           vocab: DataFrame,
+                           threshold: Double = 3.5): DataFrame = {
+    val bg = bigrams(docs)
+    val cu = cbModel.groupBy(col("lang"), col("w1")).agg(sum(col("cb")).as("cu"))
+    bg.join(cbModel, Seq("lang", "w1", "w2"), "left")
       .join(cu, Seq("lang", "w1"), "left")
       .join(broadcast(vocab), Seq("lang"))
       .withColumn("__q", floor(log(
@@ -453,6 +465,23 @@ object TextOps {
       .withColumn("keep", col("cross_entropy") <= threshold)
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         col("cross_entropy"), col("keep"))
+  }
+
+  /** (doc_id, lang, w1, w2) exploded bigrams. Token array staged BEFORE
+    * the bigram lambda (the tokens() evaluation contract): element_at(w, i)
+    * with the split captured in the lambda re-tokenizes per bigram —
+    * quadratic per document.
+    */
+  private def bigrams(docs: DataFrame): DataFrame = {
+    val t = col("__toks")
+    docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("lang"),
+      explode(when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
   }
 
   /** C4-style boilerplate REMOVAL (the transform [[chunkDedup]] is the

@@ -15,7 +15,7 @@ import graft.operators.{CorpusStore, Dedup}
 object StreamingCorpus {
 
   /** foreachBatch sink for a stream of `documents`-shaped rows. Use as
-    * `docs.writeStream.foreachBatch(foreachBatchIngest(root) _)`.
+    * `docs.writeStream.foreachBatch(foreachBatchIngest(root, "lineage1") _)`.
     *
     * Replay safety (foreachBatch is at-least-once): `tickPrefix` + the
     * Spark batch id is the tick id, so a re-delivered batch skips via the
@@ -27,20 +27,22 @@ object StreamingCorpus {
     * quality gate, or pure duplicates) is a recorded no-op, never a
     * stream failure.
     *
-    * CHECKPOINT-LINEAGE CONTRACT: batch ids are only unique within ONE
-    * streaming checkpoint. A query restarted against the same store root
-    * with a NEW (or deleted) checkpoint restarts batch numbering at 0,
-    * and the default prefix would collide with the old lineage's markers
-    * — silently replay-skipping genuinely new batches. Give each
-    * checkpoint lineage its own `tickPrefix` (e.g. derived from the
-    * query's runId or the checkpoint path) whenever the checkpoint is not
-    * the store's sole, permanent one.
+    * CHECKPOINT-LINEAGE CONTRACT — why `tickPrefix` is REQUIRED: batch
+    * ids are only unique within ONE streaming checkpoint. A query
+    * restarted against the same store root with a NEW (or deleted)
+    * checkpoint restarts batch numbering at 0, and a shared prefix would
+    * collide with the old lineage's markers — silently replay-skipping
+    * genuinely new batches (corpus data loss). Give each checkpoint
+    * lineage its own prefix (e.g. derived from the query's runId or the
+    * checkpoint path); there is deliberately no default because a default
+    * makes the collision the out-of-the-box behavior.
     */
-  def foreachBatchIngest(storeRoot: String, minQuality: Double = 0.70,
+  def foreachBatchIngest(storeRoot: String, tickPrefix: String,
+                         minQuality: Double = 0.70,
                          threshold: Double = 0.5,
-                         cap: Int = Dedup.MaxBucketSize,
-                         tickPrefix: String = "batch")
+                         cap: Int = Dedup.MaxBucketSize)
                         (batch: DataFrame, batchId: Long): Unit = {
+    require(tickPrefix.nonEmpty, "tickPrefix must be non-empty")
     if (!batch.isEmpty)
       CorpusStore.tick(batch, storeRoot,
         tickId = Some(s"$tickPrefix-$batchId"),
@@ -54,17 +56,18 @@ object StreamingCorpus {
     * corpus tick plus IVF index maintenance, all under one tick-marker
     * chain, so crash-replay re-lands exactly the commits that are missing
     * anywhere in the chain. The [[foreachBatchIngest]] checkpoint-lineage
-    * contract applies doubly here: the `_ticks_ivf/` markers have no
-    * semantic-replay backstop, so a colliding prefix from a new checkpoint
-    * lineage would silently skip indexing new batches.
+    * contract applies doubly here (`tickPrefix` required, no default): a
+    * colliding prefix from a new checkpoint lineage would silently skip
+    * both the corpus append and the indexing of genuinely new batches.
     */
   def foreachBatchIngestWithIndex(storeRoot: String, ivfRoot: String,
+                                  tickPrefix: String,
                                   refreshModel: Boolean = false,
                                   minQuality: Double = 0.70,
                                   threshold: Double = 0.5,
-                                  cap: Int = Dedup.MaxBucketSize,
-                                  tickPrefix: String = "batch")
+                                  cap: Int = Dedup.MaxBucketSize)
                                  (batch: DataFrame, batchId: Long): Unit = {
+    require(tickPrefix.nonEmpty, "tickPrefix must be non-empty")
     if (!batch.isEmpty) {
       import org.apache.spark.sql.functions.col
       CorpusStore.tickWithIndex(

@@ -81,6 +81,24 @@ class MultimodalSpec extends SparkSpec {
       r.media_id -> ((img.getWidth, img.getHeight))
     }.toMap
     assert(decoded == meta)
+    // digest pin: the pix_md5 the registered query emits must equal the
+    // digest of pixels derived DIRECTLY from the synthesis formula —
+    // codec-independent, so a silently-broken decoder (or a raster-layout
+    // change in pixelBytes) flips an observable value
+    rows.foreach { r =>
+      val (w, h) = meta(r.media_id)
+      val expected = new Array[Byte](w * h * 3)
+      var i = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = ((r.media_id * 31 + x * 7 + y * 13) % 256).toByte
+        expected(i) = g; expected(i + 1) = g; expected(i + 2) = g
+        i += 3
+      }
+      val img = Multimodal.ImageDecoder.decode(r.payload)
+      assert(Multimodal.md5Hex(Multimodal.pixelBytes(img))
+        == Multimodal.md5Hex(expected),
+        s"decoded-pixel digest drifted for media ${r.media_id}")
+    }
   }
 
   test("AudioDecoder round-trips a real WAV fixture: format, samples, histogram mass") {
@@ -124,6 +142,13 @@ class MultimodalSpec extends SparkSpec {
       // waveform matches the deterministic generator
       val expected0 = (((r.media_id * 31) % 256) - 128).toInt * 256
       assert(samples(0).toInt == expected0)
+      // digest pin: pcm_md5 == digest of the formula-derived samples,
+      // codec-independent (see the image test's rationale)
+      val expected = (0 until samples.length).map(i =>
+        ((((r.media_id * 31 + i * 7) % 256) - 128).toInt * 256).toShort).toArray
+      assert(Multimodal.md5Hex(Multimodal.sampleBytes(samples))
+        == Multimodal.md5Hex(Multimodal.sampleBytes(expected)),
+        s"decoded-sample digest drifted for media ${r.media_id}")
     }
   }
 
@@ -165,6 +190,23 @@ class MultimodalSpec extends SparkSpec {
     val n = (Multimodal.VideoFrameW * Multimodal.VideoFrameH).toFloat
     assert(feats.toSeq == expected.map(_ / n).toSeq)
     assert(math.abs(feats.sum - 1.0f) < 1e-6)
+    // digest pin: per-frame pix_md5 == digest of the formula-derived
+    // pixels, codec-independent (see the image test's rationale)
+    frames.foreach { f =>
+      val exp = new Array[Byte](
+        Multimodal.VideoFrameW * Multimodal.VideoFrameH * 3)
+      var i = 0
+      for (y <- 0 until Multimodal.VideoFrameH;
+           x <- 0 until Multimodal.VideoFrameW) {
+        val g = ((f.media_id * 31 + x * 7 + y * 13 + f.frame_idx * 17) % 256).toByte
+        exp(i) = g; exp(i + 1) = g; exp(i + 2) = g
+        i += 3
+      }
+      val dimg = Multimodal.ImageDecoder.decode(f.frame_payload)
+      assert(Multimodal.md5Hex(Multimodal.pixelBytes(dimg))
+        == Multimodal.md5Hex(exp),
+        s"frame digest drifted for (${f.media_id}, ${f.frame_idx})")
+    }
   }
 
   test("resizeMeta: scales longest side to maxSide, drops payload") {

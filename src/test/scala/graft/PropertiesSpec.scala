@@ -148,14 +148,33 @@ class PropertiesSpec extends SparkSpec {
     // docs; SCALE.md round 8). Source-level guard: the builder must always
     // receive a staged column reference.
     import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files
-      .walk(java.nio.file.Paths.get("src/main/scala/graft"))
+    // resolve the source root by walking UP from the working directory
+    // until src/main/scala/graft appears — robust to the test JVM being
+    // launched from a subdirectory (plain cwd-relative resolution errors)
+    val srcRoot = Iterator.iterate(
+        java.nio.file.Paths.get("").toAbsolutePath)(p =>
+        Option(p.getParent).getOrElse(p))
+      .take(8)
+      .map(_.resolve("src/main/scala/graft"))
+      .find(java.nio.file.Files.isDirectory(_))
+      .getOrElse(fail("src/main/scala/graft not found above cwd"))
+    val files = java.nio.file.Files.walk(srcRoot)
       .iterator().asScala.filter(_.toString.endsWith(".scala")).toSeq
-    val banned = Seq("Shingles.shingles(TextOps.tokens(",
-      "Shingles.shingles(tokens(", "shingles(split(")
+    assert(files.nonEmpty, s"no Scala sources under $srcRoot")
+    // regex over whitespace-normalized source: any shingle/bigram builder
+    // whose first argument is an INLINE tokenizer call (tokens(/split()
+    // rather than a staged column reference, in any HOF spelling
+    // (shingles, transform, slice, element_at chains) and any alias
+    val banned = Seq(
+      // Shingles.shingles(tokens(...)) / shingles(TextOps.tokens(...)
+      "(?:Shingles\\s*\\.\\s*)?shingles\\s*\\(\\s*(?:TextOps\\s*\\.\\s*)?(?:tokens|split)\\s*\\(",
+      // transform/slice/element_at with an inline tokenizer as the array
+      "(?:transform|slice|element_at|zip_with)\\s*\\(\\s*(?:TextOps\\s*\\.\\s*)?(?:tokens|split)\\s*\\(").map(_.r)
     val offenders = files.flatMap { p =>
       val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      banned.filter(text.contains).map(b => s"$p contains `$b`")
+        .replaceAll("\\s+", " ")
+      banned.filter(_.findFirstIn(text).nonEmpty)
+        .map(b => s"$p matches `${b.pattern}`")
     }
     assert(offenders.isEmpty,
       s"tokenizer captured inside a HOF lambda:\n${offenders.mkString("\n")}")

@@ -24,7 +24,7 @@ class StreamingCorpusSpec extends SparkSpec {
 
     val mem = MemoryStream[(Long, String, String, String)]
     val q = mem.toDF().toDF(docCols: _*)
-      .writeStream.foreachBatch(StreamingCorpus.foreachBatchIngest(root) _)
+      .writeStream.foreachBatch(StreamingCorpus.foreachBatchIngest(root, "lineage1") _)
       .start()
     try {
       // batch 0: junk below the quality gate — a recorded no-op, not a
@@ -33,7 +33,7 @@ class StreamingCorpusSpec extends SparkSpec {
       q.processAllAvailable()
       assert(ManifestTable.currentVersion(spark, root).isEmpty,
         "junk batch minted a snapshot")
-      assert(CorpusStore.committedTicks(spark, root) == Seq("batch-0"),
+      assert(CorpusStore.committedTicks(spark, root) == Seq("lineage1-0"),
         "junk batch left no tick marker")
 
       // batch 1: a good doc and its exact copy — first arrival wins
@@ -53,7 +53,7 @@ class StreamingCorpusSpec extends SparkSpec {
 
     // at-least-once replay of batch 1: the tick marker skips it outright
     val vBefore = ManifestTable.currentVersion(spark, root)
-    StreamingCorpus.foreachBatchIngest(root)(
+    StreamingCorpus.foreachBatchIngest(root, "lineage1")(
       Seq(doc(10L, goodText("alpha")), doc(11L, goodText("alpha")))
         .toDF(docCols: _*), 1L)
     assert(ManifestTable.currentVersion(spark, root) == vBefore,
@@ -71,7 +71,7 @@ class StreamingCorpusSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String, String, String, Seq[Float])]
     val q = mem.toDF().toDF(cols: _*)
       .writeStream
-      .foreachBatch(StreamingCorpus.foreachBatchIngestWithIndex(root, ivf) _)
+      .foreachBatch(StreamingCorpus.foreachBatchIngestWithIndex(root, ivf, "lineage1") _)
       .start()
     try {
       mem.addData(
