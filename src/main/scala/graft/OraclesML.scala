@@ -1089,6 +1089,97 @@ object OraclesML {
       |  CAST((coalesce(a.a15, 0) % 1000) - 500 AS REAL) / CAST(500 AS REAL) AS f_last
       |FROM documents d LEFT JOIN acc a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** Mirrors Multimodal.mediaDecodeQuery ANALYTICALLY: the synthesized PNG
+    * of image id has pixel gray g(x, y) = (id·31 + x·7 + y·13) mod 256 at
+    * dims (n_chars%64+32, n_chars%48+24), and PNG is lossless, so the
+    * decoded raster — and therefore every output column, including the
+    * decoded-pixel digest — is a pure function of the documents metadata.
+    * The digest input is the hex encoding of the (r, g, b) byte triplets
+    * in row-major order (`string_agg … ORDER BY y, x`), matching
+    * `Multimodal.contentDigest(pixelBytes(img))`. Luminance bucket of an
+    * (g, g, g) pixel is g/16 integer-division (bucket ≤ 15 needs no
+    * clamp); REAL/REAL division keeps DuckDB in float32, bit-identical to
+    * the JVM's Float division (the mediaFeaturesSql precedent).
+    */
+  val mediaDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, n_chars % 64 + 32 AS w, n_chars % 48 + 24 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id, w, h, y.y AS y, x.x AS x,
+      |         (media_id * 31 + x.x * 7 + y.y * 13) % 256 AS g
+      |  FROM m, LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y,
+      |          LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x)
+      |SELECT media_id,
+      |  CAST(MAX(w) AS INTEGER) AS width, CAST(MAX(h) AS INTEGER) AS height,
+      |  CAST(MAX(w) * MAX(h) * 3 AS BIGINT) AS n_bytes,
+      |  CAST(SUM(CASE WHEN g // 16 = 0 THEN 1 ELSE 0 END) AS REAL)
+      |    / CAST(COUNT(*) AS REAL) AS f0,
+      |  CAST(SUM(CASE WHEN g // 16 = 15 THEN 1 ELSE 0 END) AS REAL)
+      |    / CAST(COUNT(*) AS REAL) AS f_last,
+      |  md5(string_agg(printf('%02x%02x%02x', g, g, g), '' ORDER BY y, x)) AS pix_md5
+      |FROM px GROUP BY media_id""".stripMargin
+
+  /** Mirrors Multimodal.audioDecodeQuery ANALYTICALLY: the synthesized WAV
+    * of row id holds n = (n_chars%64+32)·16 samples with sample i =
+    * ((id·31 + i·7) mod 256 − 128)·256, PCM is lossless, and the decoded
+    * header always reads back 16 kHz. Little-endian 16-bit bytes of
+    * v·256 are (0x00, v mod 256 two's-complement), so the digest input is
+    * '00' + hex(v & 0xff) per sample in order. Amplitude bucket is
+    * amp·16/32768 integer-division (≤ 15 since amp ≤ 32767 — the Scala
+    * side clamps amp at 32767 first, which only the v = −128 sample hits).
+    */
+  val audioDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, (n_chars % 64 + 32) * 16 AS n FROM documents),
+      |smp AS (
+      |  SELECT media_id, i.i AS i,
+      |         (media_id * 31 + i.i * 7) % 256 - 128 AS v
+      |  FROM m, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i),
+      |s2 AS (
+      |  SELECT media_id, i, LEAST(32767, ABS(v * 256)) AS amp,
+      |         ABS(v * 256) AS rawamp, (v + 256) % 256 AS b
+      |  FROM smp)
+      |SELECT media_id,
+      |  CAST(16000 AS INTEGER) AS sample_rate,
+      |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |  CAST(COUNT(*) * 2 AS BIGINT) AS n_bytes,
+      |  CAST(MAX(rawamp) AS INTEGER) AS peak,
+      |  CAST(SUM(CASE WHEN amp * 16 // 32768 = 0 THEN 1 ELSE 0 END) AS REAL)
+      |    / CAST(COUNT(*) AS REAL) AS f0,
+      |  CAST(SUM(CASE WHEN amp * 16 // 32768 = 15 THEN 1 ELSE 0 END) AS REAL)
+      |    / CAST(COUNT(*) AS REAL) AS f_last,
+      |  md5(string_agg(printf('00%02x', b), '' ORDER BY i)) AS pcm_md5
+      |FROM s2 GROUP BY media_id""".stripMargin
+
+  /** Mirrors Multimodal.videoFramesQuery ANALYTICALLY: each video is 8
+    * concatenated 32×24 BMP frames, the stride-4 sampler keeps frame
+    * chunks 0 and 4, BMP is lossless, and frame f's pixel gray is
+    * (id·31 + x·7 + y·13 + f·17) mod 256 — so the sampled-and-decoded
+    * frames are a pure function of (media_id, frame_idx). Constants (dims
+    * 32×24, frames {0, 4}) mirror Multimodal.VideoFrameW/H and the
+    * query's stride, the same constant-mirroring every oracle here does.
+    */
+  val videoFramesSql: String =
+    """WITH m AS (SELECT doc_id AS media_id FROM documents),
+      |fr AS (
+      |  SELECT media_id, f.f AS frame_idx
+      |  FROM m, LATERAL (SELECT unnest([0, 4]) AS f) f),
+      |px AS (
+      |  SELECT media_id, frame_idx, y.y AS y, x.x AS x,
+      |    (media_id * 31 + x.x * 7 + y.y * 13 + frame_idx * 17) % 256 AS g
+      |  FROM fr, LATERAL (SELECT unnest(generate_series(0, 23)) AS y) y,
+      |           LATERAL (SELECT unnest(generate_series(0, 31)) AS x) x)
+      |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+      |  CAST(32 * 24 * 3 AS BIGINT) AS n_bytes,
+      |  CAST(SUM(CASE WHEN g // 16 = 0 THEN 1 ELSE 0 END) AS REAL)
+      |    / CAST(COUNT(*) AS REAL) AS f0,
+      |  CAST(SUM(CASE WHEN g // 16 = 15 THEN 1 ELSE 0 END) AS REAL)
+      |    / CAST(COUNT(*) AS REAL) AS f_last,
+      |  md5(string_agg(printf('%02x%02x%02x', g, g, g), '' ORDER BY y, x)) AS pix_md5
+      |FROM px GROUP BY media_id, frame_idx""".stripMargin
+
   /** Mirrors TextOps.repetitionStats: the naive unnest + per-(doc, ngram)
     * count form — the oracle states the semantics the map-side sorted-fold
     * computes. Docs too short for an n-gram fall out of the CTEs and are

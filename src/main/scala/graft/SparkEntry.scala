@@ -244,13 +244,14 @@ object SparkEntry {
     // byte arithmetic, mirrored in SQL)
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMetaQuery(s, dir)),
     "q_media_features" -> ((s, dir) => Multimodal.mediaFeatureQuery(s, dir)),
-    // REAL codec path (javax.imageio round-trip) — deliberately NO oracle:
-    // a PNG decode is not SQL-expressible, the driver records rows-only
+    // REAL codec path (javax.imageio PNG round-trip) — fully oracled: the
+    // synthesized pixels are analytic, PNG is lossless, so DuckDB rebuilds
+    // the decoded raster (and its digest) from the documents metadata
     "q_media_decode" -> ((s, dir) => Multimodal.mediaDecodeQuery(s, dir)),
-    // REAL audio codec path (javax.sound WAV round-trip) — rows-only too
+    // REAL audio codec path (javax.sound WAV round-trip) — fully oracled
     "q_audio_decode" -> ((s, dir) => Multimodal.audioDecodeQuery(s, dir)),
     // REAL video path: frame sampling over multi-frame BMP payloads, each
-    // sampled frame decoded through javax.imageio — rows-only too
+    // sampled frame decoded through javax.imageio — fully oracled
     "q_video_frames" -> ((s, dir) => Multimodal.videoFramesQuery(s, dir))
   )
 
@@ -360,6 +361,13 @@ object SparkEntry {
     "q_media_meta" -> OraclesML.mediaMetaSql,
     // the stub decode is deterministic byte arithmetic, so even the decode
     // seam carries a full oracle until a real codec replaces FakeDecoder
-    "q_media_features" -> OraclesML.mediaFeaturesSql
+    "q_media_features" -> OraclesML.mediaFeaturesSql,
+    // the REAL codec round-trips are oracled analytically: the synthesized
+    // payloads are pure functions of the row metadata and PNG/PCM/BMP are
+    // lossless, so the decoded rasters/samples — digests included — are
+    // reproduced in pure SQL (md5 over the hex-encoded decoded content)
+    "q_media_decode" -> OraclesML.mediaDecodeSql,
+    "q_audio_decode" -> OraclesML.audioDecodeSql,
+    "q_video_frames" -> OraclesML.videoFramesSql
   )
 }

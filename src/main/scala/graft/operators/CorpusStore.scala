@@ -104,23 +104,135 @@ object CorpusStore {
 
   // ---- physical layout: bucket partitions for file-pruned tick scans ----
 
-  /** Buckets for the md5-keyed kinds (doc, tomb). Layout constants are
-    * baked into the store's directory names — raise for production stores
-    * at store-creation time (or via a [[compact]] rebuild), not per query.
+  /** The bucket-EXPRESSION version this binary computes. Bumped only if
+    * the hash expressions below ever change shape; a store written under a
+    * different expression version fails loudly at open instead of silently
+    * pruning against wrong directories.
     */
-  val Md5Buckets = 16
-  /** Band-value buckets PER band id (band kind has NumBands × this dirs). */
-  val BandValBuckets = 16
-  /** doc_id buckets for the shingle kind. */
-  val ShingleBuckets = 16
+  val BucketExprVersion = 1
 
-  private[graft] def md5Bucket(c: Column): Column =
-    pmod(conv(substring(c, 1, 4), 16, 10).cast("int"), lit(Md5Buckets))
-  private[graft] def bandBucket(bandId: Column, bandVal: Column): Column =
-    bandId.cast("int") * BandValBuckets +
-      pmod(conv(substring(bandVal, 1, 4), 16, 10).cast("int"), lit(BandValBuckets))
-  private[graft] def shingleBucket(id: Column): Column =
-    pmod(id, lit(ShingleBuckets)).cast("int")
+  /** The store's physical bucket layout — PERSISTED PER SNAPSHOT in a
+    * `_layout/v{N}` sidecar, never a compile-time constant. Every tick and
+    * pruned read resolves the layout from the store itself, so a reader
+    * and the writer that laid the directories out can never disagree;
+    * changing the constants of a live store is [[compact]] with
+    * `rebucketTo` (an atomic rewrite that recomputes every `p_b`), and a
+    * caller that *asserts* a layout ([[tick]]'s `layoutIfNew`) on a store
+    * created under a different one gets an error, not a silent dedup miss.
+    *
+    * - `md5Buckets`: buckets for the md5-keyed kinds (doc, tomb).
+    * - `bandValBuckets`: band-value buckets PER band id (the band kind has
+    *   NumBands × this dirs).
+    * - `shingleBuckets`: doc_id buckets for the shingle kind.
+    *
+    * Raise the counts for production stores at creation (or via one
+    * rebucket compaction) — per-tick scanned bytes scale with
+    * store/buckets.
+    */
+  case class StoreLayout(md5Buckets: Int, bandValBuckets: Int,
+                         shingleBuckets: Int,
+                         exprVersion: Int = BucketExprVersion) {
+    require(md5Buckets > 0 && bandValBuckets > 0 && shingleBuckets > 0,
+      s"bucket counts must be positive: $this")
+    private[CorpusStore] def render: String =
+      s"""{"md5Buckets":$md5Buckets,"bandValBuckets":$bandValBuckets,""" +
+        s""""shingleBuckets":$shingleBuckets,"exprVersion":$exprVersion}"""
+  }
+
+  /** Layout a store is created with when the creator does not choose. */
+  val DefaultLayout: StoreLayout = StoreLayout(16, 16, 16)
+
+  private[graft] def md5Bucket(c: Column, l: StoreLayout): Column =
+    pmod(conv(substring(c, 1, 4), 16, 10).cast("int"), lit(l.md5Buckets))
+  private[graft] def bandBucket(bandId: Column, bandVal: Column,
+                                l: StoreLayout): Column =
+    bandId.cast("int") * l.bandValBuckets +
+      pmod(conv(substring(bandVal, 1, 4), 16, 10).cast("int"),
+        lit(l.bandValBuckets))
+  private[graft] def shingleBucket(id: Column, l: StoreLayout): Column =
+    pmod(id, lit(l.shingleBuckets)).cast("int")
+
+  // ---- layout sidecar: one tiny JSON file per committed snapshot -------
+
+  private def layoutDir(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_layout")
+  private def layoutPath(root: String, version: Long) =
+    new org.apache.hadoop.fs.Path(s"$root/_layout/v$version")
+
+  /** Write the layout sidecar for `version`. Runs BEFORE the manifest
+    * commit (a committed snapshot must always find its sidecar; an orphan
+    * from a crashed commit is simply overwritten by the next writer at the
+    * same version — single-writer, the manifest's own assumption).
+    */
+  private def writeLayoutFor(spark: SparkSession, root: String,
+                             version: Long, l: StoreLayout): Unit = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(layoutDir(root))
+    val out = fs.create(layoutPath(root, version), true)
+    try out.write(l.render.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def parseLayout(s: String, where: String): StoreLayout = {
+    def field(k: String): Int = {
+      val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
+      require(m.nonEmpty, s"layout sidecar $where is missing \"$k\": $s")
+      m.get.group(1).toInt
+    }
+    val l = StoreLayout(field("md5Buckets"), field("bandValBuckets"),
+      field("shingleBuckets"), field("exprVersion"))
+    if (l.exprVersion != BucketExprVersion)
+      throw new IllegalStateException(
+        s"store layout $where was written by bucket-expression version " +
+          s"${l.exprVersion}; this binary computes version $BucketExprVersion " +
+          "— reading it would file-prune against wrong directories. " +
+          "Migrate with a compact(rebucketTo = ...) run by a matching binary.")
+    l
+  }
+
+  /** Layout sidecar of snapshot `version`, if one was written. */
+  private[graft] def readLayoutAt(spark: SparkSession, root: String,
+                                  version: Long): Option[StoreLayout] = {
+    val fs = fsOf(spark, root)
+    val p = layoutPath(root, version)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(parseLayout(s, p.toString))
+    }
+  }
+
+  /** The layout governing the CURRENT snapshot — what every tick and
+    * pruned read resolves (never a compile-time constant). A store from
+    * before the sidecar existed was necessarily written under
+    * [[DefaultLayout]] (the constants were fixed then), so that is the
+    * documented legacy fallback; a sidecar with a foreign expression
+    * version throws (see [[BucketExprVersion]]).
+    */
+  def layoutOf(spark: SparkSession, root: String): StoreLayout =
+    ManifestTable.currentVersion(spark, root) match {
+      case None    => DefaultLayout
+      case Some(v) => readLayoutAt(spark, root, v).getOrElse(DefaultLayout)
+    }
+
+  /** The layout a tick must use: the persisted one when the store exists;
+    * the caller's choice (or the default) at creation. A caller asserting
+    * a layout against an existing store that disagrees is a configuration
+    * error — the one path that used to be a silent dedup miss.
+    */
+  private def resolveLayout(spark: SparkSession, root: String,
+                            ifNew: Option[StoreLayout]): StoreLayout =
+    ManifestTable.currentVersion(spark, root) match {
+      case Some(v) =>
+        val persisted = readLayoutAt(spark, root, v).getOrElse(DefaultLayout)
+        ifNew.foreach(l => require(l == persisted,
+          s"store at $root is laid out as $persisted but the tick asserted " +
+            s"$l; changing a live store's layout is compact(rebucketTo = ...)"))
+        persisted
+      case None => ifNew.getOrElse(DefaultLayout)
+    }
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
@@ -185,11 +297,20 @@ object CorpusStore {
     fsOf(spark, root).exists(markerPath(root, ns, id))
 
   /** The kept documents of the latest snapshot (doc kind: doc_id, lang,
-    * source, text, text_md5, tick).
+    * source, text, text_md5, tick). Guards the format boundary: a root
+    * whose live files carry no `p_kind=` prefix was written by something
+    * other than this store (e.g. a plain [[ManifestTable]]) — reading it
+    * as an empty doc frame would silently re-ingest everything on the
+    * next tick, so it throws instead.
     */
   def read(spark: SparkSession, root: String): DataFrame = {
     require(ManifestTable.currentVersion(spark, root).nonEmpty,
       s"no committed snapshot at $root")
+    val live = ManifestTable.liveFiles(spark, root)
+    require(live.isEmpty || live.exists(_.startsWith("p_kind=")),
+      s"live files at $root carry no p_kind= partitions — not a CorpusStore " +
+        "layout (or one from an incompatible format version); refusing to " +
+        "read it as an empty store")
     readKindFiles(spark, root, kindFiles(spark, root, "doc"), docSchema)
   }
 
@@ -235,7 +356,21 @@ object CorpusStore {
     require(olderThanMillis >= 0,
       s"olderThanMillis must be >= 0, got $olderThanMillis")
     val fs = fsOf(spark, root)
-    val cutoff = System.currentTimeMillis() - olderThanMillis
+    // "now" from the STORAGE SYSTEM's clock, not the driver's: marker
+    // mtimes are stamped by the filesystem, so an age cutoff computed from
+    // a skewed driver clock could prune a marker still inside the
+    // redelivery window. A freshly-written probe file's mtime is the
+    // filesystem's own notion of now — same clock as every marker.
+    val fsNow = {
+      val probe = markerPath(root, "_ticks",
+        s".clock-probe-${UUID.randomUUID()}")
+      fs.mkdirs(probe.getParent)
+      fs.create(probe, true).close()
+      val t = fs.getFileStatus(probe).getModificationTime
+      fs.delete(probe, false)
+      t
+    }
+    val cutoff = fsNow - olderThanMillis
     Seq("_ticks", "_ticks_ivf").map { ns =>
       val dir = markerDir(root, ns)
       if (!fs.exists(dir)) 0L
@@ -260,15 +395,20 @@ object CorpusStore {
     * current and previous snapshot; a deployment that needs deeper
     * training-reproducibility raises it (disk cost: the store is
     * append-only, so old snapshots share all but the newest files).
+    *
+    * `layoutIfNew` picks the bucket layout WHEN THIS TICK CREATES the
+    * store; on an existing store the persisted layout governs, and
+    * asserting a different one here throws (see [[StoreLayout]]).
     */
   def tick(rawBatch: DataFrame, root: String,
            tickId: Option[String] = None,
            minQuality: Double = 0.70,
            threshold: Double = 0.5,
            cap: Int = Dedup.MaxBucketSize,
-           retainSnapshots: Int = ManifestTable.RetainSnapshots): TickReport =
+           retainSnapshots: Int = ManifestTable.RetainSnapshots,
+           layoutIfNew: Option[StoreLayout] = None): TickReport =
     tickCollecting(rawBatch, root, tickId, minQuality, threshold, cap,
-      collectKeeperIds = false, retainSnapshots)._1
+      collectKeeperIds = false, retainSnapshots, layoutIfNew)._1
 
   /** Near-dup-vs-store: banded candidates off the store's band postings
     * (file-pruned to the buckets the batch's band values hash to), skew-
@@ -280,7 +420,8 @@ object CorpusStore {
     * discipline.
     */
   private def prunedStoreDupIds(batchSigs: DataFrame, root: String,
-                                threshold: Double, cap: Int): DataFrame = {
+                                threshold: Double, cap: Int,
+                                layout: StoreLayout): DataFrame = {
     val spark = batchSigs.sparkSession
     val rowsPerBand = Dedup.NumHashes / Dedup.NumBands
     val batchBands = Dedup.explodedBands(batchSigs, rowsPerBand)
@@ -290,7 +431,7 @@ object CorpusStore {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val buckets = batchKeys
-        .select(bandBucket(col("band_id"), col("band_val")).as("b"))
+        .select(bandBucket(col("band_id"), col("band_val"), layout).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
       val storeBands = readKindFiles(spark, root,
         prunedKindFiles(spark, root, "band", buckets), bandSchema)
@@ -303,7 +444,7 @@ object CorpusStore {
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val shBuckets = candidates
-          .select(shingleBucket(col("dup_of")).as("b"))
+          .select(shingleBucket(col("dup_of"), layout).as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val candShingles = readKindFiles(spark, root,
           prunedKindFiles(spark, root, "sh", shBuckets), shSchema)
@@ -332,7 +473,8 @@ object CorpusStore {
                              threshold: Double,
                              cap: Int,
                              collectKeeperIds: Boolean,
-                             retainSnapshots: Int = ManifestTable.RetainSnapshots)
+                             retainSnapshots: Int = ManifestTable.RetainSnapshots,
+                             layoutIfNew: Option[StoreLayout] = None)
       : (TickReport, Array[Long]) = {
     val spark = rawBatch.sparkSession
     tickId.foreach(id => require(id.matches("[A-Za-z0-9._-]+"),
@@ -343,6 +485,9 @@ object CorpusStore {
     if (tickId.exists(id => markerExists(spark, root, "_ticks", id)))
       return (TickReport(prev.getOrElse(0L), 0L, 0L, 0L, 0L,
         replaySkipped = true), Array.empty)
+    // the store's OWN layout (or the creation choice): every bucket
+    // expression below — prune side and write side — goes through it
+    val layout = resolveLayout(spark, root, layoutIfNew)
 
     val nRaw = rawBatch.count()
     // quality gate inside the scan stage, then within-batch exact dedup
@@ -373,7 +518,7 @@ object CorpusStore {
       val exact = prev match {
         case Some(_) =>
           val mdBuckets = inBatch
-            .select(md5Bucket(col("text_md5")).as("b"))
+            .select(md5Bucket(col("text_md5"), layout).as("b"))
             .distinct().collect().map(_.getInt(0)).toSet
           val storeMd5 = readKindFiles(spark, root,
             prunedKindFiles(spark, root, "doc", mdBuckets), docSchema)
@@ -396,7 +541,7 @@ object CorpusStore {
       // bootstrap path — identical composition to the unpruned fold)
       rem = prev match {
         case Some(_) =>
-          dupIds = prunedStoreDupIds(batchSigs, root, threshold, cap)
+          dupIds = prunedStoreDupIds(batchSigs, root, threshold, cap, layout)
           batchSigs.join(dupIds, Seq("doc_id"), "left_anti")
             .persist(StorageLevel.MEMORY_AND_DISK)
         case None => batchSigs
@@ -423,33 +568,39 @@ object CorpusStore {
           exactP.join(keepSigs.select(col("doc_id")), Seq("doc_id"))
             .withColumn("tick", lit(stamp))
             .withColumn("p_kind", lit("doc"))
-            .withColumn("p_b", md5Bucket(col("text_md5")))
+            .withColumn("p_b", md5Bucket(col("text_md5"), layout))
             .repartition(col("p_b"))
             .write.partitionBy("p_kind", "p_b")
             .mode(SaveMode.Overwrite).parquet(s"$staging/doc")
           keepSigs.select(col("doc_id"), col("shingles"))
             .withColumn("p_kind", lit("sh"))
-            .withColumn("p_b", shingleBucket(col("doc_id")))
+            .withColumn("p_b", shingleBucket(col("doc_id"), layout))
             .repartition(col("p_b"))
             .write.partitionBy("p_kind", "p_b")
             .mode(SaveMode.Overwrite).parquet(s"$staging/sh")
           Dedup.explodedBands(keepSigs, Dedup.NumHashes / Dedup.NumBands)
             .withColumn("p_kind", lit("band"))
-            .withColumn("p_b", bandBucket(col("band_id"), col("band_val")))
+            .withColumn("p_b", bandBucket(col("band_id"), col("band_val"), layout))
             .repartition(col("p_b"))
             .write.partitionBy("p_kind", "p_b")
             .mode(SaveMode.Overwrite).parquet(s"$staging/band")
           exactP.join(keepSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
             .select(col("text_md5"))
             .withColumn("p_kind", lit("tomb"))
-            .withColumn("p_b", md5Bucket(col("text_md5")))
+            .withColumn("p_b", md5Bucket(col("text_md5"), layout))
             .repartition(col("p_b"))
             .write.partitionBy("p_kind", "p_b")
             .mode(SaveMode.Overwrite).parquet(s"$staging/tomb")
           val added = Seq("doc", "sh", "band", "tomb")
             .flatMap(k => ManifestTable.publishFiles(spark, root, s"$staging/$k"))
+          // layout sidecar rides ahead of the commit: a committed snapshot
+          // always finds its layout; a crash right here leaves an orphan
+          // the next committer at this version overwrites
+          writeLayoutFor(spark, root, prev.getOrElse(0L) + 1, layout)
           val v = ManifestTable.commitReplace(spark, root, Seq.empty, added)
           ManifestTable.vacuum(spark, root, retainSnapshots)
+          ManifestTable.pruneVersionDirs(fsOf(spark, root), layoutDir(root),
+            ManifestTable.versions(spark, root).toSet)
           v
         }
       val keeperIds =
@@ -534,38 +685,123 @@ object CorpusStore {
     r
   }
 
-  /** Small-file compaction with a truly atomic cutover, kind-aware: each
-    * kind's live files rewrite into ~`targetBytes` files per bucket
-    * partition, and the whole store flips in ONE commit — readers see the
-    * old file set or the new one, never a mix. Rows, dedup state, and tick
-    * markers are all unchanged (spec-asserted). Returns (files_before,
-    * files_after).
+  /** INCREMENTAL small-file compaction with a truly atomic cutover, and
+    * the store's one supported layout migration.
+    *
+    * Default mode (`rebucketTo = None`): rewrite ONLY fragmented buckets —
+    * a `p_b` dir whose file count exceeds what its bytes justify
+    * (more than ceil(bytes / targetBytes) files). Cold buckets' files are
+    * carried into the new manifest UNTOUCHED, so one invocation costs
+    * O(fragmented buckets), not O(store) — the per-tick input bound
+    * applied to maintenance. Output files are sized PER BUCKET: rows
+    * repartition on (p_b, sub-split) with ceil(bucketBytes / targetBytes)
+    * sub-splits each, so a hot bucket emits several ~targetBytes files and
+    * a small one exactly one — never the one-global-`coalesce` shape whose
+    * tasks each emit a file into every bucket they hold.
+    *
+    * Rebucket mode (`rebucketTo = Some(layout)`): the whole store rewrites
+    * in one atomic commit with every `p_b` RECOMPUTED from the row's own
+    * key columns under the new layout, and the `_layout` sidecar flips
+    * with the same version — the supported way to raise the bucket
+    * constants of a live store (e.g. 16 → production 4096). Readers see
+    * the old layout+files or the new, never a mix.
+    *
+    * Rows, dedup state, and tick markers are unchanged in both modes
+    * (spec-asserted). Returns (files_before, files_after).
     */
   def compact(spark: SparkSession, root: String,
-              targetBytes: Long = 128L << 20): (Long, Long) = {
+              targetBytes: Long = 128L << 20,
+              rebucketTo: Option[StoreLayout] = None): (Long, Long) = {
     val fs = fsOf(spark, root)
     val dd = ManifestTable.dataDir(root)
+    val prev = ManifestTable.currentVersion(spark, root)
+    require(prev.nonEmpty, s"no committed snapshot at $root")
+    val cur = layoutOf(spark, root)
+    val target = rebucketTo.getOrElse(cur)
+    val rebucket = target != cur
     val live = ManifestTable.liveFiles(spark, root)
+
+    def bucketExpr(kind: String): Column = kind match {
+      case "doc" | "tomb" => md5Bucket(col("text_md5"), target)
+      case "band" => bandBucket(col("band_id"), col("band_val"), target)
+      case "sh"   => shingleBucket(col("doc_id"), target)
+    }
+    // sub-split hash key: any uniformly-distributed row key of the kind
+    def subKey(kind: String): Column = kind match {
+      case "doc" | "tomb" => col("text_md5")
+      case "band" => col("band_val")
+      case "sh"   => col("doc_id")
+    }
+    def targetBucketCount(kind: String): Int = kind match {
+      case "doc" | "tomb" => target.md5Buckets
+      case "band" => Dedup.NumBands * target.bandValBuckets
+      case "sh"   => target.shingleBuckets
+    }
+
     val staging = s"$root/_staging/compact-${UUID.randomUUID()}"
-    val added = Seq("doc", "sh", "band", "tomb").flatMap { kind =>
+    val results = Seq("doc", "sh", "band", "tomb").map { kind =>
       val files = live.filter(_.startsWith(s"p_kind=$kind/"))
-      if (files.isEmpty) Seq.empty
+      if (files.isEmpty) (Seq.empty[String], Seq.empty[String], 0)
       else {
-        val bytes = files.map(f => fs.getFileStatus(
-          new org.apache.hadoop.fs.Path(s"$dd/$f")).getLen).sum
-        val nOut = math.max(1, (bytes / targetBytes).toInt)
-        // keep p_kind/p_b (no drop): the rewrite re-partitions by them
-        spark.read.option("basePath", dd)
-          .parquet(files.map(f => s"$dd/$f"): _*)
-          .coalesce(nOut)
-          .write.partitionBy("p_kind", "p_b")
-          .mode(SaveMode.Overwrite).parquet(s"$staging/$kind")
-        ManifestTable.publishFiles(spark, root, s"$staging/$kind")
+        val sized = files.map(f => f -> fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$dd/$f")).getLen)
+        // bucket dir ("p_kind=doc/p_b=3") → its files with sizes
+        val byBucket = sized.groupBy(_._1.split('/').take(2).mkString("/"))
+        def justified(bytes: Long): Long =
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+        val rewrite =
+          if (rebucket) byBucket
+          else byBucket.filter { case (_, bf) =>
+            bf.length > justified(bf.map(_._2).sum)
+          }
+        if (rewrite.isEmpty) (Seq.empty[String], Seq.empty[String], 0)
+        else {
+          val inFiles = rewrite.values.flatten.map(_._1).toSeq
+          val df0 = spark.read.option("basePath", dd)
+            .parquet(inFiles.map(f => s"$dd/$f"): _*)
+          val (df, nSub: Column) =
+            if (rebucket) {
+              // per-target-bucket bytes are unknown until the hash runs;
+              // a uniform estimate sizes the sub-splits (hash buckets are
+              // uniform by construction)
+              val totalBytes = sized.map(_._2).sum
+              val per = totalBytes / math.max(1, targetBucketCount(kind))
+              (df0.withColumn("p_b", bucketExpr(kind)),
+                lit(justified(per)))
+            } else {
+              // exact per-bucket sizing from the live file sizes
+              val pairs = rewrite.toSeq.flatMap { case (dir, bf) =>
+                val b = dir.split("p_b=")(1).toInt
+                Seq(lit(b), lit(justified(bf.map(_._2).sum)))
+              }
+              (df0, element_at(map(pairs: _*), col("p_b")))
+            }
+          df.withColumn("__sub",
+              pmod(xxhash64(subKey(kind)), nSub.cast("bigint")))
+            .repartition(col("p_b"), col("__sub"))
+            .drop("__sub")
+            .write.partitionBy("p_kind", "p_b")
+            .mode(SaveMode.Overwrite).parquet(s"$staging/$kind")
+          (rewrite.keys.toSeq,
+            ManifestTable.publishFiles(spark, root, s"$staging/$kind"),
+            inFiles.length)
+        }
       }
     }
-    ManifestTable.commitReplace(spark, root, Seq(""), added)
+    val replacedDirs = results.flatMap(_._1)
+    val added = results.flatMap(_._2)
+    val nRewrittenIn = results.map(_._3).sum
+    if (replacedDirs.isEmpty && !rebucket)
+      return (live.length.toLong, live.length.toLong) // nothing fragmented
+    // layout sidecar flips with the SAME commit version (rides ahead of
+    // the atomic rename, like the tick's)
+    writeLayoutFor(spark, root, prev.get + 1, target)
+    ManifestTable.commitReplace(spark, root,
+      if (rebucket) Seq("") else replacedDirs, added)
     ManifestTable.vacuum(spark, root)
-    (live.length.toLong, added.length.toLong)
+    ManifestTable.pruneVersionDirs(fs, layoutDir(root),
+      ManifestTable.versions(spark, root).toSet)
+    (live.length.toLong, (live.length - nRewrittenIn + added.length).toLong)
   }
 
   /** The packed (shard, bin) training manifest over the accumulated

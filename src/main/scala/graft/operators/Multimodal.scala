@@ -100,14 +100,37 @@ object Multimodal {
   }
 
   /** md5 hex of decoded content — the digest column the three codec
-    * queries carry: their driver check is rows-only (a codec round-trip
-    * has no SQL oracle), so without it a silently-broken decoder changes
-    * no recorded value; with it, the dumped result is deterministic
-    * run-to-run and any decode drift shows as a digest change.
+    * queries carry. The digest input is the HEX ENCODING of the decoded
+    * bytes (not the raw bytes): the synthesized payloads make the decoded
+    * content an analytic function of the row metadata, so the DuckDB
+    * oracle reproduces the digest with `md5(string_agg(printf('%02x', …)))`
+    * — and DuckDB's `md5` accepts strings only, hence hex on both sides.
+    * Any decode drift (codec, raster layout, sample order) still changes
+    * the digest; the oracle turns that from a rows-only check into a full
+    * hash check.
     */
   private[graft] def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of `bytes` — the canonical digest input. */
+  private[graft] def hexStr(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = HexChars(b >> 4)
+      out(2 * i + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The content digest: md5 of the hex encoding of the decoded bytes. */
+  private[graft] def contentDigest(bytes: Array[Byte]): String =
+    md5Hex(hexStr(bytes).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
   /** Decoded pixels as canonical (r, g, b) byte triplets in row-major
     * order — the digest input, independent of the image's internal raster
@@ -148,7 +171,11 @@ object Multimodal {
 
   /** Decoded-image row: REAL width/height read back from the binary payload
     * plus the first/last luminance-histogram features and the decoded-pixel
-    * digest.
+    * digest. `n_bytes` is the DECODED content size (width·height·3 pixel
+    * bytes, the digest input) — the encoded payload length is an input
+    * property already covered (with a full oracle) by [[mediaMetaQuery]],
+    * and a zlib-compressed PNG length has no SQL oracle; the decoded size
+    * does.
     */
   case class DecodedMedia(media_id: Long, width: Int, height: Int,
                           n_bytes: Long, f0: Float, f_last: Float,
@@ -185,10 +212,12 @@ object Multimodal {
   }
 
   /** Driver query for the real-codec path: synthesize PNGs → decode with
-    * [[ImageDecoder]] → REAL width/height + histogram features. Not
-    * SQL-expressible (a PNG round-trip has no oracle), so the driver
-    * records the rows-only check; the `MultimodalSpec` fixture test pins
-    * the decode semantics instead.
+    * [[ImageDecoder]] → REAL width/height + histogram features + decoded-
+    * pixel digest. FULLY oracled: PNG is lossless and the synthesized
+    * pixels are an analytic function of the row metadata, so every output
+    * column — including `pix_md5` — is reproduced by a pure-SQL DuckDB
+    * oracle (`OraclesML.mediaDecodeSql`); a decoder that returned anything
+    * but the exact ground-truth raster fails the hash check.
     */
   def mediaDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -197,7 +226,8 @@ object Multimodal {
         val img = ImageDecoder.decode(r.payload)
         val f = ImageDecoder.featuresOf(img, 16)
         DecodedMedia(r.media_id, img.getWidth, img.getHeight,
-          r.payload.length.toLong, f(0), f(15), md5Hex(pixelBytes(img)))
+          img.getWidth.toLong * img.getHeight * 3, f(0), f(15),
+          contentDigest(pixelBytes(img)))
       }
     }.toDF()
   }
@@ -247,6 +277,8 @@ object Multimodal {
 
   /** Decoded-audio row: format metadata read back from the REAL WAV header
     * plus amplitude summary features and the decoded-sample digest.
+    * `n_bytes` is the DECODED PCM size (n_samples·2, the digest input) —
+    * see [[DecodedMedia]] for the rationale.
     */
   case class DecodedAudio(media_id: Long, sample_rate: Int, n_samples: Long,
                           n_bytes: Long, peak: Int, f0: Float, f_last: Float,
@@ -285,8 +317,9 @@ object Multimodal {
 
   /** Driver query for the real audio path: synthesize WAVs → decode with
     * [[AudioDecoder]] → format metadata read back from the header +
-    * amplitude features. Rows-only like [[mediaDecodeQuery]] (a RIFF
-    * round-trip has no SQL oracle); `MultimodalSpec` pins the semantics.
+    * amplitude features + decoded-sample digest. FULLY oracled like
+    * [[mediaDecodeQuery]]: PCM WAV is lossless and the samples are an
+    * analytic function of the row metadata (`OraclesML.audioDecodeSql`).
     */
   def audioDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -300,8 +333,8 @@ object Multimodal {
           peak = math.max(peak, math.abs(samples(i).toInt)); i += 1
         }
         DecodedAudio(r.media_id, fmt.getSampleRate.toInt, samples.length.toLong,
-          r.payload.length.toLong, peak, f(0), f(15),
-          md5Hex(sampleBytes(samples)))
+          samples.length.toLong * 2, peak, f(0), f(15),
+          contentDigest(sampleBytes(samples)))
       }
     }.toDF()
   }
@@ -352,7 +385,8 @@ object Multimodal {
 
   /** Decoded-frame row: one sampled video frame, REAL dims read back from
     * the frame bytes plus its luminance-histogram features and the
-    * decoded-pixel digest.
+    * decoded-pixel digest. `n_bytes` is the DECODED frame size
+    * (width·height·3) — see [[DecodedMedia]] for the rationale.
     */
   case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int,
                           height: Int, n_bytes: Long, f0: Float, f_last: Float,
@@ -416,8 +450,10 @@ object Multimodal {
     * synthesize multi-frame videos → [[sampleFrames]] slices every 4th
     * frame map-side → each sampled frame decodes through the REAL
     * [[ImageDecoder]] (BMP is a javax.imageio built-in) back to its dims +
-    * luminance features. Rows-only like the other codec round-trips;
-    * `MultimodalSpec` pins the semantics.
+    * luminance features + decoded-pixel digest. FULLY oracled like the
+    * other codec round-trips: BMP is lossless and the frame pixels are an
+    * analytic function of (media_id, frame_idx)
+    * (`OraclesML.videoFramesSql`).
     */
   def videoFramesQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -428,8 +464,8 @@ object Multimodal {
           val img = ImageDecoder.decode(fr.frame_payload)
           val f = ImageDecoder.featuresOf(img, 16)
           DecodedFrame(fr.media_id, fr.frame_idx, img.getWidth, img.getHeight,
-            fr.frame_payload.length.toLong, f(0), f(15),
-            md5Hex(pixelBytes(img)))
+            img.getWidth.toLong * img.getHeight * 3, f(0), f(15),
+            contentDigest(pixelBytes(img)))
         }
       }.toDF()
   }

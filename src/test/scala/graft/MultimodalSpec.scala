@@ -209,6 +209,15 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("contentDigest is md5 over the lowercase-hex encoding (the oracle contract)") {
+    // the DuckDB oracles rebuild this digest as md5(string_agg(printf('%02x'…)))
+    // — so the Scala side MUST hash the hex STRING, not the raw bytes
+    val bytes = Array[Byte](0, 1, 127, -128, -1)
+    assert(Multimodal.hexStr(bytes) == "00017f80ff")
+    assert(Multimodal.contentDigest(bytes)
+      == Multimodal.md5Hex("00017f80ff".getBytes("US-ASCII")))
+  }
+
   test("resizeMeta: scales longest side to maxSide, drops payload") {
     val r = Multimodal.resizeMeta(Multimodal.mediaTable(docs), maxSide = 32).collect()
     assert(r.forall(x => x.getAs[Int]("out_width") <= 32 && x.getAs[Int]("out_height") <= 32))
