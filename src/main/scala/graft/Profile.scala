@@ -58,6 +58,27 @@ object Profile {
     spark.catalog.clearCache()
     t("full_corpus_pipeline") { Corpus.corpusPipeline(docs).count() }
     t("full_pipeline_incremental") { Corpus.corpusPipelineIncremental(docs).count() }
+
+    // ---- the arrival-order (incremental) stage-1 chain, attributed ----
+    // the suite-tail queries (q_corpus_funnel_incremental /
+    // q_corpus_pipeline_incremental) = this chain + the shared tail above
+    spark.catalog.clearCache()
+    val cleanI = t("inc_stage1_clean") {
+      val c = docs.filter(TextOps.qualityScore(col("text")) >= 0.70)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count(); c
+    }
+    val exactI = t("inc_stage1_exact_dedup") {
+      val e = Dedup.keepMinBy(cleanI, md5(col("text")),
+        struct(col("doc_id") % 3, col("doc_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    t("inc_wave_fold_3") { Dedup.sequentialIngest(exactI, 3).count() }
+    spark.catalog.clearCache()
+    t("full_funnel_incremental") {
+      Corpus.pipelineFunnelIncremental(docs).count()
+    }
     spark.stop()
   }
 }

@@ -263,8 +263,12 @@ object Corpus {
     // identical tiny docs in different waves would otherwise both survive.
     // Same skew-immune min_by kernel as cleanedSurvivors, ordered by
     // (wave, doc_id) via a struct ordering key.
+    // persisted: the wave fold filters this frame once PER WAVE (and the
+    // funnel counts it once more) — unpersisted, the md5 window shuffle
+    // re-runs nWaves+1 times for one materialization's worth of work
     val exact = Dedup.keepMinBy(clean, md5(col("text")),
       struct(col("doc_id") % nWaves, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = Dedup.sequentialIngest(exact, nWaves)
     val survivors = clean.join(keepers.select(col("doc_id")), Seq("doc_id"), "left_semi")
     (clean, exact, survivors)

@@ -223,7 +223,8 @@ object CorpusStore {
     * error — the one path that used to be a silent dedup miss.
     */
   private def resolveLayout(spark: SparkSession, root: String,
-                            ifNew: Option[StoreLayout]): StoreLayout =
+                            ifNew: Option[StoreLayout]): StoreLayout = {
+    ifNew.foreach(requireCurrentExprVersion(_, "tick(layoutIfNew)"))
     ManifestTable.currentVersion(spark, root) match {
       case Some(v) =>
         val persisted = readLayoutAt(spark, root, v).getOrElse(DefaultLayout)
@@ -233,6 +234,19 @@ object CorpusStore {
         persisted
       case None => ifNew.getOrElse(DefaultLayout)
     }
+  }
+
+  /** A CALLER-supplied layout (tick's `layoutIfNew`, compact's
+    * `rebucketTo`) must carry this binary's expression version — parseLayout
+    * already fails foreign sidecars at read, but without this check a
+    * caller could PERSIST a sidecar labeled with a version the expressions
+    * don't match, bricking the store for every matching reader.
+    */
+  private def requireCurrentExprVersion(l: StoreLayout, what: String): Unit =
+    require(l.exprVersion == BucketExprVersion,
+      s"$what carries bucket-expression version ${l.exprVersion}, but this " +
+        s"binary computes version $BucketExprVersion; persisting that " +
+        "sidecar would mislabel the store's directories")
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
@@ -361,13 +375,16 @@ object CorpusStore {
     // a skewed driver clock could prune a marker still inside the
     // redelivery window. A freshly-written probe file's mtime is the
     // filesystem's own notion of now — same clock as every marker.
+    // probe lives in its OWN `_clock/` namespace, never `_ticks/`: a crash
+    // between create and delete must not leave a file committedTicks would
+    // report as a tick id (and even transiently it must not be listed)
     val fsNow = {
-      val probe = markerPath(root, "_ticks",
-        s".clock-probe-${UUID.randomUUID()}")
+      val probe = new org.apache.hadoop.fs.Path(
+        s"$root/_clock/probe-${UUID.randomUUID()}")
       fs.mkdirs(probe.getParent)
       fs.create(probe, true).close()
       val t = fs.getFileStatus(probe).getModificationTime
-      fs.delete(probe, false)
+      fs.delete(probe.getParent, true)
       t
     }
     val cutoff = fsNow - olderThanMillis
@@ -712,6 +729,7 @@ object CorpusStore {
   def compact(spark: SparkSession, root: String,
               targetBytes: Long = 128L << 20,
               rebucketTo: Option[StoreLayout] = None): (Long, Long) = {
+    rebucketTo.foreach(requireCurrentExprVersion(_, "compact(rebucketTo)"))
     val fs = fsOf(spark, root)
     val dd = ManifestTable.dataDir(root)
     val prev = ManifestTable.currentVersion(spark, root)

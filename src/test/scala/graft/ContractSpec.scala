@@ -8,17 +8,13 @@ class ContractSpec extends SparkSpec {
 
   /** Queries DELIBERATELY registered without an oracle — each needs a
     * documented reason here, so rows-only coverage can never happen by
-    * accident.
+    * accident. Empty since round 10: the codec trio (q_media_decode /
+    * q_audio_decode / q_video_frames) gained full analytic oracles — the
+    * synthesized payloads are pure functions of row metadata and the
+    * codecs are lossless, so the oracle rebuilds the decoded rasters
+    * (digests included) in SQL (OraclesML.scala).
     */
-  private val rowsOnlyByDesign = Set(
-    // real javax.imageio PNG round-trip: a codec decode is not
-    // SQL-expressible; MultimodalSpec pins the semantics on fixtures
-    "q_media_decode",
-    // real javax.sound WAV round-trip — same rationale as q_media_decode
-    "q_audio_decode",
-    // frame sampling + real javax.imageio BMP decode per sampled frame —
-    // same rationale; MultimodalSpec pins the slicing and decode semantics
-    "q_video_frames")
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("oracleSql keys ⊆ queries keys; every query is oracle-backed") {
     val q = SparkEntry.queries.keySet

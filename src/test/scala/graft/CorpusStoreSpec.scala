@@ -129,17 +129,21 @@ class CorpusStoreSpec extends SparkSpec {
           tickId = Some(s"w$i"))
       }
       val dd = ManifestTable.dataDir(root)
+      // resolve the layout FROM the store — the spec exercises the same
+      // sidecar-resolution path every pruned production read goes through
+      val lay = CorpusStore.layoutOf(spark, root)
       // a tiny arriving batch: the partition prune must shrink every store
       // scan to the buckets this batch touches
       val batch = docs.filter(col("doc_id").isin(2L, 5L))
       // touched buckets, via the SAME expressions the tick uses
       val mdBuckets = batch
-        .select(CorpusStore.md5Bucket(md5(col("text"))).as("b"))
+        .select(CorpusStore.md5Bucket(md5(col("text")), lay).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
       val batchSigs = Dedup.shingleSignatures(batch)
       val bandBuckets = graft.operators.Dedup
         .explodedBands(batchSigs, Dedup.NumHashes / Dedup.NumBands)
-        .select(CorpusStore.bandBucket(col("band_id"), col("band_val")).as("b"))
+        .select(CorpusStore.bandBucket(col("band_id"), col("band_val"), lay)
+          .as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
 
       def pruned(kind: String, buckets: Set[Int]) =
@@ -168,21 +172,22 @@ class CorpusStoreSpec extends SparkSpec {
         .select("doc_id", "band_id", "band_val")
       val expectBands = spark.read.option("basePath", dd)
         .parquet(all("band").map(f => s"$dd/$f"): _*)
-        .filter(CorpusStore.bandBucket(col("band_id"), col("band_val"))
+        .filter(CorpusStore.bandBucket(col("band_id"), col("band_val"), lay)
           .isin(bandBuckets.toSeq: _*))
         .select("doc_id", "band_id", "band_val")
       assert(sameRows(prunedBands, expectBands),
         "pruned band read diverged from the bucket expression")
 
       // shingle-fetch prune: candidate doc_ids map to their bucket dirs
-      val shBuckets = Set(2L % CorpusStore.ShingleBuckets,
-        5L % CorpusStore.ShingleBuckets).map(_.toInt)
+      val shBuckets = Set(2L % lay.shingleBuckets,
+        5L % lay.shingleBuckets).map(_.toInt)
       val shPruned = pruned("sh", shBuckets)
       assert(shPruned.size < all("sh").size && shPruned.nonEmpty)
       val prunedSh = spark.read.option("basePath", dd)
         .parquet(shPruned.map(f => s"$dd/$f"): _*).select("doc_id")
       assert(prunedSh.filter(
-        !CorpusStore.shingleBucket(col("doc_id")).isin(shBuckets.toSeq: _*))
+        !CorpusStore.shingleBucket(col("doc_id"), lay)
+          .isin(shBuckets.toSeq: _*))
         .isEmpty, "shingle bucket dirs hold out-of-bucket rows")
     } finally spark.catalog.clearCache()
   }
