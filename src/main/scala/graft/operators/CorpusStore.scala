@@ -213,7 +213,10 @@ object CorpusStore {
     */
   def layoutOf(spark: SparkSession, root: String): StoreLayout =
     ManifestTable.currentVersion(spark, root) match {
-      case None    => DefaultLayout
+      // not yet created: a staged v1 sidecar (a zero-commit creation
+      // tick's explicit choice — see the tick's zero-commit path) governs
+      // the creation still to come
+      case None    => readLayoutAt(spark, root, 1).getOrElse(DefaultLayout)
       case Some(v) => readLayoutAt(spark, root, v).getOrElse(DefaultLayout)
     }
 
@@ -232,7 +235,13 @@ object CorpusStore {
           s"store at $root is laid out as $persisted but the tick asserted " +
             s"$l; changing a live store's layout is compact(rebucketTo = ...)"))
         persisted
-      case None => ifNew.getOrElse(DefaultLayout)
+      // not yet created: the most recent EXPLICIT choice wins — the
+      // caller's, else a staged v1 sidecar from an earlier creation
+      // attempt (a zero-commit tick's layoutIfNew, or a crashed first
+      // commit). There is no data a layout change could corrupt before
+      // the first commit, so last-writer-wins is safe here and only here.
+      case None => ifNew.orElse(readLayoutAt(spark, root, 1))
+        .getOrElse(DefaultLayout)
     }
   }
 
@@ -264,6 +273,64 @@ object CorpusStore {
   private[graft] def kindFiles(spark: SparkSession, root: String,
                                kind: String): Seq[String] =
     ManifestTable.liveFiles(spark, root).filter(_.startsWith(s"p_kind=$kind/"))
+
+  /** The p_b bucket a store file sits in, parsed from its path. */
+  private def bucketOfPath(path: String): Option[Int] =
+    "p_b=(\\d+)/".r.findFirstMatchIn(path).map(_.group(1).toInt)
+
+  /** The column each kind's per-file Bloom sidecar indexes — the key the
+    * tick reads probe by. The shingle kind has none: its fetch is keyed by
+    * candidate doc_ids only known AFTER the band join, and those rows are
+    * then always needed for verification.
+    */
+  private val BloomKeyOf = Map("doc" -> "text_md5", "tomb" -> "text_md5",
+    "band" -> "band_val")
+
+  /** Manifest entries for freshly-published kind files, with the Bloom
+    * sidecar attached for the probed kinds (one small job per such kind,
+    * over files this commit just wrote — batch-bounded).
+    */
+  private def entriesWithBlooms(spark: SparkSession, root: String,
+                                byKind: Seq[(String, Seq[String])])
+      : Seq[ManifestTable.FileEntry] =
+    byKind.flatMap { case (kind, fs) =>
+      BloomKeyOf.get(kind) match {
+        case Some(c) if fs.nonEmpty =>
+          val bl = ManifestTable.fileBlooms(spark,
+            ManifestTable.dataDir(root), fs, c)
+          fs.map(f => ManifestTable.FileEntry(f, bloom = bl.get(f)))
+        case _ => fs.map(f => ManifestTable.FileEntry(f))
+      }
+    }
+
+  /** [[prunedKindFiles]] sharpened by the per-file Bloom sidecars: of the
+    * batch-touched buckets' files, keep only those whose filter might
+    * contain at least one of the batch's keys FOR THAT BUCKET. This is the
+    * second prune level — bucket dirs bound the candidate set to
+    * O(touched buckets); the blooms then skip the (common) files a mostly-
+    * fresh batch shares no key with, so the steady-state exact/band read
+    * is near zero however large the buckets grow between compactions.
+    * A file with no bloom (pre-bloom manifests) is always read — skipping
+    * must be provably safe, the [[ManifestTable.pruneEntries]] rule.
+    */
+  private[graft] def bloomPrunedKindFiles(spark: SparkSession, root: String,
+                                          kind: String,
+                                          keysByBucket: Map[Int, Seq[String]])
+      : Seq[String] = {
+    val prefix = s"p_kind=$kind/"
+    ManifestTable.liveEntries(spark, root)
+      .filter(e => e.path.startsWith(prefix) &&
+        bucketOfPath(e.path).exists(b =>
+          keysByBucket.get(b).exists { keys =>
+            e.bloom match {
+              case None      => true
+              case Some(b64) =>
+                val bf = ManifestTable.decodeBloom(b64)
+                keys.exists(bf.mightContainString)
+            }
+          }))
+      .map(_.path)
+  }
 
   /** [[kindFiles]] restricted to the given bucket partitions — THE file
     * prune every tick scan goes through (spec-asserted ⊆ batch-touched
@@ -415,7 +482,10 @@ object CorpusStore {
     *
     * `layoutIfNew` picks the bucket layout WHEN THIS TICK CREATES the
     * store; on an existing store the persisted layout governs, and
-    * asserting a different one here throws (see [[StoreLayout]]).
+    * asserting a different one here throws (see [[StoreLayout]]). The
+    * choice survives even if this tick's documents all drop (it is staged
+    * as the v1 sidecar the first real commit adopts), so creation ticks
+    * need not repeat it.
     */
   def tick(rawBatch: DataFrame, root: String,
            tickId: Option[String] = None,
@@ -447,11 +517,18 @@ object CorpusStore {
     val batchKeys = batchBands.select(col("band_id"), col("band_val"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val buckets = batchKeys
-        .select(bandBucket(col("band_id"), col("band_val"), layout).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
+      // (band_val → bucket) map for the two-level prune (dirs, then the
+      // per-file band_val blooms). The bucket already encodes band_id, so
+      // probing by band_val alone within a bucket is exact enough — a
+      // cross-band band_val collision lands in a different bucket dir.
+      val keysByBucket = batchKeys
+        .select(col("band_val"),
+          bandBucket(col("band_id"), col("band_val"), layout).as("b"))
+        .distinct().collect()
+        .groupBy(_.getInt(1))
+        .map { case (b, rows) => b -> rows.toSeq.map(_.getString(0)) }
       val storeBands = readKindFiles(spark, root,
-        prunedKindFiles(spark, root, "band", buckets), bandSchema)
+        bloomPrunedKindFiles(spark, root, "band", keysByBucket), bandSchema)
       val touched = storeBands.join(broadcast(batchKeys),
         Seq("band_id", "band_val"), "left_semi")
       val capped = Dedup.capBuckets(touched, Seq("band_id", "band_val"), cap)
@@ -534,14 +611,23 @@ object CorpusStore {
       // never shuffles and never reads untouched buckets.
       val exact = prev match {
         case Some(_) =>
-          val mdBuckets = inBatch
-            .select(md5Bucket(col("text_md5"), layout).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSet
+          // the batch's (md5 → bucket) map, ONE collect (batch-bounded,
+          // the broadcast-id sizing contract): buckets drive the dir-level
+          // prune, the md5s themselves drive the per-file bloom probes —
+          // and deriving the bucket via the SAME expression the write side
+          // uses keeps the two prune levels provably consistent
+          val md5ByBucket = inBatch
+            .select(col("text_md5"),
+              md5Bucket(col("text_md5"), layout).as("b"))
+            .distinct().collect()
+            .groupBy(_.getInt(1))
+            .map { case (b, rows) => b -> rows.toSeq.map(_.getString(0)) }
           val storeMd5 = readKindFiles(spark, root,
-            prunedKindFiles(spark, root, "doc", mdBuckets), docSchema)
+            bloomPrunedKindFiles(spark, root, "doc", md5ByBucket), docSchema)
             .select(col("text_md5"))
             .union(readKindFiles(spark, root,
-              prunedKindFiles(spark, root, "tomb", mdBuckets), tombSchema)
+              bloomPrunedKindFiles(spark, root, "tomb", md5ByBucket),
+              tombSchema)
               .select(col("text_md5")))
           val touched = storeMd5.join(
             broadcast(inBatch.select(col("text_md5")).distinct()),
@@ -571,7 +657,16 @@ object CorpusStore {
       val nKept = keepSigs.count()
       val nTomb = nExactNew - nKept
       val version =
-        if (nKept == 0L && nTomb == 0L) prev.getOrElse(0L)
+        if (nKept == 0L && nTomb == 0L) {
+          // a creation tick whose documents ALL dropped still records its
+          // explicit layout choice (as the staged v1 sidecar the first
+          // real commit will adopt) — otherwise a later tick without
+          // layoutIfNew would silently create the store under
+          // DefaultLayout, defeating the creation-time assertion
+          if (prev.isEmpty && layoutIfNew.isDefined)
+            writeLayoutFor(spark, root, 1L, layout)
+          prev.getOrElse(0L)
+        }
         else {
           val stamp = tickId.getOrElse("untracked")
           val staging = s"$root/_staging/${UUID.randomUUID()}"
@@ -608,13 +703,15 @@ object CorpusStore {
             .repartition(col("p_b"))
             .write.partitionBy("p_kind", "p_b")
             .mode(SaveMode.Overwrite).parquet(s"$staging/tomb")
-          val added = Seq("doc", "sh", "band", "tomb")
-            .flatMap(k => ManifestTable.publishFiles(spark, root, s"$staging/$k"))
+          val added = entriesWithBlooms(spark, root,
+            Seq("doc", "sh", "band", "tomb")
+              .map(k => k -> ManifestTable.publishFiles(spark, root,
+                s"$staging/$k")))
           // layout sidecar rides ahead of the commit: a committed snapshot
           // always finds its layout; a crash right here leaves an orphan
           // the next committer at this version overwrites
           writeLayoutFor(spark, root, prev.getOrElse(0L) + 1, layout)
-          val v = ManifestTable.commitReplace(spark, root, Seq.empty, added)
+          val v = ManifestTable.commitEntries(spark, root, Seq.empty, added)
           ManifestTable.vacuum(spark, root, retainSnapshots)
           ManifestTable.pruneVersionDirs(fsOf(spark, root), layoutDir(root),
             ManifestTable.versions(spark, root).toSet)
@@ -759,7 +856,8 @@ object CorpusStore {
     val staging = s"$root/_staging/compact-${UUID.randomUUID()}"
     val results = Seq("doc", "sh", "band", "tomb").map { kind =>
       val files = live.filter(_.startsWith(s"p_kind=$kind/"))
-      if (files.isEmpty) (Seq.empty[String], Seq.empty[String], 0)
+      if (files.isEmpty)
+        (Seq.empty[String], Seq.empty[ManifestTable.FileEntry], 0)
       else {
         val sized = files.map(f => f -> fs.getFileStatus(
           new org.apache.hadoop.fs.Path(s"$dd/$f")).getLen)
@@ -772,7 +870,8 @@ object CorpusStore {
           else byBucket.filter { case (_, bf) =>
             bf.length > justified(bf.map(_._2).sum)
           }
-        if (rewrite.isEmpty) (Seq.empty[String], Seq.empty[String], 0)
+        if (rewrite.isEmpty)
+          (Seq.empty[String], Seq.empty[ManifestTable.FileEntry], 0)
         else {
           val inFiles = rewrite.values.flatten.map(_._1).toSeq
           val df0 = spark.read.option("basePath", dd)
@@ -800,8 +899,13 @@ object CorpusStore {
             .drop("__sub")
             .write.partitionBy("p_kind", "p_b")
             .mode(SaveMode.Overwrite).parquet(s"$staging/$kind")
+          // rewritten files get FRESH bloom sidecars (a merged file's
+          // filter is not the union of its inputs' — it is exactly-sized
+          // over the merged keys), so the second-level prune survives
+          // every compaction and rebucket
           (rewrite.keys.toSeq,
-            ManifestTable.publishFiles(spark, root, s"$staging/$kind"),
+            entriesWithBlooms(spark, root, Seq(kind ->
+              ManifestTable.publishFiles(spark, root, s"$staging/$kind"))),
             inFiles.length)
         }
       }
@@ -814,7 +918,7 @@ object CorpusStore {
     // layout sidecar flips with the SAME commit version (rides ahead of
     // the atomic rename, like the tick's)
     writeLayoutFor(spark, root, prev.get + 1, target)
-    ManifestTable.commitReplace(spark, root,
+    ManifestTable.commitEntries(spark, root,
       if (rebucket) Seq("") else replacedDirs, added)
     ManifestTable.vacuum(spark, root)
     ManifestTable.pruneVersionDirs(fs, layoutDir(root),

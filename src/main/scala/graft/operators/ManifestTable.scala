@@ -46,32 +46,96 @@ object ManifestTable {
 
   private val ManifestDirName = "_manifests"
 
-  /** One live data file plus optional per-column (min, max) pruning stats.
-    * Stats cover INT64-backed columns only (longs; timestamps Spark writes
-    * as INT64 micros) — the columns file skipping pays off on. A file with
-    * no stats for a column is never skipped on that column (safe default),
-    * which also makes pre-stats manifests (bare-path lines) readable
-    * unchanged.
+  /** One live data file plus optional pruning metadata:
+    *
+    * - `stats`: per-column (min, max), INT64-backed columns only (longs;
+    *   timestamps Spark writes as INT64 micros) — the columns range
+    *   skipping pays off on.
+    * - `bloom`: a base64 [[org.apache.spark.util.sketch.BloomFilter]] over
+    *   ONE designated string key column — membership skipping for
+    *   point-lookup workloads where min/max cannot prune (uniform hashes:
+    *   the CorpusStore's text_md5 / band_val reads). No false negatives,
+    *   so skipping on a negative probe is provably safe.
+    *
+    * A file carrying neither is never skipped (safe default), which also
+    * keeps pre-stats manifests (bare-path lines) readable unchanged.
     */
-  case class FileEntry(path: String, stats: Map[String, (Long, Long)] = Map.empty)
+  case class FileEntry(path: String, stats: Map[String, (Long, Long)] = Map.empty,
+                       bloom: Option[String] = None)
 
-  // manifest line: path[<TAB>col=min..max[;col=min..max]...]
-  private def renderEntry(e: FileEntry): String =
-    if (e.stats.isEmpty) e.path
-    else e.path + "\t" + e.stats.toSeq.sortBy(_._1)
-      .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }.mkString(";")
+  // manifest line: path[<TAB>col=min..max[;col=min..max]...][<TAB>bloom64:...]
+  // fields after the path are recognized by shape, so old readers'
+  // parts(1)-is-stats assumption is preserved by always rendering stats
+  // (possibly empty) before a bloom
+  private val BloomTag = "bloom64:"
+  private def renderEntry(e: FileEntry): String = {
+    val stats =
+      if (e.stats.isEmpty) None
+      else Some(e.stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }.mkString(";"))
+    (e.bloom, stats) match {
+      case (None, None)    => e.path
+      case (None, Some(s)) => s"${e.path}\t$s"
+      case (Some(b), s)    => s"${e.path}\t${s.getOrElse("")}\t$BloomTag$b"
+    }
+  }
 
   private def parseEntry(line: String): FileEntry =
     line.split('\t') match {
       case Array(p) => FileEntry(p)
       case parts =>
-        val stats = parts(1).split(';').iterator.filter(_.contains("=")).map { kv =>
-          val Array(c, range) = kv.split("=", 2)
-          val Array(lo, hi) = range.split("\\.\\.", 2)
-          c -> (lo.toLong, hi.toLong)
-        }.toMap
-        FileEntry(parts(0), stats)
+        val bloom = parts.drop(1).find(_.startsWith(BloomTag))
+          .map(_.stripPrefix(BloomTag))
+        val stats = parts.drop(1).filterNot(_.startsWith(BloomTag))
+          .headOption.getOrElse("")
+          .split(';').iterator.filter(_.contains("=")).map { kv =>
+            val Array(c, range) = kv.split("=", 2)
+            val Array(lo, hi) = range.split("\\.\\.", 2)
+            c -> (lo.toLong, hi.toLong)
+          }.toMap
+        FileEntry(parts(0), stats, bloom)
     }
+
+  /** Per-file Bloom filters over string column `column` of `relFiles`
+    * (paths relative to `dataRoot`), base64-encoded for a manifest line.
+    * ONE distributed job however many files: (file, key) pairs group by
+    * file and each group folds into an exactly-sized filter (the group is
+    * one file's keys — bounded by the write that produced the file, the
+    * same per-task bound the file's original write task had).
+    */
+  def fileBlooms(spark: SparkSession, dataRoot: String, relFiles: Seq[String],
+                 column: String, fpp: Double = 0.01): Map[String, String] =
+    if (relFiles.isEmpty) Map.empty
+    else {
+      import spark.implicits._
+      val dataPath = new Path(dataRoot).toUri.getPath
+      spark.read.parquet(relFiles.map(f => s"$dataRoot/$f"): _*)
+        .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+          org.apache.spark.sql.functions.col(column).cast("string").as("k"))
+        .as[(String, String)]
+        .groupByKey(_._1)
+        .mapGroups { (file, it) =>
+          val keys = it.map(_._2).toArray
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .create(math.max(keys.length, 16L), fpp)
+          keys.foreach(bf.putString)
+          val out = new java.io.ByteArrayOutputStream()
+          bf.writeTo(out)
+          (file, java.util.Base64.getEncoder.encodeToString(out.toByteArray))
+        }
+        .collect()
+        .map { case (file, b64) =>
+          // input_file_name is a URI; re-relativize against dataRoot
+          val p = new Path(file).toUri.getPath
+          val rel = p.stripPrefix(dataPath).stripPrefix("/")
+          rel -> b64
+        }.toMap
+    }
+
+  /** Decode a [[FileEntry.bloom]] back into a probe-able filter. */
+  def decodeBloom(b64: String): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64)))
 
   def dataDir(root: String): String = s"$root/data"
 

@@ -301,6 +301,45 @@ class CorpusStoreLayoutSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("a creation layout chosen by a zero-commit tick is not lost") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val chosen = StoreLayout(4, 4, 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_layzero").toString
+    try {
+      // every document fails the quality gate: the tick processes, drops
+      // all, and commits NOTHING — but its explicit layout choice must
+      // survive as the staged v1 sidecar
+      val r0 = CorpusStore.tick(docs.filter(col("doc_id") % 7 === 0), root,
+        tickId = Some("w0"), minQuality = 1e9, layoutIfNew = Some(chosen))
+      assert(r0.nKept == 0L
+        && ManifestTable.currentVersion(spark, root).isEmpty,
+        s"construction failed: the creation tick committed: $r0")
+      assert(CorpusStore.layoutOf(spark, root) == chosen,
+        "zero-commit creation choice not visible to layoutOf")
+
+      // the store's ACTUAL creation, with no layout argument at all,
+      // adopts the staged choice — not DefaultLayout
+      CorpusStore.tick(docs.filter(col("doc_id") % 7 === 1), root,
+        tickId = Some("w1"))
+      assert(ManifestTable.currentVersion(spark, root).contains(1L))
+      assert(CorpusStore.layoutOf(spark, root) == chosen,
+        "creation without layoutIfNew discarded the staged choice")
+      // and the files really sit in dirs of the chosen layout
+      KindCols.foreach { case (kind, _) =>
+        kindRows(root, kind).foreach { rows =>
+          assert(rows.filter(bucketExpr(kind, chosen) =!=
+            col("p_b").cast("int")).isEmpty,
+            s"$kind files landed in dirs foreign to the staged layout")
+        }
+      }
+      // asserting a different layout on the now-existing store throws
+      intercept[IllegalArgumentException] {
+        CorpusStore.tick(docs.filter(col("doc_id") % 7 === 2), root,
+          layoutIfNew = Some(StoreLayout(8, 8, 8)))
+      }
+    } finally spark.catalog.clearCache()
+  }
+
   test("marker housekeeping's clock probe never appears as a tick id") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val root = java.nio.file.Files.createTempDirectory("graft_layclk").toString
