@@ -286,20 +286,18 @@ object CorpusStore {
   private val BloomKeyOf = Map("doc" -> "text_md5", "tomb" -> "text_md5",
     "band" -> "band_val")
 
-  /** Manifest entries for freshly-published kind files, with the Bloom
-    * sidecar attached for the probed kinds (one small job per such kind,
-    * over files this commit just wrote — batch-bounded).
+  /** Write the Bloom sidecars of freshly-published kind files, for the
+    * probed kinds (one small job per such kind, over files this commit
+    * just wrote — batch-bounded, and the filter bytes stay executor-side,
+    * see [[ManifestTable.writeFileBlooms]]). Runs BEFORE the commit that
+    * makes the files live, so a live file's sidecar always exists; crash
+    * orphans are vacuumed with their data files.
     */
-  private def entriesWithBlooms(spark: SparkSession, root: String,
-                                byKind: Seq[(String, Seq[String])])
-      : Seq[ManifestTable.FileEntry] =
-    byKind.flatMap { case (kind, fs) =>
-      BloomKeyOf.get(kind) match {
-        case Some(c) if fs.nonEmpty =>
-          val bl = ManifestTable.fileBlooms(spark,
-            ManifestTable.dataDir(root), fs, c)
-          fs.map(f => ManifestTable.FileEntry(f, bloom = bl.get(f)))
-        case _ => fs.map(f => ManifestTable.FileEntry(f))
+  private def writeKindBlooms(spark: SparkSession, root: String,
+                              byKind: Seq[(String, Seq[String])]): Unit =
+    byKind.foreach { case (kind, fs) =>
+      BloomKeyOf.get(kind).foreach { c =>
+        ManifestTable.writeFileBlooms(spark, root, fs, c)
       }
     }
 
@@ -310,26 +308,25 @@ object CorpusStore {
     * O(touched buckets); the blooms then skip the (common) files a mostly-
     * fresh batch shares no key with, so the steady-state exact/band read
     * is near zero however large the buckets grow between compactions.
-    * A file with no bloom (pre-bloom manifests) is always read — skipping
-    * must be provably safe, the [[ManifestTable.pruneEntries]] rule.
+    * Sidecar reads are bounded by the dir-pruned shortlist and cached
+    * (immutable files → immutable filters); a file with no readable
+    * sidecar is always read — skipping must be provably safe, the
+    * [[ManifestTable.pruneEntries]] rule.
     */
   private[graft] def bloomPrunedKindFiles(spark: SparkSession, root: String,
                                           kind: String,
                                           keysByBucket: Map[Int, Seq[String]])
       : Seq[String] = {
     val prefix = s"p_kind=$kind/"
-    ManifestTable.liveEntries(spark, root)
-      .filter(e => e.path.startsWith(prefix) &&
-        bucketOfPath(e.path).exists(b =>
+    ManifestTable.liveFiles(spark, root)
+      .filter(f => f.startsWith(prefix) &&
+        bucketOfPath(f).exists(b =>
           keysByBucket.get(b).exists { keys =>
-            e.bloom match {
-              case None      => true
-              case Some(b64) =>
-                val bf = ManifestTable.decodeBloom(b64)
-                keys.exists(bf.mightContainString)
+            ManifestTable.readBloom(spark, root, f) match {
+              case None     => true
+              case Some(bf) => keys.exists(bf.mightContainString)
             }
           }))
-      .map(_.path)
   }
 
   /** [[kindFiles]] restricted to the given bucket partitions — THE file
@@ -703,15 +700,17 @@ object CorpusStore {
             .repartition(col("p_b"))
             .write.partitionBy("p_kind", "p_b")
             .mode(SaveMode.Overwrite).parquet(s"$staging/tomb")
-          val added = entriesWithBlooms(spark, root,
-            Seq("doc", "sh", "band", "tomb")
-              .map(k => k -> ManifestTable.publishFiles(spark, root,
-                s"$staging/$k")))
-          // layout sidecar rides ahead of the commit: a committed snapshot
-          // always finds its layout; a crash right here leaves an orphan
-          // the next committer at this version overwrites
+          val byKind = Seq("doc", "sh", "band", "tomb")
+            .map(k => k -> ManifestTable.publishFiles(spark, root,
+              s"$staging/$k"))
+          // bloom + layout sidecars ride ahead of the commit: a committed
+          // snapshot always finds them; a crash right here leaves orphans
+          // vacuum reclaims (blooms) or the next committer at this version
+          // overwrites (layout)
+          writeKindBlooms(spark, root, byKind)
           writeLayoutFor(spark, root, prev.getOrElse(0L) + 1, layout)
-          val v = ManifestTable.commitEntries(spark, root, Seq.empty, added)
+          val v = ManifestTable.commitReplace(spark, root, Seq.empty,
+            byKind.flatMap(_._2))
           ManifestTable.vacuum(spark, root, retainSnapshots)
           ManifestTable.pruneVersionDirs(fsOf(spark, root), layoutDir(root),
             ManifestTable.versions(spark, root).toSet)
@@ -856,8 +855,7 @@ object CorpusStore {
     val staging = s"$root/_staging/compact-${UUID.randomUUID()}"
     val results = Seq("doc", "sh", "band", "tomb").map { kind =>
       val files = live.filter(_.startsWith(s"p_kind=$kind/"))
-      if (files.isEmpty)
-        (Seq.empty[String], Seq.empty[ManifestTable.FileEntry], 0)
+      if (files.isEmpty) (Seq.empty[String], Seq.empty[String], 0)
       else {
         val sized = files.map(f => f -> fs.getFileStatus(
           new org.apache.hadoop.fs.Path(s"$dd/$f")).getLen)
@@ -870,8 +868,7 @@ object CorpusStore {
           else byBucket.filter { case (_, bf) =>
             bf.length > justified(bf.map(_._2).sum)
           }
-        if (rewrite.isEmpty)
-          (Seq.empty[String], Seq.empty[ManifestTable.FileEntry], 0)
+        if (rewrite.isEmpty) (Seq.empty[String], Seq.empty[String], 0)
         else {
           val inFiles = rewrite.values.flatten.map(_._1).toSeq
           val df0 = spark.read.option("basePath", dd)
@@ -903,10 +900,10 @@ object CorpusStore {
           // filter is not the union of its inputs' — it is exactly-sized
           // over the merged keys), so the second-level prune survives
           // every compaction and rebucket
-          (rewrite.keys.toSeq,
-            entriesWithBlooms(spark, root, Seq(kind ->
-              ManifestTable.publishFiles(spark, root, s"$staging/$kind"))),
-            inFiles.length)
+          val published = ManifestTable.publishFiles(spark, root,
+            s"$staging/$kind")
+          writeKindBlooms(spark, root, Seq(kind -> published))
+          (rewrite.keys.toSeq, published, inFiles.length)
         }
       }
     }
@@ -918,7 +915,7 @@ object CorpusStore {
     // layout sidecar flips with the SAME commit version (rides ahead of
     // the atomic rename, like the tick's)
     writeLayoutFor(spark, root, prev.get + 1, target)
-    ManifestTable.commitEntries(spark, root,
+    ManifestTable.commitReplace(spark, root,
       if (rebucket) Seq("") else replacedDirs, added)
     ManifestTable.vacuum(spark, root)
     ManifestTable.pruneVersionDirs(fs, layoutDir(root),

@@ -46,69 +46,87 @@ object ManifestTable {
 
   private val ManifestDirName = "_manifests"
 
-  /** One live data file plus optional pruning metadata:
-    *
-    * - `stats`: per-column (min, max), INT64-backed columns only (longs;
-    *   timestamps Spark writes as INT64 micros) — the columns range
-    *   skipping pays off on.
-    * - `bloom`: a base64 [[org.apache.spark.util.sketch.BloomFilter]] over
-    *   ONE designated string key column — membership skipping for
-    *   point-lookup workloads where min/max cannot prune (uniform hashes:
-    *   the CorpusStore's text_md5 / band_val reads). No false negatives,
-    *   so skipping on a negative probe is provably safe.
-    *
-    * A file carrying neither is never skipped (safe default), which also
-    * keeps pre-stats manifests (bare-path lines) readable unchanged.
+  /** One live data file plus optional per-column (min, max) pruning stats.
+    * Stats cover INT64-backed columns only (longs; timestamps Spark writes
+    * as INT64 micros) — the columns file skipping pays off on. A file with
+    * no stats for a column is never skipped on that column (safe default),
+    * which also makes pre-stats manifests (bare-path lines) readable
+    * unchanged. Membership metadata (Bloom filters) deliberately does NOT
+    * live in the manifest: filter bytes scale with ROW count, a manifest
+    * must stay O(file count) to be readable in full by every planner —
+    * see [[writeFileBlooms]] for the sidecar-file form.
     */
-  case class FileEntry(path: String, stats: Map[String, (Long, Long)] = Map.empty,
-                       bloom: Option[String] = None)
+  case class FileEntry(path: String, stats: Map[String, (Long, Long)] = Map.empty)
 
-  // manifest line: path[<TAB>col=min..max[;col=min..max]...][<TAB>bloom64:...]
-  // fields after the path are recognized by shape, so old readers'
-  // parts(1)-is-stats assumption is preserved by always rendering stats
-  // (possibly empty) before a bloom
-  private val BloomTag = "bloom64:"
-  private def renderEntry(e: FileEntry): String = {
-    val stats =
-      if (e.stats.isEmpty) None
-      else Some(e.stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }.mkString(";"))
-    (e.bloom, stats) match {
-      case (None, None)    => e.path
-      case (None, Some(s)) => s"${e.path}\t$s"
-      case (Some(b), s)    => s"${e.path}\t${s.getOrElse("")}\t$BloomTag$b"
-    }
-  }
+  // manifest line: path[<TAB>col=min..max[;col=min..max]...]
+  private def renderEntry(e: FileEntry): String =
+    if (e.stats.isEmpty) e.path
+    else e.path + "\t" + e.stats.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"$c=$lo..$hi" }.mkString(";")
 
   private def parseEntry(line: String): FileEntry =
     line.split('\t') match {
       case Array(p) => FileEntry(p)
       case parts =>
-        val bloom = parts.drop(1).find(_.startsWith(BloomTag))
-          .map(_.stripPrefix(BloomTag))
-        val stats = parts.drop(1).filterNot(_.startsWith(BloomTag))
-          .headOption.getOrElse("")
-          .split(';').iterator.filter(_.contains("=")).map { kv =>
-            val Array(c, range) = kv.split("=", 2)
-            val Array(lo, hi) = range.split("\\.\\.", 2)
-            c -> (lo.toLong, hi.toLong)
-          }.toMap
-        FileEntry(parts(0), stats, bloom)
+        // stats are the first tab field; any later field (e.g. the retired
+        // inline-bloom experiment's bloom64: tag) is ignored, not an error
+        val stats = parts(1).split(';').iterator.filter(_.contains("=")).map { kv =>
+          val Array(c, range) = kv.split("=", 2)
+          val Array(lo, hi) = range.split("\\.\\.", 2)
+          c -> (lo.toLong, hi.toLong)
+        }.toMap
+        FileEntry(parts(0), stats)
     }
 
-  /** Per-file Bloom filters over string column `column` of `relFiles`
-    * (paths relative to `dataRoot`), base64-encoded for a manifest line.
-    * ONE distributed job however many files: (file, key) pairs group by
-    * file and each group folds into an exactly-sized filter (the group is
-    * one file's keys — bounded by the write that produced the file, the
-    * same per-task bound the file's original write task had).
+  /** Java-serializable Hadoop `Configuration` carrier, so a distributed
+    * job's tasks can open the SAME filesystem the driver resolved (with
+    * its credentials/endpoints) — `Configuration` itself is only Writable.
     */
-  def fileBlooms(spark: SparkSession, dataRoot: String, relFiles: Seq[String],
-                 column: String, fpp: Double = 0.01): Map[String, String] =
-    if (relFiles.isEmpty) Map.empty
-    else {
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Bloom sidecar of data file `relFile`: `_blooms/<relFile>.bloom`.
+    * Membership skipping for point-lookup workloads where min/max stats
+    * cannot prune (uniform hashes: the CorpusStore's text_md5 / band_val
+    * probes). Kept OUT of the manifest because filter bytes scale with row
+    * count — sidecars are read lazily, only for the files a scan already
+    * shortlisted, while the manifest stays O(file count). A data file is
+    * immutable once published, so its sidecar is immutable too (rewrites
+    * produce new file names), which is what makes [[readBloom]]'s cache
+    * safe with no invalidation protocol.
+    */
+  private def bloomPath(root: String, relFile: String): Path =
+    new Path(s"$root/_blooms/$relFile.bloom")
+
+  /** Build and persist the Bloom sidecar of every file in `relFiles`
+    * (paths relative to `data/`), over string key column `column`. ONE
+    * distributed job however many files — (file, key) pairs group by file,
+    * each group folds into an exactly-sized filter (one file's keys: the
+    * same per-task bound the file's original write task had) and the TASK
+    * writes the sidecar, so filter bytes never funnel through the driver
+    * (a full-store compaction rewrite would otherwise stream O(store rows)
+    * through it). Sidecars land before the commit that makes their data
+    * files live; a crash in between leaves orphans [[vacuum]] reclaims.
+    */
+  def writeFileBlooms(spark: SparkSession, root: String, relFiles: Seq[String],
+                      column: String, fpp: Double = 0.01): Unit =
+    if (relFiles.nonEmpty) {
       import spark.implicits._
+      val dataRoot = dataDir(root)
       val dataPath = new Path(dataRoot).toUri.getPath
+      val bloomRoot = s"$root/_blooms"
+      val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
       spark.read.parquet(relFiles.map(f => s"$dataRoot/$f"): _*)
         .select(org.apache.spark.sql.functions.input_file_name().as("f"),
           org.apache.spark.sql.functions.col(column).cast("string").as("k"))
@@ -119,23 +137,60 @@ object ManifestTable {
           val bf = org.apache.spark.util.sketch.BloomFilter
             .create(math.max(keys.length, 16L), fpp)
           keys.foreach(bf.putString)
-          val out = new java.io.ByteArrayOutputStream()
-          bf.writeTo(out)
-          (file, java.util.Base64.getEncoder.encodeToString(out.toByteArray))
+          // input_file_name is a URI; re-relativize against data/
+          val rel = new Path(file).toUri.getPath
+            .stripPrefix(dataPath).stripPrefix("/")
+          val dest = new Path(s"$bloomRoot/$rel.bloom")
+          val fs = dest.getFileSystem(conf.value)
+          val out = fs.create(dest, true)
+          try bf.writeTo(out) finally out.close()
+          rel
         }
-        .collect()
-        .map { case (file, b64) =>
-          // input_file_name is a URI; re-relativize against dataRoot
-          val p = new Path(file).toUri.getPath
-          val rel = p.stripPrefix(dataPath).stripPrefix("/")
-          rel -> b64
-        }.toMap
+        .collect()  // force the job; result is just the rel paths written
+      ()
     }
 
-  /** Decode a [[FileEntry.bloom]] back into a probe-able filter. */
-  def decodeBloom(b64: String): org.apache.spark.util.sketch.BloomFilter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64)))
+  /** Driver-side sidecar LRU: decoded filters keyed by `root/relFile`.
+    * Entries are immutable (see [[bloomPath]]) so there is no invalidation
+    * — the bound only caps memory. Negative results (no sidecar) are
+    * cached too: a live file either had its sidecar before its commit or
+    * never will.
+    */
+  private val BloomCacheMax = 4096
+  private val bloomCache =
+    new java.util.LinkedHashMap[String,
+        Option[org.apache.spark.util.sketch.BloomFilter]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            Option[org.apache.spark.util.sketch.BloomFilter]]): Boolean =
+        size() > BloomCacheMax
+    }
+
+  /** The Bloom sidecar of `relFile`, if one exists and decodes. `None`
+    * (missing or unreadable — e.g. a torn write) means the caller must
+    * KEEP the file: skipping is only ever justified by a negative probe of
+    * a healthy filter.
+    */
+  def readBloom(spark: SparkSession, root: String,
+                relFile: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val key = s"$root/$relFile"
+    val cached = bloomCache.synchronized(Option(bloomCache.get(key)))
+    cached.getOrElse {
+      val loaded =
+        try {
+          val p = bloomPath(root, relFile)
+          val fs = fsOf(spark, root)
+          if (!fs.exists(p)) None
+          else {
+            val in = fs.open(p)
+            try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+            finally in.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      bloomCache.synchronized(bloomCache.put(key, loaded))
+      loaded
+    }
+  }
 
   def dataDir(root: String): String = s"$root/data"
 
@@ -426,6 +481,22 @@ object ManifestTable {
         doomed += f.getPath
     }
     doomed.foreach { p => if (fs.delete(p, false)) removed += 1 }
+    // bloom sidecars whose data file no retained snapshot references —
+    // the same ownership rule as the data files themselves (covers both
+    // aged-out rewrites and crash orphans from a sidecar-then-commit tick)
+    val blooms = fs.makeQualified(new Path(s"$root/_blooms"))
+    if (fs.exists(blooms)) {
+      val bit = fs.listFiles(blooms, true)
+      val deadSidecars = ListBuffer.empty[Path]
+      while (bit.hasNext) {
+        val f = bit.next()
+        val rel = blooms.toUri.relativize(f.getPath.toUri).getPath
+        if (rel.endsWith(".bloom") &&
+            !referenced.contains(rel.stripSuffix(".bloom")))
+          deadSidecars += f.getPath
+      }
+      deadSidecars.foreach(fs.delete(_, false))
+    }
     // staged-but-never-published leftovers from a crashed writer
     val staging = new Path(s"$root/_staging")
     if (fs.exists(staging)) fs.delete(staging, true)

@@ -26,7 +26,7 @@ class CorpusStoreBloomSpec extends SparkSpec {
       .groupBy(_.getInt(1))
       .map { case (b, rows) => b -> rows.toSeq.map(_.getString(0)) }
 
-  test("every probed kind's manifest entry carries a bloom; fresh keys " +
+  test("every probed kind's live file has a bloom sidecar; fresh keys " +
     "skip whole buckets' files, present keys never skip theirs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val root = java.nio.file.Files.createTempDirectory("graft_bloom").toString
@@ -36,15 +36,16 @@ class CorpusStoreBloomSpec extends SparkSpec {
           tickId = Some(s"w$i"))
       }
       val lay = CorpusStore.layoutOf(spark, root)
-      val entries = ManifestTable.liveEntries(spark, root)
+      val files = ManifestTable.liveFiles(spark, root)
       Seq("doc", "band").foreach { kind =>
-        val of = entries.filter(_.path.startsWith(s"p_kind=$kind/"))
-        assert(of.nonEmpty && of.forall(_.bloom.nonEmpty),
-          s"$kind entries missing bloom sidecars")
+        val of = files.filter(_.startsWith(s"p_kind=$kind/"))
+        assert(of.nonEmpty && of.forall(f =>
+          ManifestTable.readBloom(spark, root, f).nonEmpty),
+          s"$kind files missing bloom sidecars")
       }
       // sh is deliberately bloom-less (fetched by post-join candidates)
-      assert(entries.filter(_.path.startsWith("p_kind=sh/"))
-        .forall(_.bloom.isEmpty))
+      assert(files.filter(_.startsWith("p_kind=sh/"))
+        .forall(f => ManifestTable.readBloom(spark, root, f).isEmpty))
 
       // a PRESENT key (a store doc's md5): its file must survive the
       // bloom prune, and reading the pruned set must surface the key —
@@ -92,10 +93,11 @@ class CorpusStoreBloomSpec extends SparkSpec {
       }
       def checkProbes(): Unit = {
         val lay = CorpusStore.layoutOf(spark, root)
-        val entries = ManifestTable.liveEntries(spark, root)
+        val files = ManifestTable.liveFiles(spark, root)
         Seq("doc", "band").foreach { kind =>
-          val of = entries.filter(_.path.startsWith(s"p_kind=$kind/"))
-          assert(of.nonEmpty && of.forall(_.bloom.nonEmpty),
+          val of = files.filter(_.startsWith(s"p_kind=$kind/"))
+          assert(of.nonEmpty && of.forall(f =>
+            ManifestTable.readBloom(spark, root, f).nonEmpty),
             s"$kind lost bloom sidecars")
         }
         val present = md5KeysByBucket(
@@ -122,38 +124,77 @@ class CorpusStoreBloomSpec extends SparkSpec {
       val rep = CorpusStore.tick(docs.filter(col("doc_id") % 3 === 1), root)
       assert(rep.nKept == 0L && ManifestTable.currentVersion(spark, root) == v,
         s"replay through bloom-pruned reads was not a no-op: $rep")
+
+      // vacuum sweeps dead files' sidecars with them: down to only the
+      // current snapshot, what's on disk under _blooms is EXACTLY the
+      // live probed-kind files' sidecars
+      ManifestTable.vacuum(spark, root, retainLast = 1)
+      val bloomsDir = new org.apache.hadoop.fs.Path(s"$root/_blooms")
+      val fs = bloomsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val qualified = fs.makeQualified(bloomsDir)
+      val onDisk = scala.collection.mutable.Set.empty[String]
+      val it = fs.listFiles(qualified, true)
+      while (it.hasNext)
+        onDisk += qualified.toUri.relativize(it.next().getPath.toUri).getPath
+      val probedLive = ManifestTable.liveFiles(spark, root)
+        .filter(f => Seq("doc", "tomb", "band")
+          .exists(k => f.startsWith(s"p_kind=$k/"))).toSet
+      assert(onDisk.map(_.stripSuffix(".bloom")) == probedLive,
+        s"vacuum left sidecars out of step with live files: " +
+          s"${onDisk.size} on disk vs ${probedLive.size} live")
     } finally spark.catalog.clearCache()
   }
 
-  test("manifest lines round-trip stats and blooms together, and old " +
-    "bare/stats-only lines still parse") {
+  test("bloom sidecars round-trip through the filesystem; a file without " +
+    "one reads None (always kept); legacy manifest tail fields parse") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_bloomrt").toString
     val staging = s"$root/_staging/${java.util.UUID.randomUUID()}"
     (0L to 99L).toDF("seq").withColumn("k", md5(col("seq").cast("string")))
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
     val added = ManifestTable.publishFiles(spark, root, staging)
-    val dd = ManifestTable.dataDir(root)
-    val stats = ManifestTable.footerMeta(spark, dd, added, Seq("seq"))
-    val blooms = ManifestTable.fileBlooms(spark, dd, added, "k")
-    val entries = stats.map { case (e, _) =>
-      e.copy(bloom = blooms.get(e.path)) }
-    assert(entries.forall(e => e.stats.contains("seq") && e.bloom.nonEmpty))
-    ManifestTable.commitEntries(spark, root, Seq.empty, entries)
-    val back = ManifestTable.liveEntries(spark, root)
-    assert(back.map(e => (e.path, e.stats, e.bloom)).sortBy(_._1) ==
-      entries.map(e => (e.path, e.stats, e.bloom)).sortBy(_._1),
-      "stats+bloom line did not round-trip")
-    // the decoded filter answers probes exactly as the builder's would
-    val bf = ManifestTable.decodeBloom(back.head.bloom.get)
+    // sidecars land BEFORE the commit (the writers' protocol — readBloom
+    // caches misses on the strength of it)
+    ManifestTable.writeFileBlooms(spark, root, added, "k")
+    ManifestTable.commitReplace(spark, root, Seq.empty, added)
+    val bf = ManifestTable.readBloom(spark, root, added.head)
+    assert(bf.nonEmpty, "sidecar did not round-trip")
+    // a stored key probes positive (no false negatives)...
     val k3 = spark.range(3, 4).select(md5(col("id").cast("string")))
       .collect()(0).getString(0)
-    assert(bf.mightContainString(k3))
-    // a second commit replacing nothing keeps the carried lines verbatim
-    ManifestTable.commitReplace(spark, root, Seq.empty, Seq.empty)
-    assert(ManifestTable.liveEntries(spark, root)
-      .map(e => (e.path, e.stats, e.bloom)).sortBy(_._1) ==
-      entries.map(e => (e.path, e.stats, e.bloom)).sortBy(_._1),
-      "carried-forward line lost its bloom")
+    assert(bf.get.mightContainString(k3))
+    // ...and fresh keys probe mostly negative (1% fpp over 200 probes)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    val fresh = (1000 until 1200).map { i =>
+      mdig.digest(s"$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(fresh.count(bf.get.mightContainString) < 20,
+      "fresh keys not rejected — filter is not discriminating")
+
+    // a committed file that never got a sidecar reads None, so the prune
+    // keeps it (skipping must be provably safe)
+    val staging2 = s"$root/_staging/${java.util.UUID.randomUUID()}"
+    (100L to 199L).toDF("seq").withColumn("k", md5(col("seq").cast("string")))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging2)
+    val added2 = ManifestTable.publishFiles(spark, root, staging2)
+    ManifestTable.commitReplace(spark, root, Seq.empty, added2)
+    assert(ManifestTable.readBloom(spark, root, added2.head).isEmpty,
+      "phantom sidecar for a file that never wrote one")
+
+    // a manifest line with a legacy inline-bloom tail field (the retired
+    // format) still yields its path and stats
+    val mdir = new org.apache.hadoop.fs.Path(s"$root/_manifests")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = ManifestTable.currentVersion(spark, root).get + 1
+    val legacy = new org.apache.hadoop.fs.Path(
+      s"$root/_manifests/v${"%020d".format(v)}.manifest")
+    val out = fs.create(legacy, false)
+    try out.write(s"${added.head}\tseq=0..99\tbloom64:AAAA\n".getBytes("UTF-8"))
+    finally out.close()
+    val back = ManifestTable.liveEntries(spark, root)
+    assert(back == Seq(ManifestTable.FileEntry(added.head,
+      Map("seq" -> (0L, 99L)))),
+      s"legacy tail field broke parsing: $back")
   }
 }
