@@ -279,27 +279,25 @@ object CorpusStore {
     "p_b=(\\d+)/".r.findFirstMatchIn(path).map(_.group(1).toInt)
 
   /** The column each kind's per-file Bloom sidecar indexes — the key the
-    * tick reads probe by. The shingle kind has none: its fetch is keyed by
-    * candidate doc_ids only known AFTER the band join, and those rows are
-    * then always needed for verification.
+    * tick reads probe by. The shingle kind probes by doc_id: its fetch is
+    * keyed by the candidate doc_ids the band join surfaced, and within a
+    * candidate's bucket dir most files hold OTHER docs' shingle rows — the
+    * same mostly-miss shape the md5/band probes skip on.
     */
   private val BloomKeyOf = Map("doc" -> "text_md5", "tomb" -> "text_md5",
-    "band" -> "band_val")
+    "band" -> "band_val", "sh" -> "doc_id")
 
   /** Write the Bloom sidecars of freshly-published kind files, for the
-    * probed kinds (one small job per such kind, over files this commit
-    * just wrote — batch-bounded, and the filter bytes stay executor-side,
-    * see [[ManifestTable.writeFileBlooms]]). Runs BEFORE the commit that
+    * probed kinds — ONE job however many kinds (over files this commit
+    * just wrote, batch-bounded, filter bytes executor-side; see
+    * [[ManifestTable.writeFileBloomGroups]]). Runs BEFORE the commit that
     * makes the files live, so a live file's sidecar always exists; crash
     * orphans are vacuumed with their data files.
     */
   private def writeKindBlooms(spark: SparkSession, root: String,
                               byKind: Seq[(String, Seq[String])]): Unit =
-    byKind.foreach { case (kind, fs) =>
-      BloomKeyOf.get(kind).foreach { c =>
-        ManifestTable.writeFileBlooms(spark, root, fs, c)
-      }
-    }
+    ManifestTable.writeFileBloomGroups(spark, root,
+      byKind.flatMap { case (kind, fs) => BloomKeyOf.get(kind).map(fs -> _) })
 
   /** [[prunedKindFiles]] sharpened by the per-file Bloom sidecars: of the
     * batch-touched buckets' files, keep only those whose filter might
@@ -534,11 +532,18 @@ object CorpusStore {
         .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("dup_of"))
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val shBuckets = candidates
-          .select(shingleBucket(col("dup_of"), layout).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
+        // the candidates' (doc_id → bucket) map, same two-level prune as
+        // the exact check: bucket dirs bound the shortlist, the per-file
+        // doc_id blooms skip the bucket's files that hold only OTHER
+        // docs' shingle rows. Collect is the same cardinality as the
+        // bucket-only collect this replaced (capped candidate set).
+        val idsByBucket = candidates
+          .select(col("dup_of"), shingleBucket(col("dup_of"), layout).as("b"))
+          .distinct().collect()
+          .groupBy(_.getInt(1))
+          .map { case (b, rows) => b -> rows.toSeq.map(_.getLong(0).toString) }
         val candShingles = readKindFiles(spark, root,
-          prunedKindFiles(spark, root, "sh", shBuckets), shSchema)
+          bloomPrunedKindFiles(spark, root, "sh", idsByBucket), shSchema)
           .join(broadcast(
             candidates.select(col("dup_of").as("doc_id")).distinct()),
             Seq("doc_id"), "left_semi")

@@ -121,34 +121,49 @@ object ManifestTable {
     */
   def writeFileBlooms(spark: SparkSession, root: String, relFiles: Seq[String],
                       column: String, fpp: Double = 0.01): Unit =
-    if (relFiles.nonEmpty) {
-      import spark.implicits._
-      val dataRoot = dataDir(root)
-      val dataPath = new Path(dataRoot).toUri.getPath
-      val bloomRoot = s"$root/_blooms"
-      val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    writeFileBloomGroups(spark, root, Seq(relFiles -> column), fpp)
+
+  /** [[writeFileBlooms]] over several (files, key column) groups — e.g. one
+    * commit's doc/tomb/band/sh file sets, each probed by a different
+    * column — as ONE distributed job: the per-group (file, key) streams
+    * union before the group-by-file fold, so a tick pays one job's fixed
+    * overhead for all of its kinds' sidecars instead of one per kind.
+    */
+  def writeFileBloomGroups(spark: SparkSession, root: String,
+                           groups: Seq[(Seq[String], String)],
+                           fpp: Double = 0.01): Unit = {
+    val nonEmpty = groups.filter(_._1.nonEmpty)
+    if (nonEmpty.isEmpty) return
+    import spark.implicits._
+    val dataRoot = dataDir(root)
+    val dataPath = new Path(dataRoot).toUri.getPath
+    val bloomRoot = s"$root/_blooms"
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    nonEmpty.map { case (relFiles, column) =>
       spark.read.parquet(relFiles.map(f => s"$dataRoot/$f"): _*)
         .select(org.apache.spark.sql.functions.input_file_name().as("f"),
           org.apache.spark.sql.functions.col(column).cast("string").as("k"))
         .as[(String, String)]
-        .groupByKey(_._1)
-        .mapGroups { (file, it) =>
-          val keys = it.map(_._2).toArray
-          val bf = org.apache.spark.util.sketch.BloomFilter
-            .create(math.max(keys.length, 16L), fpp)
-          keys.foreach(bf.putString)
-          // input_file_name is a URI; re-relativize against data/
-          val rel = new Path(file).toUri.getPath
-            .stripPrefix(dataPath).stripPrefix("/")
-          val dest = new Path(s"$bloomRoot/$rel.bloom")
-          val fs = dest.getFileSystem(conf.value)
-          val out = fs.create(dest, true)
-          try bf.writeTo(out) finally out.close()
-          rel
-        }
-        .collect()  // force the job; result is just the rel paths written
-      ()
     }
+      .reduce(_ union _)
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val keys = it.map(_._2).toArray
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(keys.length, 16L), fpp)
+        keys.foreach(bf.putString)
+        // input_file_name is a URI; re-relativize against data/
+        val rel = new Path(file).toUri.getPath
+          .stripPrefix(dataPath).stripPrefix("/")
+        val dest = new Path(s"$bloomRoot/$rel.bloom")
+        val fs = dest.getFileSystem(conf.value)
+        val out = fs.create(dest, true)
+        try bf.writeTo(out) finally out.close()
+        rel
+      }
+      .collect()  // force the job; result is just the rel paths written
+    ()
+  }
 
   /** Driver-side sidecar LRU: decoded filters keyed by `root/relFile`.
     * Entries are immutable (see [[bloomPath]]) so there is no invalidation

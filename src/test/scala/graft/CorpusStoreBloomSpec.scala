@@ -26,6 +26,18 @@ class CorpusStoreBloomSpec extends SparkSpec {
       .groupBy(_.getInt(1))
       .map { case (b, rows) => b -> rows.toSeq.map(_.getString(0)) }
 
+  /** (doc_id → bucket) map for sh-kind probes, via the store's own expr. */
+  private def idKeysByBucket(ids: Seq[Long],
+                             lay: StoreLayout): Map[Int, Seq[String]] = {
+    import spark.implicits._
+    ids.toDF("doc_id")
+      .select(col("doc_id"),
+        CorpusStore.shingleBucket(col("doc_id"), lay).as("b"))
+      .collect()
+      .groupBy(_.getInt(1))
+      .map { case (b, rows) => b -> rows.toSeq.map(_.getLong(0).toString) }
+  }
+
   test("every probed kind's live file has a bloom sidecar; fresh keys " +
     "skip whole buckets' files, present keys never skip theirs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
@@ -37,15 +49,30 @@ class CorpusStoreBloomSpec extends SparkSpec {
       }
       val lay = CorpusStore.layoutOf(spark, root)
       val files = ManifestTable.liveFiles(spark, root)
-      Seq("doc", "band").foreach { kind =>
+      Seq("doc", "band", "sh").foreach { kind =>
         val of = files.filter(_.startsWith(s"p_kind=$kind/"))
         assert(of.nonEmpty && of.forall(f =>
           ManifestTable.readBloom(spark, root, f).nonEmpty),
           s"$kind files missing bloom sidecars")
       }
-      // sh is deliberately bloom-less (fetched by post-join candidates)
-      assert(files.filter(_.startsWith("p_kind=sh/"))
-        .forall(f => ManifestTable.readBloom(spark, root, f).isEmpty))
+
+      // the sh kind probes by doc_id (the verification fetch's key): a
+      // kept doc's shingle file survives the prune and the pruned read
+      // surfaces its row; doc_ids the store never kept skip everything
+      // their buckets hold
+      val keptId = CorpusStore.docs(spark, root)
+        .orderBy("doc_id").limit(1).collect()(0).getLong(0)
+      val shHit = CorpusStore.bloomPrunedKindFiles(spark, root, "sh",
+        idKeysByBucket(Seq(keptId), lay))
+      assert(shHit.nonEmpty, "kept doc's shingle file was bloom-skipped")
+      val ddSh = ManifestTable.dataDir(root)
+      assert(!spark.read.option("basePath", ddSh)
+        .parquet(shHit.map(f => s"$ddSh/$f"): _*)
+        .filter(col("doc_id") === keptId).isEmpty,
+        "pruned shingle read lost the kept doc's rows")
+      assert(CorpusStore.bloomPrunedKindFiles(spark, root, "sh",
+        idKeysByBucket(1000000L until 1000020L, lay)).isEmpty,
+        "never-kept doc_ids read shingle files — sh blooms not skipping")
 
       // a PRESENT key (a store doc's md5): its file must survive the
       // bloom prune, and reading the pruned set must surface the key —
@@ -94,7 +121,7 @@ class CorpusStoreBloomSpec extends SparkSpec {
       def checkProbes(): Unit = {
         val lay = CorpusStore.layoutOf(spark, root)
         val files = ManifestTable.liveFiles(spark, root)
-        Seq("doc", "band").foreach { kind =>
+        Seq("doc", "band", "sh").foreach { kind =>
           val of = files.filter(_.startsWith(s"p_kind=$kind/"))
           assert(of.nonEmpty && of.forall(f =>
             ManifestTable.readBloom(spark, root, f).nonEmpty),
@@ -137,7 +164,7 @@ class CorpusStoreBloomSpec extends SparkSpec {
       while (it.hasNext)
         onDisk += qualified.toUri.relativize(it.next().getPath.toUri).getPath
       val probedLive = ManifestTable.liveFiles(spark, root)
-        .filter(f => Seq("doc", "tomb", "band")
+        .filter(f => Seq("doc", "tomb", "band", "sh")
           .exists(k => f.startsWith(s"p_kind=$k/"))).toSet
       assert(onDisk.map(_.stripSuffix(".bloom")) == probedLive,
         s"vacuum left sidecars out of step with live files: " +
