@@ -716,7 +716,10 @@ object CorpusStore {
           writeLayoutFor(spark, root, prev.getOrElse(0L) + 1, layout)
           val v = ManifestTable.commitReplace(spark, root, Seq.empty,
             byKind.flatMap(_._2))
-          ManifestTable.vacuum(spark, root, retainSnapshots)
+          // cheap tier only: per-tick reclamation is manifest arithmetic;
+          // the deep orphan sweep (a recursive listing) runs at compact
+          // time, not once per batch
+          ManifestTable.vacuum(spark, root, retainSnapshots, deep = false)
           ManifestTable.pruneVersionDirs(fsOf(spark, root), layoutDir(root),
             ManifestTable.versions(spark, root).toSet)
           v

@@ -160,7 +160,9 @@ object Incremental {
     if (added.nonEmpty || touchedDates.nonEmpty) {
       ManifestTable.commitEntries(spark, sinkPath,
         touchedDates.map(d => s"p_date=$d"), meta.map(_._1))
-      ManifestTable.vacuum(spark, sinkPath)
+      // cheap tier: per-tick reclamation stays manifest arithmetic; crash
+      // orphans are reclaimed by an explicit deep vacuum (maintenance)
+      ManifestTable.vacuum(spark, sinkPath, deep = false)
     }
 
     val newKeys = withDate.select(keyCols.map(col): _*).distinct().count()

@@ -266,9 +266,40 @@ object ManifestTable {
   def filesOf(spark: SparkSession, root: String, version: Long): Seq[String] =
     entriesOf(spark, root, version).map(_.path)
 
+  /** Driver-side parsed-manifest LRU keyed by `root@version`. A committed
+    * manifest is immutable (versions only ever grow; vacuum deletes old
+    * versions but never rewrites one), so the bound only caps memory. One
+    * tick reads the same snapshot's listing for each of its kind prunes;
+    * this makes that one parse, not five. Entries are validated against
+    * the manifest file's (length, mtime) on every hit — one stat RPC
+    * instead of a full read+parse — so a store deleted and re-created at
+    * the same path (which legitimately reuses version numbers) can never
+    * be served the old root's listing.
+    */
+  private val EntryCacheMax = 8
+  private case class CachedEntries(len: Long, mtime: Long,
+                                   entries: Seq[FileEntry])
+  private val entryCache =
+    new java.util.LinkedHashMap[String, CachedEntries](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, CachedEntries]): Boolean =
+        size() > EntryCacheMax
+    }
+
   /** Data files of snapshot `version` with their pruning stats. */
-  def entriesOf(spark: SparkSession, root: String, version: Long): Seq[FileEntry] =
-    rawLinesOf(spark, root, version).map(parseEntry)
+  def entriesOf(spark: SparkSession, root: String, version: Long): Seq[FileEntry] = {
+    val key = s"$root@$version"
+    val st = fsOf(spark, root).getFileStatus(manifestPath(root, version))
+    val cached = entryCache.synchronized(Option(entryCache.get(key)))
+      .filter(c => c.len == st.getLen && c.mtime == st.getModificationTime)
+    cached.map(_.entries).getOrElse {
+      val parsed = rawLinesOf(spark, root, version).map(parseEntry)
+      entryCache.synchronized(
+        entryCache.put(key,
+          CachedEntries(st.getLen, st.getModificationTime, parsed)))
+      parsed
+    }
+  }
 
   /** Live entries (path + stats) of the latest snapshot. */
   def liveEntries(spark: SparkSession, root: String): Seq[FileEntry] =
@@ -468,49 +499,73 @@ object ManifestTable {
     */
   val RetainSnapshots = 2
 
-  /** Reclaim data files referenced by NO retained snapshot — crash leftovers
-    * from a publish that never committed, or files whose every referencing
-    * manifest has aged out of the retention window (see [[RetainSnapshots]]).
-    * Manifests older than the window are expired (deleted) first, which is
-    * what makes their exclusively-owned files unreferenced. Writer-side
-    * housekeeping — run between ticks, not concurrently with a publish.
-    * Returns data files deleted.
+  /** Reclaim data files referenced by NO retained snapshot. Two tiers:
+    *
+    * Always (pure manifest arithmetic, NO directory listing): manifests
+    * older than the retention window (see [[RetainSnapshots]]) are
+    * expired, and every file they referenced that no retained snapshot
+    * still references is deleted along with its Bloom sidecar. Cost is
+    * O(expired + retained manifest entries) however many files live
+    * under `data/` — what makes vacuum safe to run on EVERY commit of a
+    * store with millions of files (a recursive listing per tick would be
+    * the planning bottleneck the manifest exists to remove; on object
+    * stores, a LIST storm).
+    *
+    * `deep = true` adds the recursive sweep that also reclaims CRASH
+    * ORPHANS — files published (or sidecars written) by a writer that
+    * died before its commit, plus files whose cheap-tier delete failed
+    * transiently. Orphans are invisible to every reader and bounded by
+    * failed attempts, so the deep sweep is periodic maintenance (e.g.
+    * [[CorpusStore.compact]] time), not a per-commit tax.
+    *
+    * Staged-but-never-published leftovers are swept on every call (one
+    * directory delete). Writer-side housekeeping — run between ticks,
+    * not concurrently with a publish. Returns data files deleted.
     */
   def vacuum(spark: SparkSession, root: String,
-             retainLast: Int = RetainSnapshots): Long = {
+             retainLast: Int = RetainSnapshots,
+             deep: Boolean = true): Long = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val fs = fsOf(spark, root)
     val data = fs.makeQualified(new Path(dataDir(root)))
     if (!fs.exists(data)) return 0L
     val all = versions(spark, root)
     val (expired, retained) = all.splitAt((all.size - retainLast).max(0))
-    expired.foreach(v => fs.delete(manifestPath(root, v), false))
     val referenced = retained.flatMap(v => filesOf(spark, root, v)).toSet
+    // expired manifests' files must be read BEFORE the manifests go
+    val expiredRefs = expired.flatMap(v => filesOf(spark, root, v)).toSet
+    expired.foreach(v => fs.delete(manifestPath(root, v), false))
     var removed = 0L
-    val it = fs.listFiles(data, true)
-    val doomed = ListBuffer.empty[Path]
-    while (it.hasNext) {
-      val f = it.next()
-      val rel = data.toUri.relativize(f.getPath.toUri).getPath
-      if (f.getPath.getName.endsWith(".parquet") && !referenced.contains(rel))
-        doomed += f.getPath
+    (expiredRefs -- referenced).foreach { rel =>
+      if (fs.delete(new Path(s"${dataDir(root)}/$rel"), false)) removed += 1
+      fs.delete(bloomPath(root, rel), false)
     }
-    doomed.foreach { p => if (fs.delete(p, false)) removed += 1 }
-    // bloom sidecars whose data file no retained snapshot references —
-    // the same ownership rule as the data files themselves (covers both
-    // aged-out rewrites and crash orphans from a sidecar-then-commit tick)
-    val blooms = fs.makeQualified(new Path(s"$root/_blooms"))
-    if (fs.exists(blooms)) {
-      val bit = fs.listFiles(blooms, true)
-      val deadSidecars = ListBuffer.empty[Path]
-      while (bit.hasNext) {
-        val f = bit.next()
-        val rel = blooms.toUri.relativize(f.getPath.toUri).getPath
-        if (rel.endsWith(".bloom") &&
-            !referenced.contains(rel.stripSuffix(".bloom")))
-          deadSidecars += f.getPath
+    if (deep) {
+      val it = fs.listFiles(data, true)
+      val doomed = ListBuffer.empty[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = data.toUri.relativize(f.getPath.toUri).getPath
+        if (f.getPath.getName.endsWith(".parquet") && !referenced.contains(rel))
+          doomed += f.getPath
       }
-      deadSidecars.foreach(fs.delete(_, false))
+      doomed.foreach { p => if (fs.delete(p, false)) removed += 1 }
+      // bloom sidecars whose data file no retained snapshot references —
+      // the same ownership rule as the data files themselves (covers both
+      // aged-out rewrites and crash orphans from a sidecar-then-commit tick)
+      val blooms = fs.makeQualified(new Path(s"$root/_blooms"))
+      if (fs.exists(blooms)) {
+        val bit = fs.listFiles(blooms, true)
+        val deadSidecars = ListBuffer.empty[Path]
+        while (bit.hasNext) {
+          val f = bit.next()
+          val rel = blooms.toUri.relativize(f.getPath.toUri).getPath
+          if (rel.endsWith(".bloom") &&
+              !referenced.contains(rel.stripSuffix(".bloom")))
+            deadSidecars += f.getPath
+        }
+        deadSidecars.foreach(fs.delete(_, false))
+      }
     }
     // staged-but-never-published leftovers from a crashed writer
     val staging = new Path(s"$root/_staging")

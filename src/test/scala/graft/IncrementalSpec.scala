@@ -145,4 +145,55 @@ class IncrementalSpec extends SparkSpec {
     assert(versionsLeft.size <= graft.operators.ManifestTable.RetainSnapshots)
     intercept[Exception] { pinned.select("key", "value").collect() }
   }
+
+  test("two-tier vacuum: the cheap tier reclaims aged-out files (and " +
+    "their bloom sidecars) by manifest arithmetic alone; crash orphans " +
+    "wait for the deep sweep") {
+    import org.apache.spark.sql.SaveMode
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitFresh(tag: Long): Seq[String] = {
+      val staging = s"$root/_staging/${java.util.UUID.randomUUID()}"
+      spark.range(tag, tag + 10).toDF("k")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+      val added = ManifestTable.publishFiles(spark, root, staging)
+      ManifestTable.writeFileBlooms(spark, root, added, "k")
+      // empty prefix: each commit REPLACES the whole previous snapshot,
+      // so version N's files are referenced by version N alone
+      ManifestTable.commitReplace(spark, root, Seq(""), added)
+      added
+    }
+    def onDisk(rel: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"${ManifestTable.dataDir(root)}/$rel"))
+
+    val v1Files = commitFresh(0L)
+    // a crash orphan: published (sidecar and all) but never committed
+    val orphanStaging = s"$root/_staging/${java.util.UUID.randomUUID()}"
+    spark.range(100L, 110L).toDF("k")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(orphanStaging)
+    val orphan = ManifestTable.publishFiles(spark, root, orphanStaging)
+
+    commitFresh(10L)
+    val v3Files = commitFresh(20L)
+
+    // cheap tier (no listing): v1 aged out (retain 2 of 3) → its files
+    // and sidecars go; the never-committed orphan is untouched
+    val removed = ManifestTable.vacuum(spark, root, deep = false)
+    assert(removed >= v1Files.size,
+      s"cheap vacuum reclaimed $removed < ${v1Files.size} aged-out files")
+    assert(v1Files.forall(f => !onDisk(f)), "aged-out data files survived")
+    assert(v1Files.forall(f => ManifestTable.readBloom(spark, root, f).isEmpty),
+      "aged-out files' bloom sidecars survived the cheap tier")
+    assert(orphan.forall(onDisk),
+      "cheap vacuum touched a crash orphan — it must not list data/")
+    assert(v3Files.forall(onDisk), "live files lost")
+
+    // deep sweep: the orphan goes too; the live snapshot is untouched
+    assert(ManifestTable.vacuum(spark, root, deep = true) >= orphan.size)
+    assert(orphan.forall(f => !onDisk(f)), "deep vacuum left the orphan")
+    assert(v3Files.forall(onDisk), "deep vacuum ate live files")
+    assert(ManifestTable.read(spark, root).count() == 10L)
+  }
 }
