@@ -446,7 +446,9 @@ object CorpusStore {
       fs.mkdirs(probe.getParent)
       fs.create(probe, true).close()
       val t = fs.getFileStatus(probe).getModificationTime
-      fs.delete(probe.getParent, true)
+      // delete ONLY this call's probe file — deleting the whole _clock/
+      // dir would race a concurrent pruner's live probe
+      fs.delete(probe, false)
       t
     }
     val cutoff = fsNow - olderThanMillis
@@ -905,9 +907,9 @@ object CorpusStore {
             .write.partitionBy("p_kind", "p_b")
             .mode(SaveMode.Overwrite).parquet(s"$staging/$kind")
           // rewritten files get FRESH bloom sidecars (a merged file's
-          // filter is not the union of its inputs' — it is exactly-sized
-          // over the merged keys), so the second-level prune survives
-          // every compaction and rebucket
+          // filter is not the union of its inputs' — it is re-sized to
+          // the merged file's row count), so the second-level prune
+          // survives every compaction and rebucket
           val published = ManifestTable.publishFiles(spark, root,
             s"$staging/$kind")
           writeKindBlooms(spark, root, Seq(kind -> published))
@@ -925,7 +927,9 @@ object CorpusStore {
     writeLayoutFor(spark, root, prev.get + 1, target)
     ManifestTable.commitReplace(spark, root,
       if (rebucket) Seq("") else replacedDirs, added)
-    ManifestTable.vacuum(spark, root)
+    // deep on purpose: compaction is the store's maintenance pass, so it
+    // also sweeps crash orphans the per-tick cheap vacuums leave behind
+    ManifestTable.vacuum(spark, root, deep = true)
     ManifestTable.pruneVersionDirs(fs, layoutDir(root),
       ManifestTable.versions(spark, root).toSet)
     (live.length.toLong, (live.length - nRewrittenIn + added.length).toLong)

@@ -160,8 +160,10 @@ object Incremental {
     if (added.nonEmpty || touchedDates.nonEmpty) {
       ManifestTable.commitEntries(spark, sinkPath,
         touchedDates.map(d => s"p_date=$d"), meta.map(_._1))
-      // cheap tier: per-tick reclamation stays manifest arithmetic; crash
-      // orphans are reclaimed by an explicit deep vacuum (maintenance)
+      // cheap tier: per-tick reclamation stays manifest arithmetic. Crash
+      // orphans (published by a tick that died before its commit) wait
+      // for the sink's maintenance pass — [[Layout.compactTable]] runs
+      // the deep (listing) vacuum when it rewrites the sink's files
       ManifestTable.vacuum(spark, sinkPath, deep = false)
     }
 

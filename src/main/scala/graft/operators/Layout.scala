@@ -106,7 +106,9 @@ object Layout {
       ManifestTable.commitEntries(spark, root, Seq(""),
         ManifestTable.footerMeta(spark, ManifestTable.dataDir(root),
           added, statCols).map(_._1))
-    ManifestTable.vacuum(spark, root)
+    // deep on purpose: compaction is the sink's maintenance pass, so it
+    // also sweeps crash orphans the per-tick cheap vacuums leave behind
+    ManifestTable.vacuum(spark, root, deep = true)
     (before.length.toLong, added.length.toLong)
   }
 

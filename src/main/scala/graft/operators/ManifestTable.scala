@@ -112,9 +112,10 @@ object ManifestTable {
   /** Build and persist the Bloom sidecar of every file in `relFiles`
     * (paths relative to `data/`), over string key column `column`. ONE
     * distributed job however many files — (file, key) pairs group by file,
-    * each group folds into an exactly-sized filter (one file's keys: the
-    * same per-task bound the file's original write task had) and the TASK
-    * writes the sidecar, so filter bytes never funnel through the driver
+    * each group STREAMS into a filter pre-sized from the file's footer row
+    * count (never materialized: a compacted file holds millions of keys)
+    * and the TASK writes the sidecar, so filter bytes never funnel through
+    * the driver
     * (a full-store compaction rewrite would otherwise stream O(store rows)
     * through it). Sidecars land before the commit that makes their data
     * files live; a crash in between leaves orphans [[vacuum]] reclaims.
@@ -128,6 +129,10 @@ object ManifestTable {
     * column — as ONE distributed job: the per-group (file, key) streams
     * union before the group-by-file fold, so a tick pays one job's fixed
     * overhead for all of its kinds' sidecars instead of one per kind.
+    * Each file's filter is pre-sized from its parquet footer's row count
+    * (one concurrent metadata read per file, the [[footerMeta]] pass) and
+    * the task STREAMS keys into it — a compacted file holds millions of
+    * rows, and materializing its keys before sizing would OOM the task.
     */
   def writeFileBloomGroups(spark: SparkSession, root: String,
                            groups: Seq[(Seq[String], String)],
@@ -136,9 +141,18 @@ object ManifestTable {
     if (nonEmpty.isEmpty) return
     import spark.implicits._
     val dataRoot = dataDir(root)
-    val dataPath = new Path(dataRoot).toUri.getPath
+    // qualified through the filesystem so a RELATIVE root still strips
+    // against input_file_name's absolute URI path
+    val dataPath = fsOf(spark, dataRoot)
+      .makeQualified(new Path(dataRoot)).toUri.getPath
     val bloomRoot = s"$root/_blooms"
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val rowsOf: Map[String, Long] =
+      nonEmpty.flatMap { case (relFiles, _) =>
+        footerMeta(spark, dataRoot, relFiles, Seq.empty)
+          .map { case (e, n) => e.path -> n }
+      }.toMap
+    val rowsOfB = spark.sparkContext.broadcast(rowsOf)
     nonEmpty.map { case (relFiles, column) =>
       spark.read.parquet(relFiles.map(f => s"$dataRoot/$f"): _*)
         .select(org.apache.spark.sql.functions.input_file_name().as("f"),
@@ -148,13 +162,16 @@ object ManifestTable {
       .reduce(_ union _)
       .groupByKey(_._1)
       .mapGroups { (file, it) =>
-        val keys = it.map(_._2).toArray
+        // input_file_name is a URI; re-relativize against data/. A prefix
+        // mismatch must fail loudly — a silently misplaced sidecar reads
+        // back as "no filter" and disables pruning with no error anywhere
+        val uriPath = new Path(file).toUri.getPath
+        require(uriPath.startsWith(dataPath),
+          s"bloom sidecar path $uriPath escapes data root $dataPath")
+        val rel = uriPath.stripPrefix(dataPath).stripPrefix("/")
         val bf = org.apache.spark.util.sketch.BloomFilter
-          .create(math.max(keys.length, 16L), fpp)
-        keys.foreach(bf.putString)
-        // input_file_name is a URI; re-relativize against data/
-        val rel = new Path(file).toUri.getPath
-          .stripPrefix(dataPath).stripPrefix("/")
+          .create(math.max(rowsOfB.value.getOrElse(rel, 1L << 20), 16L), fpp)
+        it.foreach(kv => bf.putString(kv._2))
         val dest = new Path(s"$bloomRoot/$rel.bloom")
         val fs = dest.getFileSystem(conf.value)
         val out = fs.create(dest, true)
@@ -162,24 +179,27 @@ object ManifestTable {
         rel
       }
       .collect()  // force the job; result is just the rel paths written
-    ()
+    rowsOfB.destroy()
   }
 
-  /** Driver-side sidecar LRU: decoded filters keyed by `root/relFile`.
-    * Entries are immutable (see [[bloomPath]]) so there is no invalidation
-    * — the bound only caps memory. Negative results (no sidecar) are
-    * cached too: a live file either had its sidecar before its commit or
-    * never will.
+  /** Driver-side sidecar LRU keyed by `root/relFile`, bounded by DECODED
+    * BYTES, not entry count — a compacted file's filter is MBs (fpp 0.01 ≈
+    * 1.2 bytes/row), so an entry-count bound would let the "bounded" cache
+    * grow to GBs of driver heap. Entries are immutable (see [[bloomPath]])
+    * so there is no invalidation. Negative results are cached ONLY on a
+    * verified missing sidecar (a live file either had its sidecar before
+    * its commit or never will); a transient read error is NOT cached —
+    * pinning "no filter" for the driver's lifetime off one throttled open
+    * would silently disable pruning for that file forever.
     */
-  private val BloomCacheMax = 4096
+  private val BloomCacheMaxBytes = 256L << 20
+  private var bloomCacheBytes = 0L
   private val bloomCache =
     new java.util.LinkedHashMap[String,
-        Option[org.apache.spark.util.sketch.BloomFilter]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String,
-            Option[org.apache.spark.util.sketch.BloomFilter]]): Boolean =
-        size() > BloomCacheMax
-    }
+        Option[org.apache.spark.util.sketch.BloomFilter]](64, 0.75f, true)
+  private def bloomWeight(
+      v: Option[org.apache.spark.util.sketch.BloomFilter]): Long =
+    v.map(_.bitSize() / 8 + 64L).getOrElse(64L)
 
   /** The Bloom sidecar of `relFile`, if one exists and decodes. `None`
     * (missing or unreadable — e.g. a torn write) means the caller must
@@ -191,19 +211,33 @@ object ManifestTable {
     val key = s"$root/$relFile"
     val cached = bloomCache.synchronized(Option(bloomCache.get(key)))
     cached.getOrElse {
-      val loaded =
-        try {
-          val p = bloomPath(root, relFile)
-          val fs = fsOf(spark, root)
+      try {
+        val p = bloomPath(root, relFile)
+        val fs = fsOf(spark, root)
+        val loaded =
           if (!fs.exists(p)) None
           else {
             val in = fs.open(p)
             try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
             finally in.close()
           }
-        } catch { case scala.util.control.NonFatal(_) => None }
-      bloomCache.synchronized(bloomCache.put(key, loaded))
-      loaded
+        bloomCache.synchronized {
+          if (bloomCache.get(key) == null) {
+            bloomCache.put(key, loaded)
+            bloomCacheBytes += bloomWeight(loaded)
+            val it = bloomCache.entrySet().iterator()
+            while (bloomCacheBytes > BloomCacheMaxBytes && it.hasNext) {
+              bloomCacheBytes -= bloomWeight(it.next().getValue)
+              it.remove()
+            }
+          }
+        }
+        loaded
+      } catch {
+        // keep-the-file on ANY failure, but never cache it: the next probe
+        // retries the read instead of inheriting a transient error
+        case scala.util.control.NonFatal(_) => None
+      }
     }
   }
 
@@ -536,9 +570,14 @@ object ManifestTable {
     val expiredRefs = expired.flatMap(v => filesOf(spark, root, v)).toSet
     expired.foreach(v => fs.delete(manifestPath(root, v), false))
     var removed = 0L
+    // one exists() gates the per-file sidecar deletes: most ManifestTable
+    // stores never write blooms, and paying a DELETE round-trip per
+    // reclaimed file against a nonexistent _blooms tree doubles the
+    // request count of a large vacuum for nothing
+    val hasBlooms = fs.exists(new Path(s"$root/_blooms"))
     (expiredRefs -- referenced).foreach { rel =>
       if (fs.delete(new Path(s"${dataDir(root)}/$rel"), false)) removed += 1
-      fs.delete(bloomPath(root, rel), false)
+      if (hasBlooms) fs.delete(bloomPath(root, rel), false)
     }
     if (deep) {
       val it = fs.listFiles(data, true)

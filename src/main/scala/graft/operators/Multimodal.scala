@@ -128,9 +128,22 @@ object Multimodal {
     new String(out)
   }
 
-  /** The content digest: md5 of the hex encoding of the decoded bytes. */
-  private[graft] def contentDigest(bytes: Array[Byte]): String =
-    md5Hex(hexStr(bytes).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  /** The content digest: md5 of the hex encoding of the decoded bytes.
+    * The hex goes straight to ASCII bytes — same bytes [[hexStr]] encodes,
+    * without the intermediate String + re-encode pass (this runs once per
+    * row over megapixel rasters; see MultimodalSpec's equivalence pin).
+    */
+  private[graft] def contentDigest(bytes: Array[Byte]): String = {
+    val hex = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      hex(2 * i) = HexChars(b >> 4).toByte
+      hex(2 * i + 1) = HexChars(b & 0xf).toByte
+      i += 1
+    }
+    md5Hex(hex)
+  }
 
   /** Decoded pixels as canonical (r, g, b) byte triplets in row-major
     * order — the digest input, independent of the image's internal raster

@@ -110,7 +110,7 @@ class CorpusStoreBloomSpec extends SparkSpec {
   }
 
   test("bloom sidecars survive incremental compaction and rebucket " +
-    "(rewritten files get fresh, exactly-sized filters)") {
+    "(rewritten files get fresh, re-sized filters)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val root = java.nio.file.Files.createTempDirectory("graft_bloomc").toString
     try {

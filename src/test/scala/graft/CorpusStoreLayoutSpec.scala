@@ -352,8 +352,12 @@ class CorpusStoreLayoutSpec extends SparkSpec {
         olderThanMillis = 365L * 24 * 3600 * 1000)
       assert(deleted == 0L)
       assert(CorpusStore.committedTicks(spark, root) == Seq("w0"))
-      assert(!new java.io.File(s"$root/_clock").exists,
-        "clock-probe namespace left behind")
+      // each prune deletes ITS OWN probe file (never the whole _clock/
+      // dir — that would race a concurrent pruner's live probe), so the
+      // namespace may remain but must hold no files
+      val clk = new java.io.File(s"$root/_clock")
+      assert(!clk.exists || clk.listFiles.isEmpty,
+        "clock-probe file left behind")
     } finally spark.catalog.clearCache()
   }
 }
