@@ -36,7 +36,12 @@ import scala.util.control.NonFatal
   * `"tainted": true`, its regression flags are
   * suppressed (a contended run can neither publish flags nor pass for a
   * clean baseline), and the calibration samples are emitted for the
-  * record.
+  * record. Before the timed run starts, an over-threshold START probe
+  * additionally triggers a bounded quiet-window WAIT (60 s sleeps, up to
+  * SPARK_GRAFT_BENCH_QUIET_TRIES, default 10): a run that starts tainted
+  * can only produce a tainted artifact, so waiting out a short burst is
+  * strictly better than burning the window (round 11's official record
+  * was lost exactly this way).
   *
   * Regression tripwire: if `scripts/bench_baseline.json` exists, the
   * per-query MIN across iterations is compared against the baseline's
@@ -107,11 +112,74 @@ object Bench {
     }
     // warm-up persists must not leak into the timed run (see scaladoc)
     spark.catalog.clearCache()
+    // The baseline's quiet reference may be a scalar ("calibration": 0.232,
+    // hand-recorded — used for both phases) or the two-sample array this
+    // main itself emits ("calibration":[0.158,0.382]). The phases are NOT
+    // interchangeable: the END probe runs after ~100 queries of heap/JIT
+    // wear and reads ~2.5x the fresh-JVM START probe on a provably idle
+    // host (observed across three rounds: start 0.06-0.16 s, end
+    // 0.28-0.46 s), so each sample compares against its own phase's quiet
+    // reference — START vs min(samples), END vs max(samples). A scalar
+    // baseline keeps the old single-floor behavior.
+    val calFloors: Option[(Double, Double)] = {
+      val f = new java.io.File("scripts/bench_baseline.json")
+      if (!f.isFile) None
+      else {
+        val txt = scala.io.Source.fromFile(f).mkString
+        // a scalar floor is a fresh-JVM start-phase measurement (the only
+        // kind a hand-recorder takes); scaling its END floor by 2/1.5 makes
+        // the END check exactly the legacy 2x-of-scalar bar — without it,
+        // the structural END elevation would taint every run under an old
+        // baseline file
+        val scalar = "\"calibration\"\\s*:\\s*([0-9.Ee+-]+)".r
+          .findFirstMatchIn(txt)
+          .map(m => (m.group(1).toDouble, m.group(1).toDouble * 2.0 / 1.5))
+        val array = "\"calibration\"\\s*:\\s*\\[([0-9.Ee+,\\s-]+)\\]".r
+          .findFirstMatchIn(txt)
+          .map { m =>
+            val xs = m.group(1).split(",").map(_.trim.toDouble)
+            // positional, not (min, max): the array is [start, end] and the
+            // phases must stay paired — a quiet re-record where warmed JIT
+            // closes the structural gap (end <= start) would otherwise swap
+            // the floors and loosen the END contention bar exactly where
+            // contention shows first
+            (xs.head, xs.last)
+          }
+        val floors = scalar.orElse(array)
+        if (floors.isEmpty)
+          System.err.println(
+            "[bench] WARNING: scripts/bench_baseline.json has no parseable " +
+              "\"calibration\" floor — the host-contention taint guard is DISARMED " +
+              "for this run; re-record the baseline with a calibration entry")
+        floors
+      }
+    }
     // first calibration sample ALSO warms the probe's codegen, so sample it
     // twice and keep the second — the first execution pays one-off janino
     // compilation that would otherwise read as contention
     calibrate(spark)
-    val cal0 = calibrate(spark)
+    var cal0 = calibrate(spark)
+    // Quiet-window gate: a run that STARTS over the taint threshold can
+    // only ever produce a tainted artifact (round 11 burned its one
+    // official window that way), so rather than spending ~25 minutes on a
+    // record nobody can use, wait out the contention — bounded — and
+    // re-probe. The probe is pure CPU, so an elevated reading is the host,
+    // not this JVM; waiting costs nothing but wall-clock and converts a
+    // guaranteed-tainted run into a certifiable one whenever the burst is
+    // shorter than the budget. SPARK_GRAFT_BENCH_QUIET_TRIES=0 disables.
+    val quietTries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_TRIES", "10").toInt
+    calFloors.foreach { case (startFl, _) =>
+      var tries = 0
+      while (cal0 > 1.8 * startFl && tries < quietTries) {
+        tries += 1
+        System.err.println(
+          f"[bench] start calibration $cal0%.3fs exceeds 1.8x floor " +
+            f"$startFl%.3fs — waiting 60s for a quiet window ($tries/$quietTries)")
+        Thread.sleep(60000L)
+        cal0 = calibrate(spark)
+      }
+    }
     // a failed query must not masquerade as a fast one: report -1 and log
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val results = queries.toSeq.map { case (name, fn) =>
@@ -195,48 +263,6 @@ object Bench {
     }
     val finalMins = mins0 ++ retriedMins
     val cal1 = calibrate(spark)
-    // The baseline's quiet reference may be a scalar ("calibration": 0.232,
-    // hand-recorded — used for both phases) or the two-sample array this
-    // main itself emits ("calibration":[0.158,0.382]). The phases are NOT
-    // interchangeable: the END probe runs after ~100 queries of heap/JIT
-    // wear and reads ~2.5x the fresh-JVM START probe on a provably idle
-    // host (observed across three rounds: start 0.06-0.16 s, end
-    // 0.28-0.46 s), so each sample compares against its own phase's quiet
-    // reference — START vs min(samples), END vs max(samples). A scalar
-    // baseline keeps the old single-floor behavior.
-    val calFloors: Option[(Double, Double)] = {
-      val f = new java.io.File("scripts/bench_baseline.json")
-      if (!f.isFile) None
-      else {
-        val txt = scala.io.Source.fromFile(f).mkString
-        // a scalar floor is a fresh-JVM start-phase measurement (the only
-        // kind a hand-recorder takes); scaling its END floor by 2/1.5 makes
-        // the END check exactly the legacy 2x-of-scalar bar — without it,
-        // the structural END elevation would taint every run under an old
-        // baseline file
-        val scalar = "\"calibration\"\\s*:\\s*([0-9.Ee+-]+)".r
-          .findFirstMatchIn(txt)
-          .map(m => (m.group(1).toDouble, m.group(1).toDouble * 2.0 / 1.5))
-        val array = "\"calibration\"\\s*:\\s*\\[([0-9.Ee+,\\s-]+)\\]".r
-          .findFirstMatchIn(txt)
-          .map { m =>
-            val xs = m.group(1).split(",").map(_.trim.toDouble)
-            // positional, not (min, max): the array is [start, end] and the
-            // phases must stay paired — a quiet re-record where warmed JIT
-            // closes the structural gap (end <= start) would otherwise swap
-            // the floors and loosen the END contention bar exactly where
-            // contention shows first
-            (xs.head, xs.last)
-          }
-        val floors = scalar.orElse(array)
-        if (floors.isEmpty)
-          System.err.println(
-            "[bench] WARNING: scripts/bench_baseline.json has no parseable " +
-              "\"calibration\" floor — the host-contention taint guard is DISARMED " +
-              "for this run; re-record the baseline with a calibration entry")
-        floors
-      }
-    }
     // 1.8x (not 2x) start margin: a visibly contended round-7 run (uniform
     // ~1.5x slowdown across untouched queries) missed the old 2x threshold
     // by 8 ms and published as clean. The END sample gets a tighter 1.5x

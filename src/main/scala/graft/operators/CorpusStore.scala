@@ -306,25 +306,29 @@ object CorpusStore {
     * O(touched buckets); the blooms then skip the (common) files a mostly-
     * fresh batch shares no key with, so the steady-state exact/band read
     * is near zero however large the buckets grow between compactions.
-    * Sidecar reads are bounded by the dir-pruned shortlist and cached
-    * (immutable files → immutable filters); a file with no readable
-    * sidecar is always read — skipping must be provably safe, the
-    * [[ManifestTable.pruneEntries]] rule.
+    * Sidecar reads are bounded by the dir-pruned shortlist, loaded from a
+    * bounded pool when cold ([[ManifestTable.readBlooms]] — a cold tick at
+    * thousands of files per touched bucket must not pay one serial driver
+    * round-trip per sidecar) and cached (immutable files → immutable
+    * filters); a file with no readable sidecar is always read — skipping
+    * must be provably safe, the [[ManifestTable.pruneEntries]] rule.
     */
   private[graft] def bloomPrunedKindFiles(spark: SparkSession, root: String,
                                           kind: String,
                                           keysByBucket: Map[Int, Seq[String]])
       : Seq[String] = {
     val prefix = s"p_kind=$kind/"
-    ManifestTable.liveFiles(spark, root)
+    val shortlist = ManifestTable.liveFiles(spark, root)
       .filter(f => f.startsWith(prefix) &&
-        bucketOfPath(f).exists(b =>
-          keysByBucket.get(b).exists { keys =>
-            ManifestTable.readBloom(spark, root, f) match {
-              case None     => true
-              case Some(bf) => keys.exists(bf.mightContainString)
-            }
-          }))
+        bucketOfPath(f).exists(keysByBucket.contains))
+    val blooms = ManifestTable.readBlooms(spark, root, shortlist)
+    shortlist.filter { f =>
+      val keys = keysByBucket(bucketOfPath(f).get)
+      blooms(f) match {
+        case None     => true
+        case Some(bf) => keys.exists(bf.mightContainString)
+      }
+    }
   }
 
   /** [[kindFiles]] restricted to the given bucket partitions — THE file

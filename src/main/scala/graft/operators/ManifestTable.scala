@@ -33,11 +33,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the scan-planning bottleneck this format removes. Readers pin a snapshot:
   * a concurrent commit cannot make them see a torn mix of versions.
   *
-  * Single writer assumed (the reference's collectors are single-flow too).
-  * On HDFS-like filesystems the version-numbered rename additionally detects
-  * a racing committer (rename onto an existing manifest fails); local POSIX
-  * rename and object stores do not give that guarantee — see
-  * [[commitReplace]].
+  * Single writer assumed for store-level housekeeping (staging sweeps,
+  * vacuum — the reference's collectors are single-flow too), but the COMMIT
+  * itself is conditional: the manifest install fails loudly when the target
+  * version already exists — atomically on local filesystems (hard link) and
+  * HDFS (conditional rename), best-effort on object stores unless a
+  * conditional-write [[commitPublisher]] is plugged in. A racing committer
+  * can therefore never silently overwrite a manifest; it throws and may
+  * retry from the new current version (`CommitRaceSpec`).
   *
   * `vacuum` retains the last [[RetainSnapshots]] snapshots, so a reader
   * pinned to the previous version survives a concurrent commit + vacuum.
@@ -211,34 +214,80 @@ object ManifestTable {
     val key = s"$root/$relFile"
     val cached = bloomCache.synchronized(Option(bloomCache.get(key)))
     cached.getOrElse {
-      try {
-        val p = bloomPath(root, relFile)
-        val fs = fsOf(spark, root)
-        val loaded =
-          if (!fs.exists(p)) None
+      // IO phase: a failure here (throttled open, torn connection, listing
+      // hiccup) is TRANSIENT — keep the file and cache NOTHING, so the next
+      // probe retries instead of inheriting the error for the driver's
+      // lifetime. `Right(None)` is a verified-missing sidecar (cacheable: a
+      // live file either had its sidecar before its commit or never will).
+      val io: Either[Unit, Option[Array[Byte]]] =
+        try {
+          val p = bloomPath(root, relFile)
+          val fs = fsOf(spark, root)
+          if (!fs.exists(p)) Right(None)
           else {
             val in = fs.open(p)
-            try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-            finally in.close()
+            try {
+              val buf = new java.io.ByteArrayOutputStream(64 << 10)
+              val chunk = new Array[Byte](64 << 10)
+              var n = in.read(chunk)
+              while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+              Right(Some(buf.toByteArray))
+            } finally in.close()
           }
-        bloomCache.synchronized {
-          if (bloomCache.get(key) == null) {
-            bloomCache.put(key, loaded)
-            bloomCacheBytes += bloomWeight(loaded)
-            val it = bloomCache.entrySet().iterator()
-            while (bloomCacheBytes > BloomCacheMaxBytes && it.hasNext) {
-              bloomCacheBytes -= bloomWeight(it.next().getValue)
-              it.remove()
+        } catch { case scala.util.control.NonFatal(_) => Left(()) }
+      io match {
+        case Left(_) => None
+        case Right(bytes) =>
+          // decode phase: the sidecar was already read IN FULL, so a decode
+          // failure is a corrupt (torn-write) file — PERMANENT, sidecars
+          // being immutable — and is negative-cached like a verified miss;
+          // re-reading the same bytes on every probe can never succeed and
+          // would re-pay the IO forever.
+          val loaded = bytes.flatMap { bs =>
+            try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bs)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          bloomCache.synchronized {
+            if (bloomCache.get(key) == null) {
+              bloomCache.put(key, loaded)
+              bloomCacheBytes += bloomWeight(loaded)
+              val it = bloomCache.entrySet().iterator()
+              while (bloomCacheBytes > BloomCacheMaxBytes && it.hasNext) {
+                bloomCacheBytes -= bloomWeight(it.next().getValue)
+                it.remove()
+              }
             }
           }
-        }
-        loaded
-      } catch {
-        // keep-the-file on ANY failure, but never cache it: the next probe
-        // retries the read instead of inheriting a transient error
-        case scala.util.control.NonFatal(_) => None
+          loaded
       }
     }
+  }
+
+  /** [[readBloom]] over many files, loading COLD sidecars from a bounded
+    * thread pool — at production counts (thousands of files per touched
+    * bucket) a cold tick's serial probe loop pays one filesystem round-trip
+    * per file on the driver, the same reason [[footerMeta]] reads footers
+    * concurrently. Warm entries are served from the cache and never touch
+    * the pool; per-file semantics (including what is and isn't cached) are
+    * exactly [[readBloom]]'s, which is thread-safe.
+    */
+  def readBlooms(spark: SparkSession, root: String, relFiles: Seq[String])
+      : Map[String, Option[org.apache.spark.util.sketch.BloomFilter]] = {
+    val cold = relFiles.filter(f =>
+      bloomCache.synchronized(bloomCache.get(s"$root/$f") == null))
+    if (cold.size > 1) {
+      import scala.jdk.CollectionConverters._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(cold.size, 16))
+      try pool.invokeAll(cold.map { f =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { readBloom(spark, root, f); () }
+        }
+      }.asJava).asScala.foreach(_.get())
+      finally pool.shutdown()
+    }
+    relFiles.map(f => f -> readBloom(spark, root, f)).toMap
   }
 
   def dataDir(root: String): String = s"$root/data"
@@ -287,12 +336,36 @@ object ManifestTable {
       if (!keep.contains(v)) fs.delete(p, true)
     }
 
-  private def rawLinesOf(spark: SparkSession, root: String, version: Long): Seq[String] = {
+  // `#`-prefixed header lines (the commit token, see [[commitEntries]]) are
+  // metadata, not file entries; `allLinesOf` keeps them for the readers that
+  // want the token, `rawLinesOf` is the entry-only view every other caller
+  // (including the kept-lines carry-forward in a commit) uses.
+  private def allLinesOf(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val fs = fsOf(spark, root)
     val in = fs.open(manifestPath(root, version))
     try {
       scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().map(_.trim).filter(_.nonEmpty).toList
+    } finally in.close()
+  }
+
+  private def rawLinesOf(spark: SparkSession, root: String, version: Long): Seq[String] =
+    allLinesOf(spark, root, version).filterNot(_.startsWith("#"))
+
+  private val TokenPrefix = "#token="
+
+  /** The commit token of `version`'s manifest header, by reading ONLY the
+    * first line — the cheap identity probe [[entriesOf]] validates its
+    * cache with (one small ranged read, not a full manifest parse).
+    * Pre-token manifests (or a non-token first line) yield None.
+    */
+  private def headerToken(spark: SparkSession, root: String, version: Long): Option[String] = {
+    val fs = fsOf(spark, root)
+    val in = fs.open(manifestPath(root, version))
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8), 256)
+      Option(r.readLine()).map(_.trim).filter(_.startsWith(TokenPrefix))
     } finally in.close()
   }
 
@@ -304,14 +377,19 @@ object ManifestTable {
     * manifest is immutable (versions only ever grow; vacuum deletes old
     * versions but never rewrites one), so the bound only caps memory. One
     * tick reads the same snapshot's listing for each of its kind prunes;
-    * this makes that one parse, not five. Entries are validated against
-    * the manifest file's (length, mtime) on every hit — one stat RPC
-    * instead of a full read+parse — so a store deleted and re-created at
-    * the same path (which legitimately reuses version numbers) can never
-    * be served the old root's listing.
+    * this makes that one parse, not five. Hits are validated by the
+    * manifest's COMMIT TOKEN (a per-commit UUID header, see
+    * [[commitEntries]]) via a first-line read — one small RPC instead of a
+    * full read+parse — so a store deleted and re-created at the same path
+    * (which legitimately restarts version numbers) can never be served the
+    * old root's listing: the recreated manifest carries a fresh token even
+    * when its length and second-granularity mtime happen to collide with
+    * the old one's. Pre-token manifests fall back to (length, mtime) stat
+    * validation, which is exact up to the filesystem's mtime granularity.
     */
   private val EntryCacheMax = 8
   private case class CachedEntries(len: Long, mtime: Long,
+                                   token: Option[String],
                                    entries: Seq[FileEntry])
   private val entryCache =
     new java.util.LinkedHashMap[String, CachedEntries](16, 0.75f, true) {
@@ -323,14 +401,28 @@ object ManifestTable {
   /** Data files of snapshot `version` with their pruning stats. */
   def entriesOf(spark: SparkSession, root: String, version: Long): Seq[FileEntry] = {
     val key = s"$root@$version"
-    val st = fsOf(spark, root).getFileStatus(manifestPath(root, version))
     val cached = entryCache.synchronized(Option(entryCache.get(key)))
-      .filter(c => c.len == st.getLen && c.mtime == st.getModificationTime)
+      .filter { c =>
+        c.token match {
+          // token alone decides: it is unique per commit, so a match proves
+          // this is byte-for-byte the manifest that was parsed (a validation
+          // failure of any kind just falls through to a re-read)
+          case Some(t) =>
+            try headerToken(spark, root, version).contains(t)
+            catch { case scala.util.control.NonFatal(_) => false }
+          case None =>
+            val st = fsOf(spark, root).getFileStatus(manifestPath(root, version))
+            c.len == st.getLen && c.mtime == st.getModificationTime
+        }
+      }
     cached.map(_.entries).getOrElse {
-      val parsed = rawLinesOf(spark, root, version).map(parseEntry)
+      val st = fsOf(spark, root).getFileStatus(manifestPath(root, version))
+      val lines = allLinesOf(spark, root, version)
+      val token = lines.headOption.filter(_.startsWith(TokenPrefix))
+      val parsed = lines.filterNot(_.startsWith("#")).map(parseEntry)
       entryCache.synchronized(
         entryCache.put(key,
-          CachedEntries(st.getLen, st.getModificationTime, parsed)))
+          CachedEntries(st.getLen, st.getModificationTime, token, parsed)))
       parsed
     }
   }
@@ -491,8 +583,55 @@ object ManifestTable {
                     addedFiles: Seq[String]): Long =
     commitEntries(spark, root, replacedPartitions, addedFiles.map(FileEntry(_)))
 
+  /** How a commit installs its written temp manifest as the version-numbered
+    * target — the format's single LogStore-style seam (the role Delta's
+    * LogStore plays for `_delta_log`). Contract: atomically make `target`
+    * exist with `tmp`'s bytes, THROWING — never silently replacing — if
+    * `target` already exists, so a racing committer of the same version
+    * loses loudly instead of losing a manifest. The default dispatches on
+    * the filesystem:
+    *   - local paths: a POSIX hard link (atomic, fails with EEXIST) then
+    *     unlink of the temp — this CLOSES the exists()+rename window
+    *     entirely, because link(2) is create-exclusive at the kernel;
+    *   - everything else: exists() + rename, which HDFS makes conditional
+    *     (rename onto an existing file returns false) but object stores do
+    *     NOT — plug a conditional-write/lock implementation here (the
+    *     Delta-on-S3 LogStore approach) for true multi-writer safety there.
+    */
+  @volatile var commitPublisher: (FileSystem, Path, Path) => Unit =
+    defaultCommitPublish
+
+  private[graft] def defaultCommitPublish(fs: FileSystem, tmp: Path,
+                                          target: Path): Unit = {
+    def conflict(): Nothing = throw new IllegalStateException(
+      s"commit conflict: $target already exists (racing committer)")
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+        val dst = java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath)
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: java.nio.file.FileAlreadyExistsException => conflict() }
+        // the link IS the commit point; temp cleanup is best-effort
+        // (fs.delete also drops LocalFileSystem's .crc sidecar of the temp)
+        fs.delete(tmp, false)
+      case _ =>
+        if (fs.exists(target)) conflict()
+        if (!fs.rename(tmp, target)) conflict()
+    }
+  }
+
   /** [[commitReplace]] with pruning stats attached to the added files (see
     * [[FileEntry]]); kept files carry their existing stats forward.
+    *
+    * Concurrency: the manifest install is conditional (see
+    * [[commitPublisher]]) — of two committers that both read version N,
+    * exactly one commits N+1 and the other THROWS, never silently
+    * overwriting; the loser can re-read and retry (`CommitRaceSpec` pins
+    * no-lost-update under concurrent retrying committers). Store-level
+    * writers ([[CorpusStore]] ticks) still assume external serialization
+    * for their staging/vacuum housekeeping; this guard is what turns a
+    * violated assumption into a loud failure instead of a lost manifest.
     */
   def commitEntries(spark: SparkSession, root: String,
                     replacedPartitions: Seq[String],
@@ -508,18 +647,21 @@ object ManifestTable {
     val tmp = new Path(s"$root/$ManifestDirName/.tmp-${UUID.randomUUID()}")
     fs.mkdirs(tmp.getParent)
     val out = fs.create(tmp, false)
-    try out.write(((kept ++ added.map(renderEntry)).mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8))
+    // the header token is this commit's identity: unique per commit, never
+    // carried forward, what entriesOf validates its cache against (and the
+    // only `#` metadata line; entry parsing skips the prefix)
+    try out.write(((s"$TokenPrefix${UUID.randomUUID()}" +: (kept ++ added.map(renderEntry)))
+      .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // the commit point: one atomic rename. Racing-committer detection relies
-    // on rename failing when the destination exists — true on HDFS, NOT on
-    // RawLocalFileSystem (POSIX rename replaces) or object stores (S3A rename
-    // is non-atomic); the exists() pre-check narrows but cannot close that
-    // window. Single writer is the format's stated assumption — on an object
-    // store a real deployment needs an external lock/LogStore, as Delta does.
     val target = manifestPath(root, next)
-    require(!fs.exists(target), s"commit conflict at version $next of $root")
-    require(fs.rename(tmp, target), s"commit conflict at version $next of $root")
+    try commitPublisher(fs, tmp, target)
+    catch {
+      case e: Throwable =>
+        // a lost race must not leak its temp (vacuum never sweeps _manifests)
+        try fs.delete(tmp, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     next
   }
 

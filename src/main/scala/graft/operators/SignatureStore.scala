@@ -33,7 +33,10 @@ object SignatureStore {
     val added = ManifestTable.publishFiles(spark, root, staging)
     // empty prefix = replace the whole previous snapshot
     val version = ManifestTable.commitReplace(spark, root, Seq(""), added)
-    ManifestTable.vacuum(spark, root)
+    // a rebuild is rare maintenance, so it carries the DEEP sweep (crash
+    // orphans from died-before-commit ticks) — the same tick/compact split
+    // as CorpusStore; the per-tick path below stays listing-free
+    ManifestTable.vacuum(spark, root, deep = true)
     version
   }
 
@@ -72,7 +75,12 @@ object SignatureStore {
     keep.write.mode(SaveMode.Overwrite).parquet(staging)
     val added = ManifestTable.publishFiles(spark, root, staging)
     val version = ManifestTable.commitReplace(spark, root, Seq.empty, added)
-    ManifestTable.vacuum(spark, root)
+    // per-tick housekeeping must be LISTING-FREE: this runs once per
+    // micro-batch under StreamingDedup, and the deep orphan sweep's
+    // recursive data/ listing is O(store) driver work (an object-store LIST
+    // storm) per tick; aged-out snapshots reclaim by manifest arithmetic
+    // here, crash orphans wait for [[build]]-time maintenance
+    ManifestTable.vacuum(spark, root, deep = false)
     keep.unpersist()
     batchSigs.unpersist()
     version

@@ -70,9 +70,20 @@ class CorpusStoreBloomSpec extends SparkSpec {
         .parquet(shHit.map(f => s"$ddSh/$f"): _*)
         .filter(col("doc_id") === keptId).isEmpty,
         "pruned shingle read lost the kept doc's rows")
-      assert(CorpusStore.bloomPrunedKindFiles(spark, root, "sh",
-        idKeysByBucket(1000000L until 1000020L, lay)).isEmpty,
-        "never-kept doc_ids read shingle files — sh blooms not skipping")
+      // not exactly-empty: ~20 probes at fpp 0.01 can legitimately hit a
+      // false positive under a different partitioning or hash seed, and a
+      // false positive costs one spurious file read, not correctness. The
+      // claim is the PRUNE: nearly all dir-pruned files are skipped.
+      val neverIds = idKeysByBucket(1000000L until 1000020L, lay)
+      val shDirPruned = CorpusStore.prunedKindFiles(spark, root, "sh",
+        neverIds.keySet)
+      val shBloomPruned = CorpusStore.bloomPrunedKindFiles(spark, root, "sh",
+        neverIds)
+      assert(shDirPruned.nonEmpty, "sh probe buckets unexpectedly empty")
+      assert(shBloomPruned.size <= math.max(1, shDirPruned.size / 4),
+        s"never-kept doc_ids read ${shBloomPruned.size} of " +
+          s"${shDirPruned.size} dir-pruned shingle files — sh blooms not " +
+          "skipping")
 
       // a PRESENT key (a store doc's md5): its file must survive the
       // bloom prune, and reading the pruned set must surface the key —
@@ -103,7 +114,9 @@ class CorpusStoreBloomSpec extends SparkSpec {
       val bloomPruned = CorpusStore.bloomPrunedKindFiles(spark, root, "doc",
         freshKeys)
       assert(dirPruned.nonEmpty, "probe buckets unexpectedly empty")
-      assert(bloomPruned.isEmpty,
+      // same fraction bound as the sh probe above: no exactly-empty
+      // requirement riding on false-positive luck
+      assert(bloomPruned.size <= math.max(1, dirPruned.size / 4),
         s"fresh-key probe read ${bloomPruned.size} of ${dirPruned.size} " +
           "dir-pruned files — blooms not skipping")
     } finally spark.catalog.clearCache()
@@ -135,9 +148,14 @@ class CorpusStoreBloomSpec extends SparkSpec {
         val fresh = (0 until 20)
           .map(i => s"graft bloom probe document number $i entirely novel")
           .toDF("text")
-        assert(CorpusStore.bloomPrunedKindFiles(spark, root, "doc",
-          md5KeysByBucket(fresh, lay)).isEmpty,
-          "fresh-key probe not skipped after rewrite")
+        val freshKeys = md5KeysByBucket(fresh, lay)
+        val dirPruned = CorpusStore.prunedKindFiles(spark, root, "doc",
+          freshKeys.keySet)
+        val bloomPruned = CorpusStore.bloomPrunedKindFiles(spark, root,
+          "doc", freshKeys)
+        assert(bloomPruned.size <= math.max(1, dirPruned.size / 4),
+          s"fresh-key probe read ${bloomPruned.size} of ${dirPruned.size} " +
+            "dir-pruned files after rewrite — blooms not skipping")
       }
       checkProbes()
       CorpusStore.compact(spark, root, targetBytes = 1L << 30)

@@ -360,4 +360,86 @@ class CorpusStoreLayoutSpec extends SparkSpec {
         "clock-probe file left behind")
     } finally spark.catalog.clearCache()
   }
+
+  test("production-bucket-count migration: 16 -> 512 rebucket keeps the " +
+    "layout math honest at the counts a 100 TB store would run") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val big = StoreLayout(512, 512, 512)
+    val root = java.nio.file.Files.createTempDirectory("graft_rb512").toString
+    try {
+      val n = 3
+      (0 until n).foreach { i =>
+        CorpusStore.tick(docs.filter(col("doc_id") % n === i), root,
+          tickId = Some(s"w$i"))  // DefaultLayout = 16/16/16
+      }
+      val docsBefore = CorpusStore.docs(spark, root).count()
+      val t0 = System.nanoTime()
+      CorpusStore.compact(spark, root, rebucketTo = Some(big))
+      val migrateSec = (System.nanoTime() - t0) / 1e9
+      info(f"16->512 rebucket at sf0.001: $migrateSec%.1f s, " +
+        s"${ManifestTable.liveFiles(spark, root).size} live files")
+      assert(CorpusStore.layoutOf(spark, root) == big)
+      assert(CorpusStore.docs(spark, root).count() == docsBefore,
+        "rebucket changed the keeper count")
+
+      // file counts: every live file sits under a p_b within the new
+      // bucket range, and the dir its rows hash to matches the expression
+      // (the dir-name <-> expression agreement the prune relies on)
+      val live = ManifestTable.liveFiles(spark, root)
+      val pb = "p_b=(\\d+)/".r
+      // the band kind's p_b space is (band_id, band_val-bucket) flattened:
+      // NumBands x 512; every other kind is the raw 512
+      def pbCap(f: String): Int =
+        if (f.startsWith("p_kind=band/")) graft.operators.Dedup.NumBands * 512
+        else 512
+      assert(live.forall(f => pb.findFirstMatchIn(f)
+        .exists(_.group(1).toInt < pbCap(f))),
+        "a live file sits outside its kind's 512-layout bucket range")
+      KindCols.foreach { case (kind, _) =>
+        kindRows(root, kind).foreach { rows =>
+          assert(rows.filter(bucketExpr(kind, big) =!=
+            col("p_b").cast("int")).isEmpty,
+            s"$kind files landed in dirs foreign to the 512 layout")
+        }
+      }
+      // sidecar coverage: every probed-kind live file kept a bloom
+      Seq("doc", "band", "sh").foreach { kind =>
+        val of = live.filter(_.startsWith(s"p_kind=$kind/"))
+        assert(of.nonEmpty && of.forall(f =>
+          ManifestTable.readBloom(spark, root, f).nonEmpty),
+          s"$kind lost bloom sidecars through the 512 rebucket")
+      }
+
+      // a post-migration batch's pruned scan stays within ITS touched
+      // buckets — the O(touched) bound, now at production bucket counts
+      // where touched is a small fraction of 512
+      val batch = docs.filter(col("doc_id") % 17 === 0)
+        .limit(20).select(org.apache.spark.sql.functions
+          .md5(col("text")).as("k"))
+      val keysByBucket = batch
+        .select(col("k"), CorpusStore.md5Bucket(col("k"), big).as("b"))
+        .distinct().collect()
+        .groupBy(_.getInt(1))
+        .map { case (b, rs) => b -> rs.toSeq.map(_.getString(0)) }
+      val touched = keysByBucket.keySet
+      assert(touched.size < 64,
+        s"probe batch unexpectedly touched ${touched.size} of 512 buckets")
+      val pruned = CorpusStore.bloomPrunedKindFiles(spark, root, "doc",
+        keysByBucket)
+      assert(pruned.forall(f => pb.findFirstMatchIn(f)
+        .exists(m => touched.contains(m.group(1).toInt))),
+        "pruned scan escaped the batch's touched buckets")
+      val allDocFiles = live.count(_.startsWith("p_kind=doc/"))
+      assert(pruned.size < allDocFiles,
+        s"prune read all $allDocFiles doc files — no skipping at 512")
+
+      // dedup state is still CORRECT through 512-bucket pruned reads: a
+      // semantic replay of an ingested wave commits nothing
+      val v = ManifestTable.currentVersion(spark, root)
+      val rep = CorpusStore.tick(docs.filter(col("doc_id") % n === 1), root)
+      assert(rep.nKept == 0L &&
+        ManifestTable.currentVersion(spark, root) == v,
+        s"replay through the 512-bucket store was not a no-op: $rep")
+    } finally spark.catalog.clearCache()
+  }
 }

@@ -103,4 +103,35 @@ class SignatureStoreSpec extends SparkSpec {
       assert(kept2 == Seq(11L, 22L))
     } finally spark.catalog.clearCache()
   }
+
+  test("per-tick housekeeping is listing-free: a crash orphan survives " +
+    "every ingest tick and falls to build()-time deep maintenance") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest3").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def onDisk(rel: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"${ManifestTable.dataDir(root)}/$rel"))
+    try {
+      SignatureStore.ingestBatch(docs.filter(col("doc_id") % 3 === 0), root)
+      // a crash orphan: published by a writer that died before its commit
+      val staging = s"$root/_staging/${java.util.UUID.randomUUID()}"
+      spark.range(5).toDF("x").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
+      val orphan = ManifestTable.publishFiles(spark, root, staging)
+      assert(orphan.nonEmpty && orphan.forall(onDisk))
+      // the streaming-tick path must not pay a recursive data/ listing, so
+      // the orphan survives however many ticks run...
+      SignatureStore.ingestBatch(docs.filter(col("doc_id") % 3 === 1), root)
+      SignatureStore.ingestBatch(docs.filter(col("doc_id") % 3 === 2), root)
+      assert(orphan.forall(onDisk),
+        "an ingest tick swept a crash orphan — it must not list data/")
+      // ...and the rare full rebuild carries the deep sweep
+      SignatureStore.build(docs, root)
+      assert(orphan.forall(f => !onDisk(f)),
+        "build()-time deep maintenance left the crash orphan")
+    } finally spark.catalog.clearCache()
+  }
 }
