@@ -204,6 +204,24 @@ object CorpusStore {
     }
   }
 
+  /** The governing layout sidecar at-or-before `version`. Layouts change
+    * only at commits that write a sidecar, and every commit writes one for
+    * its own version, so this normally resolves `version` exactly; the
+    * walk-back covers a current-version sidecar raced away by concurrent
+    * version-dir pruning. Housekeeping is single-writer by contract, but
+    * a violated contract must degrade to the previous retained version's
+    * IDENTICAL layout (layouts only change at compact time, which is
+    * never concurrent) — not to a silent [[DefaultLayout]] reversion,
+    * which on a rebucketed store means wrong dirs and missed duplicates.
+    */
+  private def latestLayoutAt(spark: SparkSession, root: String,
+                             version: Long): Option[StoreLayout] =
+    readLayoutAt(spark, root, version).orElse {
+      ManifestTable.versionDirs(fsOf(spark, root), layoutDir(root))
+        .filter(_._1 < version).lastOption
+        .flatMap { case (v, _) => readLayoutAt(spark, root, v) }
+    }
+
   /** The layout governing the CURRENT snapshot — what every tick and
     * pruned read resolves (never a compile-time constant). A store from
     * before the sidecar existed was necessarily written under
@@ -217,7 +235,7 @@ object CorpusStore {
       // tick's explicit choice — see the tick's zero-commit path) governs
       // the creation still to come
       case None    => readLayoutAt(spark, root, 1).getOrElse(DefaultLayout)
-      case Some(v) => readLayoutAt(spark, root, v).getOrElse(DefaultLayout)
+      case Some(v) => latestLayoutAt(spark, root, v).getOrElse(DefaultLayout)
     }
 
   /** The layout a tick must use: the persisted one when the store exists;
@@ -230,7 +248,7 @@ object CorpusStore {
     ifNew.foreach(requireCurrentExprVersion(_, "tick(layoutIfNew)"))
     ManifestTable.currentVersion(spark, root) match {
       case Some(v) =>
-        val persisted = readLayoutAt(spark, root, v).getOrElse(DefaultLayout)
+        val persisted = latestLayoutAt(spark, root, v).getOrElse(DefaultLayout)
         ifNew.foreach(l => require(l == persisted,
           s"store at $root is laid out as $persisted but the tick asserted " +
             s"$l; changing a live store's layout is compact(rebucketTo = ...)"))
@@ -714,6 +732,21 @@ object CorpusStore {
           val byKind = Seq("doc", "sh", "band", "tomb")
             .map(k => k -> ManifestTable.publishFiles(spark, root,
               s"$staging/$k"))
+          // the staging→publish handoff must never lose rows SILENTLY: if
+          // anything deleted _staging between the writes and the publish
+          // (a concurrent writer's deep vacuum, an external cleaner), the
+          // tick would otherwise commit an empty snapshot while reporting
+          // keepers. Kinds with a known row count must have published
+          // files (band is exempt: shingle-less keepers emit no band rows)
+          val published = byKind.toMap
+          require((nKept == 0L ||
+              (published("doc").nonEmpty && published("sh").nonEmpty)) &&
+              (nTomb == 0L || published("tomb").nonEmpty),
+            s"published files inconsistent with the tick's counts " +
+              s"(nKept=$nKept, nTomb=$nTomb, " +
+              s"published=${byKind.map { case (k, f) => s"$k:${f.size}" }
+                .mkString(",")}) — staged files vanished before publish; " +
+              "is another writer's housekeeping running against this store?")
           // bloom + layout sidecars ride ahead of the commit: a committed
           // snapshot always finds them; a crash right here leaves orphans
           // vacuum reclaims (blooms) or the next committer at this version

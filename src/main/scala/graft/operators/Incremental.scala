@@ -157,6 +157,15 @@ object Incremental {
     val meta = ManifestTable.footerMeta(spark,
       ManifestTable.dataDir(sinkPath), added, Seq(tsCol))
     val n = meta.map(_._2).sum
+    val newKeys = withDate.select(keyCols.map(col): _*).distinct().count()
+    // loud, never silent: a non-empty batch merges to a non-empty slice
+    // (LWW keeps at least one row per key), so zero published files means
+    // the staged write vanished before the publish (external cleanup or a
+    // concurrent writer's deep vacuum racing this tick) — committing would
+    // REPLACE the touched partitions with nothing and lose their rows
+    require(added.nonEmpty || newKeys == 0,
+      s"staged sink files vanished before publish at $sinkPath — is " +
+        "another writer's housekeeping running against this sink?")
     if (added.nonEmpty || touchedDates.nonEmpty) {
       ManifestTable.commitEntries(spark, sinkPath,
         touchedDates.map(d => s"p_date=$d"), meta.map(_._1))
@@ -167,7 +176,6 @@ object Incremental {
       ManifestTable.vacuum(spark, sinkPath, deep = false)
     }
 
-    val newKeys = withDate.select(keyCols.map(col): _*).distinct().count()
     SyncStats(n, newKeys - updatedCount, updatedCount)
   }
 

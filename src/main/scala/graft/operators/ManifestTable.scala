@@ -694,9 +694,14 @@ object ManifestTable {
     * failed attempts, so the deep sweep is periodic maintenance (e.g.
     * [[CorpusStore.compact]] time), not a per-commit tax.
     *
-    * Staged-but-never-published leftovers are swept on every call (one
-    * directory delete). Writer-side housekeeping — run between ticks,
-    * not concurrently with a publish. Returns data files deleted.
+    * Staged-but-never-published leftovers are swept on the DEEP tier
+    * only: they are crash leftovers by definition (a live publish's
+    * staging dir exists only inside its own tick), and sweeping
+    * `_staging` from the per-commit cheap tier would let one writer's
+    * routine housekeeping silently empty a concurrent writer's in-flight
+    * publish — the write-side twin of the conditional-commit guarantee.
+    * Writer-side housekeeping — run between ticks, not concurrently with
+    * a publish. Returns data files deleted.
     */
   def vacuum(spark: SparkSession, root: String,
              retainLast: Int = RetainSnapshots,
@@ -747,10 +752,11 @@ object ManifestTable {
         }
         deadSidecars.foreach(fs.delete(_, false))
       }
+      // staged-but-never-published leftovers from a crashed writer (deep
+      // tier only — see the scaladoc's concurrent-writer rationale)
+      val staging = new Path(s"$root/_staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
     }
-    // staged-but-never-published leftovers from a crashed writer
-    val staging = new Path(s"$root/_staging")
-    if (fs.exists(staging)) fs.delete(staging, true)
     removed
   }
 }

@@ -74,6 +74,12 @@ object SignatureStore {
     val staging = s"$root/_staging/${UUID.randomUUID()}"
     keep.write.mode(SaveMode.Overwrite).parquet(staging)
     val added = ManifestTable.publishFiles(spark, root, staging)
+    // loud, never silent: staged keeper files vanishing before the publish
+    // (external cleanup racing the tick) must fail the tick, not commit an
+    // empty append while the caller believes the keepers landed
+    require(added.nonEmpty || keep.isEmpty,
+      "staged signature files vanished before publish — is another " +
+        "writer's housekeeping running against this store?")
     val version = ManifestTable.commitReplace(spark, root, Seq.empty, added)
     // per-tick housekeeping must be LISTING-FREE: this runs once per
     // micro-batch under StreamingDedup, and the deep orphan sweep's

@@ -361,6 +361,38 @@ class CorpusStoreLayoutSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("a raced-away current-version layout sidecar walks back to the " +
+    "previous version's identical layout, never to the default") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val lay = StoreLayout(32, 32, 32)
+    val root = java.nio.file.Files.createTempDirectory("graft_laywb").toString
+    try {
+      CorpusStore.tick(docs.filter(col("doc_id") % 7 === 0), root,
+        tickId = Some("w0"), minQuality = 0.0, layoutIfNew = Some(lay))
+      CorpusStore.tick(docs.filter(col("doc_id") % 7 === 1), root,
+        tickId = Some("w1"), minQuality = 0.0)
+      val v = ManifestTable.currentVersion(spark, root).get
+      assert(v >= 2, s"expected two commits, got $v")
+      // the race: concurrent version-dir pruning deleted the sidecar the
+      // current version just wrote. Layouts change only at compact time,
+      // so the previous retained version's sidecar is identical — the
+      // resolution must walk back to it, not silently revert to the
+      // 16-bucket default (= wrong dirs = missed duplicates)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/_layout/v$v"),
+        false), "current-version sidecar unexpectedly absent")
+      assert(CorpusStore.layoutOf(spark, root) == lay,
+        "layout silently reverted to the default after a raced sidecar")
+      // the store still functions under the walked-back layout: a
+      // semantic replay of an ingested wave commits nothing
+      val rep = CorpusStore.tick(docs.filter(col("doc_id") % 7 === 1), root,
+        minQuality = 0.0)
+      assert(rep.nKept == 0L,
+        s"replay under the walked-back layout was not a no-op: $rep")
+    } finally spark.catalog.clearCache()
+  }
+
   test("production-bucket-count migration: 16 -> 512 rebucket keeps the " +
     "layout math honest at the counts a 100 TB store would run") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
