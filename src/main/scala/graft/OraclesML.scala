@@ -1548,6 +1548,19 @@ object OraclesML {
   val corpusPipelineIncrementalSql: String =
     pipelineTailSql(incrementalSurvivorCtes)
 
+  /** Mirrors `q_store_lookup` — the store's kept documents (the
+    * arrival-order survivor set, same CTEs as the manifest oracle)
+    * restricted to the texts of three fixed probe documents. The Spark
+    * side reads the pruned snapshot scan; the oracle recomputes the
+    * survivor set — equal because pruning never removes a file that might
+    * hold a matching row.
+    */
+  val storeLookupSql: String =
+    s"""WITH $incrementalSurvivorCtes
+       |SELECT s.doc_id, s.lang, s.source FROM survivors s
+       |WHERE md5(s.text) IN (
+       |  SELECT md5(text) FROM documents WHERE doc_id IN (5, 17, 40))""".stripMargin
+
   /** Mirrors `Corpus.pipelineFunnelIncremental` — the per-stage counts of
     * the arrival-order chain ([[incrementalSurvivorCtes]] + the shared
     * tail).

@@ -154,6 +154,30 @@ object SparkEntry {
       }
       operators.CorpusStore.manifestCached(s, root)
     }),
+    // Index-backed point lookup on the store through the PLAIN DataFrame
+    // API: the optimizer rule (graft.plans.StorePruneRule) swaps the
+    // snapshot scan's file list for the bucket+Bloom-pruned shortlist, so
+    // the "is this text already in the corpus" check a 100 TB pipeline
+    // runs constantly plans as a handful of file reads, not a store scan.
+    // Shares q_corpus_store_manifest's store root (replay markers make the
+    // build ticks idempotent); the probe md5s are the texts of three fixed
+    // documents, collected driver-side (3 rows — metadata-bounded).
+    "q_store_lookup" -> ((s, dir) => {
+      val root = corpusStoreRoot(dir)
+      val docs = Tables.documents(s, dir)
+      (0 until 3).foreach { i =>
+        operators.CorpusStore.tick(
+          docs.filter(col("doc_id") % 3 === i), root,
+          tickId = Some(s"wave$i"))
+      }
+      graft.plans.GraftExtensions.install(s)
+      val md5s = docs.filter(col("doc_id").isin(5L, 17L, 40L))
+        .select(org.apache.spark.sql.functions.md5(col("text")).as("k"))
+        .collect().map(_.getString(0)).toSeq.distinct.sorted
+      operators.CorpusStore.read(s, root)
+        .filter(col("text_md5").isin(md5s: _*))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     // Pipeline observability: per-stage survivor counts off the same frames
     // the build wires — a gate collapse is visible as one ordered row set
     "q_corpus_funnel" -> ((s, dir) => operators.Corpus.pipelineFunnel(Tables.documents(s, dir))),
@@ -317,6 +341,7 @@ object SparkEntry {
     // the disk-backed store build converges to the all-at-once incremental
     // build (CorpusStoreSpec) — the oracle is shared verbatim
     "q_corpus_store_manifest" -> OraclesML.corpusPipelineIncrementalSql,
+    "q_store_lookup" -> OraclesML.storeLookupSql,
     "q_corpus_funnel" -> OraclesML.corpusFunnelSql,
     "q_corpus_funnel_incremental" -> OraclesML.corpusFunnelIncrementalSql,
     "q_dedup_rates" -> OraclesML.dedupRatesSql,

@@ -134,7 +134,7 @@ object CorpusStore {
                          exprVersion: Int = BucketExprVersion) {
     require(md5Buckets > 0 && bandValBuckets > 0 && shingleBuckets > 0,
       s"bucket counts must be positive: $this")
-    private[CorpusStore] def render: String =
+    private[graft] def render: String =
       s"""{"md5Buckets":$md5Buckets,"bandValBuckets":$bandValBuckets,""" +
         s""""shingleBuckets":$shingleBuckets,"exprVersion":$exprVersion}"""
   }
@@ -173,7 +173,7 @@ object CorpusStore {
     finally out.close()
   }
 
-  private def parseLayout(s: String, where: String): StoreLayout = {
+  private[graft] def parseLayout(s: String, where: String): StoreLayout = {
     def field(k: String): Int = {
       val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
       require(m.nonEmpty, s"layout sidecar $where is missing \"$k\": $s")
@@ -305,6 +305,15 @@ object CorpusStore {
   private val BloomKeyOf = Map("doc" -> "text_md5", "tomb" -> "text_md5",
     "band" -> "band_val", "sh" -> "doc_id")
 
+  /** The single column a kind's files can be index-pruned BY (bucket dir +
+    * Bloom sidecar agree on it) — what [[graft.plans.StorePruneRule]] keys
+    * its literal-predicate extraction on. The band kind is excluded: its
+    * bucket is a (band_id, band_val) compound, so a band_val literal alone
+    * cannot resolve a directory.
+    */
+  private[graft] def bloomKeyOf(kind: String): Option[String] =
+    if (kind == "band") None else BloomKeyOf.get(kind)
+
   /** Write the Bloom sidecars of freshly-published kind files, for the
     * probed kinds — ONE job however many kinds (over files this commit
     * just wrote, batch-bounded, filter bytes executor-side; see
@@ -349,6 +358,62 @@ object CorpusStore {
     }
   }
 
+  /** The `p_b` bucket a KEY lands in, computed DRIVER-SIDE for the
+    * optimizer's literal-predicate prune ([[graft.plans.StorePruneRule]]).
+    * Mirrors [[md5Bucket]]/[[shingleBucket]] with the same Catalyst
+    * operators evaluated eagerly (Substring→Conv→Cast→Pmod; Pmod→Cast) —
+    * the distributed and driver forms can never drift apart because they
+    * are the same expression classes, and the spec pins the equivalence on
+    * real keys anyway. Soundness for garbage keys is free: a key the store
+    * never wrote matches no row, so ANY bucket answer for it prunes
+    * correctly; only keys that exist must agree with the writer, and those
+    * are well-formed (lowercase-hex md5s / decimal doc_ids).
+    */
+  private[graft] def bucketForKey(kind: String, l: StoreLayout,
+                                  key: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Pmod, Substring}
+    kind match {
+      case "doc" | "tomb" =>
+        Pmod(Cast(Conv(Substring(Literal(key), Literal(1), Literal(4)),
+          Literal(16), Literal(10)), IntegerType), Literal(l.md5Buckets))
+          .eval(null).asInstanceOf[Int]
+      case "sh" =>
+        Cast(Pmod(Literal(key.toLong), Literal(l.shingleBuckets.toLong)),
+          IntegerType).eval(null).asInstanceOf[Int]
+      case other =>
+        throw new IllegalArgumentException(
+          s"kind $other has no single-key bucket expression")
+    }
+  }
+
+  /** Two-level prune of an EXPLICIT relative-file list (a pinned
+    * snapshot's files, not a fresh listing — the caller's plan must keep
+    * reading the snapshot it planned against) down to the files that might
+    * hold any of `keys`: bucket dirs first, then the per-file Bloom
+    * sidecars. Same safety contract as [[bloomPrunedKindFiles]] — a file
+    * with no readable sidecar is kept, so a skip is only ever justified by
+    * a negative probe. Returns None (meaning "don't prune") if any key
+    * fails bucket evaluation.
+    */
+  private[graft] def pruneRelFiles(spark: SparkSession, root: String,
+                                   kind: String, l: StoreLayout,
+                                   relFiles: Seq[String], keys: Seq[String])
+      : Option[Seq[String]] = {
+    val byBucket: Map[Int, Seq[String]] =
+      try keys.groupBy(k => bucketForKey(kind, l, k))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val shortlist = relFiles.filter(f =>
+      bucketOfPath(f).exists(byBucket.contains))
+    val blooms = ManifestTable.readBlooms(spark, root, shortlist)
+    Some(shortlist.filter { f =>
+      val ks = byBucket(bucketOfPath(f).get)
+      blooms(f) match {
+        case None     => true
+        case Some(bf) => ks.exists(bf.mightContainString)
+      }
+    })
+  }
+
   /** [[kindFiles]] restricted to the given bucket partitions — THE file
     * prune every tick scan goes through (spec-asserted ⊆ batch-touched
     * partitions).
@@ -365,16 +430,30 @@ object CorpusStore {
     * commit, for instance, has no doc file to borrow from).
     */
   private def readKindFiles(spark: SparkSession, root: String,
-                            files: Seq[String], schema: StructType): DataFrame =
+                            files: Seq[String], schema: StructType,
+                            tags: Map[String, String] = Map.empty): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val dd = ManifestTable.dataDir(root)
-      spark.read.option("basePath", dd)
+      spark.read.option("basePath", dd).options(tags)
         .parquet(files.map(f => s"$dd/$f"): _*)
         .drop("p_kind", "p_b")
     }
+
+  /** The relation-option tags [[read]] stamps on a snapshot scan so
+    * [[graft.plans.StorePruneRule]] can recognize it and prune its file
+    * list against literal key predicates. The LAYOUT rides along (rendered
+    * JSON) so the rule buckets with exactly the layout that wrote the
+    * files it is pruning — never a re-resolved one that a concurrent
+    * rebucket could have moved past the plan.
+    */
+  private def pruneTags(root: String, kind: String,
+                        l: StoreLayout): Map[String, String] = Map(
+    "graft.store.root" -> root,
+    "graft.store.kind" -> kind,
+    "graft.store.layout" -> l.render)
 
   // the marker layout, in one place: every reader/writer goes through these
   private def fsOf(spark: SparkSession, root: String) =
@@ -409,7 +488,8 @@ object CorpusStore {
       s"live files at $root carry no p_kind= partitions — not a CorpusStore " +
         "layout (or one from an incompatible format version); refusing to " +
         "read it as an empty store")
-    readKindFiles(spark, root, kindFiles(spark, root, "doc"), docSchema)
+    readKindFiles(spark, root, kindFiles(spark, root, "doc"), docSchema,
+      pruneTags(root, "doc", layoutOf(spark, root)))
   }
 
   /** The kept documents of the latest snapshot — the frame [[manifest]]

@@ -1,0 +1,183 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, In, InSet, Literal, Or}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{CorpusStore, ManifestTable}
+
+/** Index-backed point reads on a [[CorpusStore]] through the PLAIN
+  * declarative API — the optimizer half of the store's two-level file
+  * index (bucket dirs + per-file Bloom sidecars), which until this rule
+  * only the tick machinery could use.
+  *
+  * [[CorpusStore.read]] tags its snapshot scan with the store root, the
+  * row kind, and the layout that wrote the files (relation options). When
+  * a query filters that scan by LITERAL keys of the kind's index column —
+  * `docs.filter($"text_md5" === lit)`, an IN list, SQL `WHERE text_md5 =
+  * '…'` over a registered view — this rule swaps the relation's file list
+  * for the two-level-pruned shortlist, so a point lookup on a 100 TB store
+  * plans as a handful of file reads instead of a full-snapshot scan. The
+  * filter itself stays in the plan (Bloom false positives and co-bucketed
+  * rows still need the exact predicate); pruning only ever REMOVES files
+  * that provably hold no matching row, so results are bit-identical to the
+  * unpruned scan (spec-asserted, and the driver oracle gates a query
+  * through this path).
+  *
+  * Soundness rules, in order:
+  *   - only conjuncts that RESTRICT the key column prune (an `OR` across
+  *     different columns restricts nothing);
+  *   - extraction must be total — any non-literal or unrenderable value in
+  *     a conjunct voids that conjunct;
+  *   - a file with no readable sidecar is always kept (skipping must be
+  *     provably safe — the [[ManifestTable.pruneEntries]] rule);
+  *   - the prune works on the relation's OWN file list, never a fresh
+  *     manifest listing: the plan keeps reading the snapshot it was built
+  *     against even if the store ticks or compacts concurrently (the
+  *     layout rides in the tag for the same reason).
+  *
+  * Installed per-session ([[GraftExtensions.install]]) or via config
+  * (`spark.sql.extensions=graft.plans.GraftSessionExtensions`). Runs in a
+  * fixed-point batch, so a rewritten relation is marked
+  * (`graft.store.pruned`) and never reconsidered.
+  */
+class StorePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** Literal-set extraction cap: beyond this many keys the driver-side
+    * probe work outgrows what a scan-side filter costs anyway.
+    */
+  private val MaxKeys = 4096
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rel: LogicalRelation)
+        if taggedRelation(rel).nonEmpty =>
+      val hfs = taggedRelation(rel).get
+      val root = hfs.options("graft.store.root")
+      val kind = hfs.options("graft.store.kind")
+      val layout = CorpusStore.parseLayout(hfs.options("graft.store.layout"),
+        s"relation tag at $root")
+      CorpusStore.bloomKeyOf(kind).flatMap(keysOf(cond, _)) match {
+        case Some(keys) if keys.nonEmpty && keys.size <= MaxKeys =>
+          val byRel: Map[String, String] = hfs.location.inputFiles.toSeq
+            .flatMap(abs => relOf(abs).map(_ -> abs)).toMap
+          CorpusStore.pruneRelFiles(spark, root, kind, layout,
+            byRel.keys.toSeq, keys.toSeq) match {
+            case Some(kept) if kept.size < byRel.size =>
+              if (kept.isEmpty) Filter(cond, LocalRelation(rel.output))
+              else Filter(cond, rel.copy(relation = rebuilt(hfs,
+                kept.sorted.map(byRel))))
+            case _ => f // no reduction (or unprunable keys): leave as-is
+          }
+        case _ => f
+      }
+  }
+
+  /** The relation's store tags, if it is an UNPRUNED tagged snapshot scan. */
+  private def taggedRelation(rel: LogicalRelation): Option[HadoopFsRelation] =
+    rel.relation match {
+      case hfs: HadoopFsRelation
+          if hfs.options.contains("graft.store.root") &&
+            hfs.options.contains("graft.store.kind") &&
+            hfs.options.contains("graft.store.layout") &&
+            !hfs.options.contains("graft.store.pruned") => Some(hfs)
+      case _ => None
+    }
+
+  /** The manifest-relative name of an absolute store file URI (everything
+    * from its `p_kind=` partition dir on), None if it has none.
+    */
+  private def relOf(abs: String): Option[String] = {
+    val i = abs.lastIndexOf("p_kind=")
+    if (i < 0) None else Some(abs.substring(i))
+  }
+
+  /** The relation copy over the pruned file list: a fresh file index on
+    * exactly those paths (same options, so `basePath` keeps partition
+    * parsing identical), same schemas, marked so the fixed-point batch
+    * never reconsiders it. Output attributes are REUSED from the original
+    * relation by the caller (`rel.copy`), so references above stay valid.
+    */
+  private def rebuilt(hfs: HadoopFsRelation,
+                      keptAbs: Seq[String]): HadoopFsRelation = {
+    val opts = hfs.options + ("graft.store.pruned" -> "true")
+    val index = new InMemoryFileIndex(spark, keptAbs.map(new Path(_)),
+      opts, Some(hfs.schema))
+    hfs.copy(location = index, options = opts)(spark)
+  }
+
+  /** The set of values `keyCol` is RESTRICTED to by `cond`, if any conjunct
+    * pins it: conjuncts are intersected (AND), and within a conjunct only
+    * pure key-equality shapes count — `= lit`, `IN (lits)`, optimizer
+    * `InSet`, and OR-trees built solely of those on the key column. A
+    * conjunct that mixes in anything else restricts nothing and is
+    * skipped; if no conjunct restricts the key, None (no prune).
+    */
+  private def keysOf(cond: Expression, keyCol: String): Option[Set[String]] = {
+    val sets = conjuncts(cond).flatMap(keySet(_, keyCol))
+    sets.reduceOption(_ intersect _)
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x         => Seq(x)
+  }
+
+  private def keySet(e: Expression, keyCol: String): Option[Set[String]] =
+    e match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if a.name == keyCol =>
+        render(v).map(Set(_))
+      case EqualTo(Literal(v, _), a: AttributeReference) if a.name == keyCol =>
+        render(v).map(Set(_))
+      case EqualNullSafe(a: AttributeReference, Literal(v, _))
+          if a.name == keyCol => render(v).map(Set(_))
+      case EqualNullSafe(Literal(v, _), a: AttributeReference)
+          if a.name == keyCol => render(v).map(Set(_))
+      case In(a: AttributeReference, vs)
+          if a.name == keyCol && vs.forall(_.isInstanceOf[Literal]) =>
+        sequence(vs.map { case Literal(v, _) => render(v) })
+      case InSet(a: AttributeReference, vs) if a.name == keyCol =>
+        sequence(vs.toSeq.map(render))
+      case Or(l, r) =>
+        for { a <- keySet(l, keyCol); b <- keySet(r, keyCol) } yield a ++ b
+      case _ => None
+    }
+
+  private def sequence(vs: Seq[Option[String]]): Option[Set[String]] =
+    if (vs.forall(_.nonEmpty)) Some(vs.flatten.toSet) else None
+
+  /** Literal internal value → the STRING the sidecar writer keyed on
+    * (`cast(col as string)`): UTF8String verbatim, integral types in
+    * decimal. Anything else (null, non-integral numerics, binaries) is
+    * unrenderable — the conjunct is voided rather than guessed at.
+    */
+  private def render(v: Any): Option[String] = v match {
+    case u: UTF8String => Some(u.toString)
+    case l: Long       => Some(l.toString)
+    case i: Int        => Some(i.toString)
+    case s: Short      => Some(s.toString)
+    case b: Byte       => Some(b.toString)
+    case _             => None
+  }
+}
+
+/** Session installers for the store's optimizer rule. */
+object GraftExtensions {
+  /** Idempotently add [[StorePruneRule]] to an EXISTING session (the
+    * runtime path — no config restart needed).
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[StorePruneRule]))
+      spark.experimental.extraOptimizations = cur :+ new StorePruneRule(spark)
+  }
+}
+
+/** Config-time form: `--conf spark.sql.extensions=graft.plans.GraftSessionExtensions`. */
+class GraftSessionExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(s => new StorePruneRule(s))
+}

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, md5}
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.operators.CorpusStore
+import graft.plans.GraftExtensions
+
+/** The optimizer half of the store's file index ([[graft.plans.StorePruneRule]]):
+  * literal key predicates on a tagged snapshot scan shrink the planned file
+  * list through the SAME two-level prune (bucket dirs + Bloom sidecars) the
+  * tick machinery uses — with bit-identical results, because pruning only
+  * removes files that provably hold no matching row.
+  */
+class StorePruneRuleSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    (0 until 2).foreach { i =>
+      CorpusStore.tick(docs.filter(col("doc_id") % 2 === i), r,
+        tickId = Some(s"w$i"))
+    }
+    GraftExtensions.install(spark)
+    r
+  }
+
+  private def store: DataFrame = CorpusStore.read(spark, root)
+
+  /** Files the OPTIMIZED plan's relation would scan (empty if the rule
+    * replaced the scan with an empty relation).
+    */
+  private def scanFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation =>
+        r.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.toSeq
+    }.flatten
+
+  private def relNames(files: Seq[String]): Seq[String] =
+    files.map(f => f.substring(f.lastIndexOf("p_kind=")))
+
+  test("driver-side bucketForKey agrees with the distributed bucket exprs") {
+    val lay = CorpusStore.layoutOf(spark, root)
+    val md5s = store.select(col("text_md5")).limit(20).collect()
+      .map(_.getString(0))
+    val viaDf = store.limit(20)
+      .select(col("text_md5"),
+        CorpusStore.md5Bucket(col("text_md5"), lay).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    md5s.foreach { k =>
+      assert(CorpusStore.bucketForKey("doc", lay, k) === viaDf(k),
+        s"md5 bucket drifted for $k")
+    }
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 123L, 99999L)
+    val shViaDf = ids.toDF("doc_id")
+      .select(col("doc_id"), CorpusStore.shingleBucket(col("doc_id"), lay).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ids.foreach { id =>
+      assert(CorpusStore.bucketForKey("sh", lay, id.toString) === shViaDf(id),
+        s"shingle bucket drifted for $id")
+    }
+  }
+
+  test("point lookup prunes to the key's bucket with identical results") {
+    val all = store.collect()
+    val k = all.map(_.getAs[String]("text_md5")).sorted.head
+    val expected = all.filter(_.getAs[String]("text_md5") == k)
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+
+    val q = store.filter(col("text_md5") === k).select(col("doc_id"))
+    val full = relNames(scanFiles(store))
+    val pruned = relNames(scanFiles(q))
+    val bucket = CorpusStore.bucketForKey("doc",
+      CorpusStore.layoutOf(spark, root), k)
+    assert(pruned.nonEmpty && pruned.size < full.size,
+      s"no pruning happened: ${pruned.size} of ${full.size} files")
+    assert(pruned.forall(_.startsWith(s"p_kind=doc/p_b=$bucket/")),
+      s"pruned scan left the key's bucket: $pruned")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === expected)
+  }
+
+  test("a key the store never wrote prunes to at most its bucket's Bloom " +
+    "false positives — normally an EMPTY relation") {
+    val k = "f" * 32 // well-formed md5 hex, no document hashes to it
+    val q = store.filter(col("text_md5") === k)
+    val full = relNames(scanFiles(store))
+    val files = relNames(scanFiles(q))
+    val bucket = CorpusStore.bucketForKey("doc",
+      CorpusStore.layoutOf(spark, root), k)
+    // a Bloom false positive may legitimately keep a file of the key's
+    // bucket (costs one spurious read, never correctness) — the hard
+    // claims are containment, a real reduction, and zero result rows
+    assert(files.forall(_.startsWith(s"p_kind=doc/p_b=$bucket/")),
+      s"miss lookup kept files outside the key's bucket: $files")
+    assert(files.size < full.size, "miss lookup did not prune")
+    if (files.isEmpty)
+      assert(q.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation => l }.nonEmpty,
+        "fully-pruned lookup was not rewritten to an empty relation")
+    assert(q.count() === 0L)
+  }
+
+  test("IN lists prune to the union of the keys' buckets; AND keeps the " +
+    "prune, OR across columns and non-key filters void it") {
+    val lay = CorpusStore.layoutOf(spark, root)
+    val all = store.collect()
+    val ks = all.map(_.getAs[String]("text_md5")).distinct.sorted.take(3)
+    val buckets = ks.map(CorpusStore.bucketForKey("doc", lay, _)).toSet
+    val full = relNames(scanFiles(store))
+
+    val qIn = store.filter(col("text_md5").isin(ks: _*))
+    val prunedIn = relNames(scanFiles(qIn))
+    assert(prunedIn.forall(f =>
+      buckets.exists(b => f.startsWith(s"p_kind=doc/p_b=$b/"))))
+    assert(qIn.count() ===
+      all.count(r => ks.contains(r.getAs[String]("text_md5"))))
+
+    val qAnd = store.filter(col("text_md5") === ks.head &&
+      col("lang") =!= "zz")
+    assert(relNames(scanFiles(qAnd)).size < full.size,
+      "AND with an extra predicate lost the prune")
+    assert(qAnd.count() === all.count(r =>
+      r.getAs[String]("text_md5") == ks.head && r.getAs[String]("lang") != "zz"))
+
+    val qOr = store.filter(col("text_md5") === ks.head || col("lang") === "en")
+    assert(relNames(scanFiles(qOr)).size === full.size,
+      "OR across columns must not prune")
+    val qLang = store.filter(col("lang") === "en")
+    assert(relNames(scanFiles(qLang)).size === full.size,
+      "non-key filters must not prune")
+  }
+
+  test("SQL over a registered view goes through the same prune") {
+    store.createOrReplaceTempView("store_docs")
+    val k = store.select(col("text_md5")).orderBy("text_md5").limit(1)
+      .collect()(0).getString(0)
+    val q = spark.sql(
+      s"SELECT doc_id FROM store_docs WHERE text_md5 = '$k'")
+    val full = relNames(scanFiles(store))
+    val pruned = relNames(scanFiles(q))
+    assert(pruned.nonEmpty && pruned.size < full.size,
+      "SQL path did not prune")
+    assert(q.count() > 0L)
+  }
+
+  test("a pruned plan keeps reading its own snapshot after the store moves") {
+    val all = store.collect()
+    val k = all.map(_.getAs[String]("text_md5")).sorted.last
+    val q = store.filter(col("text_md5") === k).select(col("doc_id"))
+    val before = q.collect().map(_.getLong(0)).sorted.toSeq
+    // the store moves on: a new tick with a fresh synthetic doc
+    import spark.implicits._
+    val extra = Seq((900001L, "en", "web",
+      "a sufficiently long and unique synthetic document " * 8 +
+        "with plenty of distinct tokens to pass the quality gate"))
+      .toDF("doc_id", "lang", "source", "text")
+    CorpusStore.tick(extra, root, tickId = Some("w-extra"))
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === before,
+      "a planned query changed results when the store ticked")
+    // a FRESH read sees the new snapshot
+    assert(CorpusStore.read(spark, root)
+      .filter(col("doc_id") === 900001L).count() === 1L)
+  }
+}
