@@ -249,6 +249,26 @@ object Bench {
     val retriedMins: Map[String, Double] = flaggedIn(mins0) match {
       case Seq() => Map.empty
       case flagged =>
+        // The retry exists to separate host bursts from plan regressions,
+        // so it must not re-time INSIDE the burst that caused the flag
+        // (observed: a mid-run burst put one heavy query's median at 2.2x
+        // its own min, and the immediate retry still read 1.3x — flagged
+        // as a regression in an otherwise-untainted run). Same bounded
+        // wait as the start gate, against the END-phase floor since the
+        // probe now carries a full run's JIT/heap wear.
+        calFloors.foreach { case (_, endFl) =>
+          var tries = 0
+          var cal = calibrate(spark)
+          while (cal > 1.5 * endFl && tries < quietTries) {
+            tries += 1
+            System.err.println(
+              f"[bench] retry-phase calibration $cal%.3fs exceeds 1.5x end " +
+                f"floor $endFl%.3fs — waiting 60s before retrying flagged " +
+                f"queries ($tries/$quietTries)")
+            Thread.sleep(60000L)
+            cal = calibrate(spark)
+          }
+        }
         flagged.flatMap { name =>
           System.err.println(s"[bench] retrying flagged $name in isolation")
           val times = (1 to iters).map { _ =>

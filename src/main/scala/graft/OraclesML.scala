@@ -1561,6 +1561,18 @@ object OraclesML {
        |WHERE md5(s.text) IN (
        |  SELECT md5(text) FROM documents WHERE doc_id IN (5, 17, 40))""".stripMargin
 
+  /** Mirrors `q_store_forget` — the store's kept documents after purging
+    * two probe texts: exactly the survivor set minus any doc whose text
+    * matches a probe (the purge removes the keeper rows; near-dup/exact
+    * decisions already made are unaffected because the store's dedup
+    * state only ever SUPPRESSES later arrivals, and none arrive here).
+    */
+  val storeForgetSql: String =
+    s"""WITH $incrementalSurvivorCtes
+       |SELECT s.doc_id, s.lang, s.source FROM survivors s
+       |WHERE md5(s.text) NOT IN (
+       |  SELECT md5(text) FROM documents WHERE doc_id IN (5, 17))""".stripMargin
+
   /** Mirrors `Corpus.pipelineFunnelIncremental` — the per-stage counts of
     * the arrival-order chain ([[incrementalSurvivorCtes]] + the shared
     * tail).

@@ -178,6 +178,27 @@ object SparkEntry {
         .filter(col("text_md5").isin(md5s: _*))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // Content purge (right-to-be-forgotten): forget the texts of two fixed
+    // documents from a store built on its own root, then read the full
+    // remaining document set. Idempotent across bench iterations — the
+    // build ticks replay-skip on their markers and a repeated forget finds
+    // no victims and no new tombstones, so every iteration reads the same
+    // committed snapshot.
+    "q_store_forget" -> ((s, dir) => {
+      val root = corpusStoreRoot(dir) + "_forget"
+      val docs = Tables.documents(s, dir)
+      (0 until 3).foreach { i =>
+        operators.CorpusStore.tick(
+          docs.filter(col("doc_id") % 3 === i), root,
+          tickId = Some(s"wave$i"))
+      }
+      val md5s = docs.filter(col("doc_id").isin(5L, 17L))
+        .select(org.apache.spark.sql.functions.md5(col("text")).as("k"))
+        .collect().map(_.getString(0)).toSeq.distinct
+      operators.CorpusStore.forget(s, root, md5s)
+      operators.CorpusStore.read(s, root)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     // Pipeline observability: per-stage survivor counts off the same frames
     // the build wires — a gate collapse is visible as one ordered row set
     "q_corpus_funnel" -> ((s, dir) => operators.Corpus.pipelineFunnel(Tables.documents(s, dir))),
@@ -342,6 +363,7 @@ object SparkEntry {
     // build (CorpusStoreSpec) — the oracle is shared verbatim
     "q_corpus_store_manifest" -> OraclesML.corpusPipelineIncrementalSql,
     "q_store_lookup" -> OraclesML.storeLookupSql,
+    "q_store_forget" -> OraclesML.storeForgetSql,
     "q_corpus_funnel" -> OraclesML.corpusFunnelSql,
     "q_corpus_funnel_incremental" -> OraclesML.corpusFunnelIncrementalSql,
     "q_dedup_rates" -> OraclesML.dedupRatesSql,

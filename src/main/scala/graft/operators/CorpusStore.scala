@@ -371,12 +371,9 @@ object CorpusStore {
     */
   private[graft] def bucketForKey(kind: String, l: StoreLayout,
                                   key: String): Int = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Pmod, Substring}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod}
     kind match {
-      case "doc" | "tomb" =>
-        Pmod(Cast(Conv(Substring(Literal(key), Literal(1), Literal(4)),
-          Literal(16), Literal(10)), IntegerType), Literal(l.md5Buckets))
-          .eval(null).asInstanceOf[Int]
+      case "doc" | "tomb" => hexPmod(key, l.md5Buckets)
       case "sh" =>
         Cast(Pmod(Literal(key.toLong), Literal(l.shingleBuckets.toLong)),
           IntegerType).eval(null).asInstanceOf[Int]
@@ -384,6 +381,24 @@ object CorpusStore {
         throw new IllegalArgumentException(
           s"kind $other has no single-key bucket expression")
     }
+  }
+
+  /** The band kind's compound bucket, driver-side — [[bandBucket]]'s twin
+    * the way [[bucketForKey]] twins the single-key exprs.
+    */
+  private[graft] def bandBucketForKey(bandId: Int, bandVal: String,
+                                      l: StoreLayout): Int =
+    bandId * l.bandValBuckets + hexPmod(bandVal, l.bandValBuckets)
+
+  /** pmod(conv(substring(hex,1,4),16,10)::int, buckets) evaluated eagerly —
+    * the shared core of the md5/band-val bucket exprs, as the same Catalyst
+    * operators the distributed form compiles to.
+    */
+  private def hexPmod(hex: String, buckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Pmod, Substring}
+    Pmod(Cast(Conv(Substring(Literal(hex), Literal(1), Literal(4)),
+      Literal(16), Literal(10)), IntegerType), Literal(buckets))
+      .eval(null).asInstanceOf[Int]
   }
 
   /** Two-level prune of an EXPLICIT relative-file list (a pinned
@@ -402,16 +417,27 @@ object CorpusStore {
     val byBucket: Map[Int, Seq[String]] =
       try keys.groupBy(k => bucketForKey(kind, l, k))
       catch { case scala.util.control.NonFatal(_) => return None }
+    Some(pruneRelFilesByBucket(spark, root, relFiles, byBucket))
+  }
+
+  /** [[pruneRelFiles]] with the (bucket → probe keys) map prebuilt — the
+    * form compound-bucketed kinds use (band: [[bandBucketForKey]] buckets,
+    * band_val probe keys).
+    */
+  private[graft] def pruneRelFilesByBucket(spark: SparkSession, root: String,
+                                           relFiles: Seq[String],
+                                           byBucket: Map[Int, Seq[String]])
+      : Seq[String] = {
     val shortlist = relFiles.filter(f =>
       bucketOfPath(f).exists(byBucket.contains))
     val blooms = ManifestTable.readBlooms(spark, root, shortlist)
-    Some(shortlist.filter { f =>
+    shortlist.filter { f =>
       val ks = byBucket(bucketOfPath(f).get)
       blooms(f) match {
         case None     => true
         case Some(bf) => ks.exists(bf.mightContainString)
       }
-    })
+    }
   }
 
   /** [[kindFiles]] restricted to the given bucket partitions — THE file
@@ -1050,6 +1076,190 @@ object CorpusStore {
     ManifestTable.pruneVersionDirs(fs, layoutDir(root),
       ManifestTable.versions(spark, root).toSet)
     (live.length.toLong, (live.length - nRewrittenIn + added.length).toLong)
+  }
+
+  /** What [[forget]] did: the committed version (unchanged when there was
+    * nothing to do), documents purged, tombstones added for requested md5s
+    * not already blocked, and live files rewritten across the three kinds.
+    */
+  case class ForgetReport(version: Long, nPurgedDocs: Long,
+                          nNewTombstones: Long, nFilesRewritten: Int)
+
+  /** CONTENT PURGE (right-to-be-forgotten): remove every document whose
+    * `text_md5` is in `md5s` from the live snapshot — doc rows, shingle
+    * rows, and band postings — and tombstone ALL the requested md5s so an
+    * exact redelivery of the purged text can never re-enter. One atomic
+    * commit: the affected files (located through the same two-level
+    * bucket+Bloom index the tick reads use, so a purge touches O(requests)
+    * files, never the store) are rewritten without the victim rows and
+    * swapped file-for-file ([[ManifestTable.commitRewriteFiles]]); fresh
+    * Bloom sidecars ride ahead of the commit like every other writer.
+    *
+    * Semantics a caller must know:
+    *   - EXACT copies never return (tombstoned — including md5s the store
+    *     had never seen, so a purge can pre-block a text). NEAR duplicates
+    *     of the purged content MAY enter later: purging the shingle/band
+    *     rows is the point (they derive from the content), and with them
+    *     goes the store's ability to recognize its near-neighbors.
+    *   - The purge is LOGICAL at commit time and physical after retention:
+    *     prior snapshot versions still reference the old files until
+    *     [[ManifestTable.vacuum]] ages them out (same reader-lag contract
+    *     as every commit). Run a purge, then let retention lapse (or
+    *     compact + deep-vacuum) for hard deletion.
+    *   - Vector-index postings written by [[tickWithIndex]] are NOT
+    *     touched here — purge the IVF side via its own rebuild.
+    *   - Idempotent: re-running with the same md5s finds no victims and
+    *     no new tombstones and commits nothing.
+    *
+    * Housekeeping contract (single writer), like [[compact]].
+    */
+  def forget(spark: SparkSession, root: String, md5s: Seq[String],
+             retainSnapshots: Int = ManifestTable.RetainSnapshots)
+      : ForgetReport = {
+    val keys = md5s.map(_.toLowerCase).distinct
+    require(keys.nonEmpty, "forget of an empty md5 set")
+    // fail loud on malformed hashes — a purge that silently no-ops on a
+    // typo'd hex string is a compliance bug, not a convenience
+    keys.foreach(k => require(k.matches("[0-9a-f]{32}"),
+      s"not an md5 hex digest: $k"))
+    require(keys.size <= 100000,
+      s"forget batch too large (${keys.size}); split into <=100000-key calls")
+    val prev = ManifestTable.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val layout = layoutOf(spark, root)
+    requireCurrentExprVersion(layout, "forget")
+    val dd = ManifestTable.dataDir(root)
+    def relName(abs: String): String = {
+      val i = abs.lastIndexOf("p_kind=")
+      require(i >= 0, s"not a store data file: $abs")
+      abs.substring(i)
+    }
+    def readRaw(files: Seq[String]): DataFrame =
+      spark.read.option("basePath", dd)
+        .parquet(files.map(f => s"$dd/$f"): _*)
+
+    // victim documents, through the index: (doc_id, text_md5, file)
+    val docShort = pruneRelFiles(spark, root, "doc", layout,
+      kindFiles(spark, root, "doc"), keys)
+      .getOrElse(kindFiles(spark, root, "doc"))
+    val victims =
+      if (docShort.isEmpty) Array.empty[(Long, String, String)]
+      else readKindFiles(spark, root, docShort, docSchema)
+        .filter(col("text_md5").isin(keys: _*))
+        .select(col("doc_id"), col("text_md5"),
+          input_file_name().as("f"))
+        .collect().map(r => (r.getLong(0), r.getString(1), relName(r.getString(2))))
+    val victimIds = victims.map(_._1).toSeq
+    val docVictimFiles = victims.map(_._3).distinct.toSeq
+
+    // tombstones to add: every requested md5 not already blocked (kept
+    // victims are not in tomb — their md5s get blocked here)
+    val tombShort = pruneRelFiles(spark, root, "tomb", layout,
+      kindFiles(spark, root, "tomb"), keys)
+      .getOrElse(kindFiles(spark, root, "tomb"))
+    val already =
+      if (tombShort.isEmpty) Set.empty[String]
+      else readKindFiles(spark, root, tombShort, tombSchema)
+        .filter(col("text_md5").isin(keys: _*))
+        .select(col("text_md5")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val newTombs = keys.filterNot(already.contains)
+
+    if (victimIds.isEmpty && newTombs.isEmpty)
+      return ForgetReport(prev, 0L, 0L, 0)
+
+    var victimSh: DataFrame = null
+    try {
+      // the victims' dedup state: shingle rows (by doc_id bucket) and the
+      // band postings derived from them with the SAME kernels the tick
+      // used, so the located band rows are exactly the stored ones
+      val shShort =
+        if (victimIds.isEmpty) Seq.empty[String]
+        else pruneRelFiles(spark, root, "sh", layout,
+          kindFiles(spark, root, "sh"), victimIds.map(_.toString))
+          .getOrElse(kindFiles(spark, root, "sh"))
+      victimSh =
+        if (shShort.isEmpty) null
+        else readKindFiles(spark, root, shShort, shSchema)
+          .filter(col("doc_id").isin(victimIds: _*))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      val shVictimFiles =
+        if (victimSh == null) Seq.empty[String]
+        else readRaw(shShort).filter(col("doc_id").isin(victimIds: _*))
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(r => relName(r.getString(0))).toSeq
+      val bandKeys =
+        if (victimSh == null) Array.empty[(Int, String)]
+        else Dedup.explodedBands(Dedup.rawSignatures(victimSh),
+          Dedup.NumHashes / Dedup.NumBands)
+          .select(col("band_id"), col("band_val")).distinct()
+          .collect().map(r => (r.getInt(0), r.getString(1)))
+      val bandByBucket: Map[Int, Seq[String]] = bandKeys.toSeq
+        .groupBy { case (id, v) => bandBucketForKey(id, v, layout) }
+        .map { case (b, kvs) => b -> kvs.map(_._2).distinct }
+      val bandShort = pruneRelFilesByBucket(spark, root,
+        kindFiles(spark, root, "band"), bandByBucket)
+      val bandVictimFiles =
+        if (bandShort.isEmpty) Seq.empty[String]
+        else readRaw(bandShort).filter(col("doc_id").isin(victimIds: _*))
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(r => relName(r.getString(0))).toSeq
+
+      // rewrite the affected files without the victim rows; tomb additions
+      // ride the same staging → ONE commit flips everything
+      val staging = s"$root/_staging/${UUID.randomUUID()}"
+      val toRewrite = Seq(
+        "doc" -> (docVictimFiles, col("text_md5").isin(keys: _*)),
+        "sh" -> (shVictimFiles, col("doc_id").isin(victimIds: _*)),
+        "band" -> (bandVictimFiles, col("doc_id").isin(victimIds: _*)))
+      val survivorCounts = toRewrite.map { case (kind, (files, victim)) =>
+        if (files.isEmpty) kind -> 0L
+        else {
+          val df = readRaw(files).filter(!victim)
+          df.repartition(col("p_b"))
+            .write.partitionBy("p_kind", "p_b")
+            .mode(SaveMode.Overwrite).parquet(s"$staging/$kind")
+          kind -> df.count()
+        }
+      }.toMap
+      if (newTombs.nonEmpty) {
+        import spark.implicits._
+        newTombs.toDF("text_md5")
+          .withColumn("p_kind", lit("tomb"))
+          .withColumn("p_b", md5Bucket(col("text_md5"), layout))
+          .repartition(col("p_b"))
+          .write.partitionBy("p_kind", "p_b")
+          .mode(SaveMode.Overwrite).parquet(s"$staging/tomb")
+      }
+      val byKind = Seq("doc", "sh", "band", "tomb")
+        .map(k => k -> ManifestTable.publishFiles(spark, root, s"$staging/$k"))
+      // publish integrity, the tick's contract: staged survivors must all
+      // arrive — a purge that silently dropped NON-victim rows on the way
+      // would be data loss wearing a compliance hat
+      byKind.foreach { case (kind, published) =>
+        if (kind != "tomb") {
+          val nPub =
+            if (published.isEmpty) 0L
+            else readRaw(published).count()
+          require(nPub == survivorCounts(kind),
+            s"purge rewrite of kind $kind published $nPub rows, expected " +
+              s"${survivorCounts(kind)} — staged files vanished before " +
+              "publish; is another writer's housekeeping running?")
+        }
+      }
+      writeKindBlooms(spark, root, byKind)
+      writeLayoutFor(spark, root, prev + 1, layout)
+      val removed = (docVictimFiles ++ shVictimFiles ++ bandVictimFiles).distinct
+      val v = ManifestTable.commitRewriteFiles(spark, root, removed,
+        byKind.flatMap(_._2).map(ManifestTable.FileEntry(_)))
+      ManifestTable.vacuum(spark, root, retainSnapshots, deep = false)
+      ManifestTable.pruneVersionDirs(fsOf(spark, root), layoutDir(root),
+        ManifestTable.versions(spark, root).toSet)
+      ForgetReport(v, victimIds.size.toLong, newTombs.size.toLong,
+        removed.size)
+    } finally {
+      if (victimSh != null) victimSh.unpersist()
+    }
   }
 
   /** The packed (shard, bin) training manifest over the accumulated

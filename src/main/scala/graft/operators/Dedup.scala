@@ -86,7 +86,7 @@ object Dedup {
     * CollapseProject keeps non-cheap multiply-referenced aliases staged,
     * so the kernel runs once per row.
     */
-  private def rawSignatures(shingleSets: DataFrame): DataFrame = {
+  private[operators] def rawSignatures(shingleSets: DataFrame): DataFrame = {
     graft.functions.TextExpressions.register(shingleSets.sparkSession)
     val sigs = (0 until NumHashes).map(j =>
       element_at(col("__sigs"), j + 1).as(s"sig_$j"))

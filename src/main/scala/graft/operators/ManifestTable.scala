@@ -635,14 +635,38 @@ object ManifestTable {
     */
   def commitEntries(spark: SparkSession, root: String,
                     replacedPartitions: Seq[String],
-                    added: Seq[FileEntry]): Long = {
+                    added: Seq[FileEntry]): Long =
+    commitDropping(spark, root,
+      f => replacedPartitions.exists(p => p.isEmpty || f.startsWith(p + "/")),
+      added)
+
+  /** Commit the next snapshot = previous live files minus EXACTLY the named
+    * files, plus `added` — the file-level rewrite commit (a purge or
+    * selective compaction replaces individual files, not partition
+    * prefixes). Removing a file not in the live set is an error: the
+    * caller planned its rewrite against a snapshot that has moved, and
+    * committing would silently re-expose rows the caller thought it
+    * replaced.
+    */
+  def commitRewriteFiles(spark: SparkSession, root: String,
+                         removedFiles: Seq[String],
+                         added: Seq[FileEntry]): Long = {
+    val live = liveFiles(spark, root).toSet
+    val missing = removedFiles.filterNot(live.contains)
+    require(missing.isEmpty,
+      s"rewrite commit removes files not in the live snapshot " +
+        s"(planned against a moved store?): ${missing.take(5).mkString(",")}")
+    val doomed = removedFiles.toSet
+    commitDropping(spark, root, doomed.contains, added)
+  }
+
+  private def commitDropping(spark: SparkSession, root: String,
+                             drop: String => Boolean,
+                             added: Seq[FileEntry]): Long = {
     val fs = fsOf(spark, root)
     val prev = currentVersion(spark, root)
     val kept = prev.map(rawLinesOf(spark, root, _)).getOrElse(Seq.empty)
-      .filterNot { line =>
-        val f = parseEntry(line).path
-        replacedPartitions.exists(p => p.isEmpty || f.startsWith(p + "/"))
-      }
+      .filterNot(line => drop(parseEntry(line).path))
     val next = prev.getOrElse(0L) + 1
     val tmp = new Path(s"$root/$ManifestDirName/.tmp-${UUID.randomUUID()}")
     fs.mkdirs(tmp.getParent)
