@@ -1573,6 +1573,30 @@ object OraclesML {
        |WHERE md5(s.text) NOT IN (
        |  SELECT md5(text) FROM documents WHERE doc_id IN (5, 17))""".stripMargin
 
+  /** Mirrors `q_store_changes` — the change data feed between the
+    * waves-0/1 snapshot and the final snapshot (wave 2 ingested, then the
+    * texts of docs 7 and 11 purged). Inserts are the wave-2 survivors of
+    * the arrival-order chain minus any purged text (doc 11's text, wave 2,
+    * cancels its own insert); deletes are the wave-0/1 survivors whose
+    * text was purged (doc 7's text, wave 1, present at the from-version
+    * and gone at the to-version). Keeper identity is by text md5 — the
+    * store's content key — so a probe text that failed the quality gate or
+    * lost exact dedup to an earlier wave yields the same (absent) change
+    * row on both sides.
+    */
+  val storeChangesSql: String =
+    s"""WITH $incrementalSurvivorCtes,
+       |probe AS (SELECT md5(text) AS k FROM documents WHERE doc_id IN (7, 11))
+       |SELECT s.doc_id, s.lang, s.source, md5(s.text) AS text_md5,
+       |  'insert' AS change
+       |FROM survivors s
+       |WHERE s.doc_id % 3 = 2 AND md5(s.text) NOT IN (SELECT k FROM probe)
+       |UNION ALL
+       |SELECT s.doc_id, s.lang, s.source, md5(s.text) AS text_md5,
+       |  'delete' AS change
+       |FROM survivors s
+       |WHERE s.doc_id % 3 < 2 AND md5(s.text) IN (SELECT k FROM probe)""".stripMargin
+
   /** Mirrors `Corpus.pipelineFunnelIncremental` — the per-stage counts of
     * the arrival-order chain ([[incrementalSurvivorCtes]] + the shared
     * tail).

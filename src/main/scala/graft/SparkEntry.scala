@@ -199,6 +199,47 @@ object SparkEntry {
       operators.CorpusStore.read(s, root)
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // Change data feed: the inserts/deletes between the waves-0/1 snapshot
+    // and the final snapshot (wave 2 ingested, two texts purged) — the
+    // incremental-export read a downstream consumer runs instead of
+    // re-reading the corpus. The from-version is PINNED to a sidecar file
+    // the first time the store reaches the waves-0/1 state: on later bench
+    // iterations the build ticks replay-skip, so currentVersion here would
+    // already be the final snapshot — the pin records the boundary once
+    // and every iteration diffs the same (from, to) pair.
+    "q_store_changes" -> ((s, dir) => {
+      val root = corpusStoreRoot(dir) + "_changes"
+      val docs = Tables.documents(s, dir)
+      (0 until 2).foreach { i =>
+        operators.CorpusStore.tick(
+          docs.filter(col("doc_id") % 3 === i), root,
+          tickId = Some(s"wave$i"), retainSnapshots = 10)
+      }
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val pin = new org.apache.hadoop.fs.Path(s"$root/_changes_from")
+      if (!fs.exists(pin)) {
+        val out = fs.create(pin, false)
+        try out.write(operators.ManifestTable.currentVersion(s, root).get
+          .toString.getBytes("UTF-8"))
+        finally out.close()
+      }
+      val vFrom = {
+        val in = fs.open(pin)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          new String(buf, 0, n, "UTF-8").trim.toLong
+        } finally in.close()
+      }
+      operators.CorpusStore.tick(docs.filter(col("doc_id") % 3 === 2), root,
+        tickId = Some("wave2"), retainSnapshots = 10)
+      val md5s = docs.filter(col("doc_id").isin(7L, 11L))
+        .select(org.apache.spark.sql.functions.md5(col("text")).as("k"))
+        .collect().map(_.getString(0)).toSeq.distinct
+      operators.CorpusStore.forget(s, root, md5s, retainSnapshots = 10)
+      operators.CorpusStore.changesSince(s, root, vFrom)
+    }),
     // Pipeline observability: per-stage survivor counts off the same frames
     // the build wires — a gate collapse is visible as one ordered row set
     "q_corpus_funnel" -> ((s, dir) => operators.Corpus.pipelineFunnel(Tables.documents(s, dir))),
@@ -364,6 +405,7 @@ object SparkEntry {
     "q_corpus_store_manifest" -> OraclesML.corpusPipelineIncrementalSql,
     "q_store_lookup" -> OraclesML.storeLookupSql,
     "q_store_forget" -> OraclesML.storeForgetSql,
+    "q_store_changes" -> OraclesML.storeChangesSql,
     "q_corpus_funnel" -> OraclesML.corpusFunnelSql,
     "q_corpus_funnel_incremental" -> OraclesML.corpusFunnelIncrementalSql,
     "q_dedup_rates" -> OraclesML.dedupRatesSql,

@@ -1362,4 +1362,69 @@ object CorpusStore {
         .select(col("doc_id"), col("lang"), col("source"), col("text")),
       perplexityThreshold, flagAt, totalBudget, nShards, seqBudget, seed)
   }
+
+  /** [[read]] pinned at a RETAINED snapshot version — the doc rows exactly
+    * as that version committed them (time travel; files are immutable
+    * inside the retention window, see [[tick]]'s `retainSnapshots`). An
+    * unretained version fails loudly at the manifest read; a retained
+    * version with no doc files (e.g. a tomb-only first commit) reads as a
+    * correctly typed empty frame.
+    */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
+    readKindFiles(spark, root,
+      ManifestTable.filesOf(spark, root, version)
+        .filter(_.startsWith("p_kind=doc/")), docSchema)
+
+  /** Change data feed between two retained snapshots: the document-level
+    * inserts and deletes that move `fromVersion`'s kept-document view to
+    * `toVersion`'s — what an incremental consumer (a training-data export
+    * refresh, a downstream feature store) applies instead of re-reading the
+    * corpus. Output: (doc_id, lang, source, text_md5, change) with change
+    * in {insert, delete}; `text_md5` is the store's content identity (the
+    * exact-dedup key — one doc row per md5 per snapshot), so a delete names
+    * exactly the content that left.
+    *
+    * SCALE: pure manifest arithmetic picks the doc files the two versions
+    * do NOT share, and only those files are ever read — ticks append and
+    * [[forget]] rewrites only victim files, so a tick-window diff costs
+    * O(changed files), never O(store). Rows that merely MOVED between
+    * files cancel in a `text_md5` anti-join between the two changed sides:
+    * a [[compact]]-only window reads its rewritten files once and yields
+    * zero changes. The one degenerate window is a `rebucketTo` migration
+    * (every file rewrites, so the diff reads the store once to prove
+    * nothing changed) — diff around migrations, not across them, when that
+    * matters.
+    *
+    * Both versions must still be retained (an unretained version's
+    * manifest is gone and the read fails loudly — raise [[tick]]'s
+    * `retainSnapshots` to the consumer's maximum refresh lag).
+    */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    def docFiles(v: Long): Set[String] =
+      ManifestTable.filesOf(spark, root, v)
+        .filter(_.startsWith("p_kind=doc/")).toSet
+    val fromF = docFiles(fromVersion)
+    val toF = docFiles(toVersion)
+    def changedRows(own: Set[String], other: Set[String], tag: String) =
+      readKindFiles(spark, root, (own -- other).toSeq.sorted, docSchema)
+        .join(readKindFiles(spark, root, (other -- own).toSeq.sorted,
+            docSchema).select(col("text_md5")),
+          Seq("text_md5"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("text_md5"))
+        .withColumn("change", lit(tag))
+    changedRows(toF, fromF, "insert")
+      .unionByName(changedRows(fromF, toF, "delete"))
+  }
+
+  /** [[changesBetween]] from `sinceVersion` to the current snapshot — the
+    * consumer-side refresh call ("what changed since my last export").
+    */
+  def changesSince(spark: SparkSession, root: String,
+                   sinceVersion: Long): DataFrame =
+    changesBetween(spark, root, sinceVersion,
+      ManifestTable.currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $root")))
 }
