@@ -453,7 +453,13 @@ object CorpusStore {
   /** Scan an explicit kind file list; an empty list yields a correctly
     * typed empty frame from the kind's static schema (the store owns its
     * schemas, so no schema-donor file is needed — a tomb-only first
-    * commit, for instance, has no doc file to borrow from).
+    * commit, for instance, has no doc file to borrow from). The non-empty
+    * read is pinned to the SAME static column order: different commit
+    * paths (tick append, compaction, forget's rewrite) physically lay the
+    * columns out in whatever order their plan produced, and Spark's
+    * multi-file schema resolution donates the order of an arbitrary file —
+    * without the select, [[read]]'s column order flipped run-to-run on
+    * stores touched by more than one writer path.
     */
   private def readKindFiles(spark: SparkSession, root: String,
                             files: Seq[String], schema: StructType,
@@ -465,7 +471,7 @@ object CorpusStore {
       val dd = ManifestTable.dataDir(root)
       spark.read.option("basePath", dd).options(tags)
         .parquet(files.map(f => s"$dd/$f"): _*)
-        .drop("p_kind", "p_b")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
 
   /** The relation-option tags [[read]] stamps on a snapshot scan so
@@ -1427,4 +1433,33 @@ object CorpusStore {
     changesBetween(spark, root, sinceVersion,
       ManifestTable.currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot at $root")))
+
+  case class KindHealth(kind: String, nFiles: Long, nBuckets: Long,
+                        maxFilesPerBucket: Long)
+  case class StoreHealth(version: Long, nRetainedVersions: Int,
+                         nCommittedTicks: Int, layout: StoreLayout,
+                         kinds: Seq[KindHealth])
+
+  /** Operational health of the live snapshot — the numbers a compaction
+    * schedule and a capacity dashboard key on — from manifest arithmetic
+    * plus one marker listing: no data file is opened and no directory
+    * under `data/` is walked, so the call is O(manifest lines) on the
+    * driver however large the store grows. `maxFilesPerBucket` is the
+    * fragmentation signal: ticks append one file per touched bucket per
+    * kind, so it climbs roughly one per tick between [[compact]] runs and
+    * collapses back to ~1 after.
+    */
+  def health(spark: SparkSession, root: String): StoreHealth = {
+    val v = ManifestTable.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $root"))
+    val live = ManifestTable.liveFiles(spark, root)
+    val kinds = Seq("doc", "tomb", "band", "sh").map { k =>
+      val files = live.filter(_.startsWith(s"p_kind=$k/"))
+      val perBucket = files.groupBy(bucketOfPath).values.map(_.size)
+      KindHealth(k, files.size.toLong, perBucket.size.toLong,
+        if (perBucket.isEmpty) 0L else perBucket.max.toLong)
+    }
+    StoreHealth(v, ManifestTable.versions(spark, root).size,
+      committedTicks(spark, root).size, layoutOf(spark, root), kinds)
+  }
 }

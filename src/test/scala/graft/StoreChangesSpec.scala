@@ -176,4 +176,32 @@ class StoreChangesSpec extends SparkSpec {
       .map(_.toString).sorted.toSeq
     assert(before.forall(now.contains))
   }
+
+  test("health: manifest-arithmetic counts match the live listing; " +
+    "fragmentation climbs with ticks and collapses after compaction") {
+    val root = freshStore()
+    val h1 = CorpusStore.health(spark, root)
+    val live = ManifestTable.liveFiles(spark, root)
+    assert(h1.version === ManifestTable.currentVersion(spark, root).get)
+    assert(h1.nCommittedTicks === 2)
+    h1.kinds.foreach { k =>
+      assert(k.nFiles ===
+        live.count(_.startsWith(s"p_kind=${k.kind}/")).toLong)
+      assert(k.nBuckets <= k.nFiles)
+      assert(k.maxFilesPerBucket >= (if (k.nFiles > 0) 1L else 0L))
+    }
+    // more ticks fragment the touched buckets
+    (2 until 6).foreach { i =>
+      CorpusStore.tick(synthDocs(i * 1000L, 20, s"w$i"), root,
+        tickId = Some(s"w$i"), minQuality = 0.0, retainSnapshots = 10)
+    }
+    val h2 = CorpusStore.health(spark, root)
+    val docMax2 = h2.kinds.find(_.kind == "doc").get.maxFilesPerBucket
+    assert(docMax2 > h1.kinds.find(_.kind == "doc").get.maxFilesPerBucket)
+    // compaction collapses the fragmentation signal back toward 1
+    CorpusStore.compact(spark, root, targetBytes = 1L << 30)
+    val h3 = CorpusStore.health(spark, root)
+    assert(h3.kinds.find(_.kind == "doc").get.maxFilesPerBucket < docMax2)
+    assert(h3.kinds.find(_.kind == "doc").get.maxFilesPerBucket === 1L)
+  }
 }
