@@ -53,6 +53,12 @@ import scala.util.control.NonFatal
   * a genuine plan regression slows ALL of them — including the best. A
   * first-pass flag additionally earns the query one isolated retry round
   * at the end of the run; only flags that survive isolation are reported.
+  * The retry itself is gated on a GENUINELY quiet probe (1.15x of the
+  * end-phase floor, re-checked before every retried query, from a shared
+  * 2x wait budget): a surviving flag whose retry never saw a quiet probe
+  * is emitted under `"unconfirmed"` rather than `"regressions"` — round
+  * 12's three phantom flags were exactly flags retried inside a ~1.4x
+  * drift window that the old 1.5x gate waved through.
   * The reported per-query numbers stay MEDIANS (the honest typical cost);
   * `mins` is emitted alongside for the tripwire. Re-record the baseline by
   * running this main and copying the JSON line into
@@ -67,6 +73,32 @@ import scala.util.control.NonFatal
   * flag phantom regressions.
   */
 object Bench {
+  /** Bounded quiet-window wait shared by the start gate and the retry
+    * phase: probes until the reading is at or under `ratio`x `floor` or the
+    * wait budget runs out. `waits` is a MUTABLE budget holder (a 1-element
+    * array) so several call sites — one per retried query — draw from ONE
+    * shared pool rather than each getting a fresh allowance (a sustained
+    * burst must exhaust the phase, not be re-granted per query). Returns
+    * the last probe value and whether the quiet bar was met. Factored out
+    * (and parameterized on the probe/sleep) so the gating logic itself is
+    * unit-testable without a SparkSession: `BenchQuietSpec` injects a
+    * synthetic burst and asserts the wait outlasts it.
+    */
+  private[graft] def awaitQuiet(
+      probe: () => Double, floor: Double, ratio: Double,
+      waits: Array[Int], sleepMs: Long, phase: String): (Double, Boolean) = {
+    var cal = probe()
+    while (cal > ratio * floor && waits(0) > 0) {
+      waits(0) -= 1
+      System.err.println(
+        f"[bench] $phase calibration $cal%.3fs exceeds $ratio%.2fx floor " +
+          f"$floor%.3fs — waiting ${sleepMs / 1000}s (${waits(0)} waits left)")
+      if (sleepMs > 0) Thread.sleep(sleepMs)
+      cal = probe()
+    }
+    (cal, cal <= ratio * floor)
+  }
+
   /** Fixed CPU-bound probe (~1 s quiet on 32 threads): inflates with
     * host contention, independent of the data and of any query change.
     */
@@ -170,15 +202,8 @@ object Bench {
     val quietTries =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_TRIES", "10").toInt
     calFloors.foreach { case (startFl, _) =>
-      var tries = 0
-      while (cal0 > 1.8 * startFl && tries < quietTries) {
-        tries += 1
-        System.err.println(
-          f"[bench] start calibration $cal0%.3fs exceeds 1.8x floor " +
-            f"$startFl%.3fs — waiting 60s for a quiet window ($tries/$quietTries)")
-        Thread.sleep(60000L)
-        cal0 = calibrate(spark)
-      }
+      cal0 = awaitQuiet(() => calibrate(spark), startFl, 1.8,
+        Array(quietTries), 60000L, "start")._1
     }
     // a failed query must not masquerade as a fast one: report -1 and log
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
@@ -246,41 +271,49 @@ object Bench {
     // Flagged queries therefore get one ISOLATED retry round at the end of
     // the run — round 3's manual re-run procedure, automated. A genuine
     // plan regression is slow in isolation too and still flags.
-    val retriedMins: Map[String, Double] = flaggedIn(mins0) match {
-      case Seq() => Map.empty
-      case flagged =>
-        // The retry exists to separate host bursts from plan regressions,
-        // so it must not re-time INSIDE the burst that caused the flag
-        // (observed: a mid-run burst put one heavy query's median at 2.2x
-        // its own min, and the immediate retry still read 1.3x — flagged
-        // as a regression in an otherwise-untainted run). Same bounded
-        // wait as the start gate, against the END-phase floor since the
-        // probe now carries a full run's JIT/heap wear.
-        calFloors.foreach { case (_, endFl) =>
-          var tries = 0
-          var cal = calibrate(spark)
-          while (cal > 1.5 * endFl && tries < quietTries) {
-            tries += 1
+    val (retriedMins: Map[String, Double], noisyRetries: Set[String]) =
+      flaggedIn(mins0) match {
+        case Seq() => (Map.empty[String, Double], Set.empty[String])
+        case flagged =>
+          // The retry exists to separate host bursts from plan regressions,
+          // so it must not re-time INSIDE the burst that caused the flag
+          // (observed: a mid-run burst put one heavy query's median at 2.2x
+          // its own min, and the immediate retry still read 1.3x — flagged
+          // as a regression in an otherwise-untainted run). Round 12 showed
+          // the old single 1.5x-of-end-floor gate is not enough: a window
+          // elevated to ~1.4x passes straight through and the retry can't
+          // clear drift flags. The retry phase therefore (a) demands a
+          // GENUINELY quiet probe — 1.15x of the end-phase floor, well
+          // under the drift band — (b) re-probes before EVERY retried
+          // query, since a window can degrade mid-phase, and (c) draws all
+          // waits from one shared 2x-sized budget so a sustained burst
+          // exhausts the phase rather than being re-granted per query. A
+          // flag whose retry never saw a quiet probe is routed to
+          // `unconfirmed` (visible in the JSON, NOT certified): certifying
+          // it would repeat round 12's phantom-flag failure, and a genuine
+          // plan regression re-flags in the next quiet window anyway.
+          val budget = Array(quietTries * 2)
+          val noisy = scala.collection.mutable.Set[String]()
+          val retried = flagged.flatMap { name =>
+            val quiet = calFloors.forall { case (_, endFl) =>
+              awaitQuiet(() => calibrate(spark), endFl, 1.15, budget,
+                60000L, s"retry[$name]")._2
+            }
+            if (!quiet) noisy += name
             System.err.println(
-              f"[bench] retry-phase calibration $cal%.3fs exceeds 1.5x end " +
-                f"floor $endFl%.3fs — waiting 60s before retrying flagged " +
-                f"queries ($tries/$quietTries)")
-            Thread.sleep(60000L)
-            cal = calibrate(spark)
-          }
-        }
-        flagged.flatMap { name =>
-          System.err.println(s"[bench] retrying flagged $name in isolation")
-          val times = (1 to iters).map { _ =>
-            val t0 = System.nanoTime()
-            try { queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-                  (System.nanoTime() - t0) / 1e9 }
-            catch { case NonFatal(_) => -1.0 }
-            finally spark.catalog.clearCache()
-          }.filter(_ >= 0)
-          times.minOption.map(m => name -> math.min(m, mins0(name)))
-        }.toMap
-    }
+              s"[bench] retrying flagged $name in isolation" +
+                (if (quiet) "" else " (window still noisy — unconfirmable)"))
+            val times = (1 to iters).map { _ =>
+              val t0 = System.nanoTime()
+              try { queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+                    (System.nanoTime() - t0) / 1e9 }
+              catch { case NonFatal(_) => -1.0 }
+              finally spark.catalog.clearCache()
+            }.filter(_ >= 0)
+            times.minOption.map(m => name -> math.min(m, mins0(name)))
+          }.toMap
+          (retried, noisy.toSet)
+      }
     val finalMins = mins0 ++ retriedMins
     val cal1 = calibrate(spark)
     // 1.8x (not 2x) start margin: a visibly contended round-7 run (uniform
@@ -296,12 +329,19 @@ object Bench {
         f"[bench] TAINTED run: calibration $cal0%.2fs/$cal1%.2fs vs quiet floors " +
           f"${calFloors.get._1}%.2fs/${calFloors.get._2}%.2fs — host contention " +
           "detected, regression flags suppressed")
-    val regressions: Seq[String] =
-      if (tainted) Seq.empty
-      else flaggedIn(finalMins).map { name =>
-        f"$name: ${baseMins(name)}%.2fs -> ${finalMins(name)}%.2fs (min-vs-min, retried)"
-      }
+    // A surviving flag is only CERTIFIED as a regression when its isolated
+    // retry ran against a quiet probe; otherwise it is reported as
+    // unconfirmed — loud enough to investigate, not strong enough to stamp.
+    val (confirmedFlags, unconfirmedFlags) =
+      if (tainted) (Seq.empty[String], Seq.empty[String])
+      else flaggedIn(finalMins).partition(n => !noisyRetries.contains(n))
+    def describe(name: String): String =
+      f"$name: ${baseMins(name)}%.2fs -> ${finalMins(name)}%.2fs (min-vs-min, retried)"
+    val regressions: Seq[String] = confirmedFlags.map(describe)
+    val unconfirmed: Seq[String] = unconfirmedFlags.map(describe)
     regressions.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
+    unconfirmed.foreach(r =>
+      System.err.println(s"[bench] UNCONFIRMED (noisy retry window) $r"))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, _) => "\"" + k + "\":" + finalMins(k) }
@@ -309,11 +349,13 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val regJson = regressions.map(r => "\"" + r.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
+    val unconfJson = unconfirmed.map(r => "\"" + r.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
     // a -1.0 query must be loud: named in the JSON and fatal to the exit code
     // (round 7 shipped a broken query through a green rc-0 bench)
     val failed = results.collect { case (n, m, _) if m < 0 => n }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"sf":"$sfDir","regressions":$regJson,"failed":$failedJson,"calibration":[$cal0%.3f,$cal1%.3f],"tainted":$tainted}"""
+    val line = f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"sf":"$sfDir","regressions":$regJson,"unconfirmed":$unconfJson,"failed":$failedJson,"calibration":[$cal0%.3f,$cal1%.3f],"tainted":$tainted}"""
     println(line)
     // Durable sidecar: the driver captures stdout with a bounded tail, which
     // clipped round 6's record mid-value (BENCH_r06.json "parsed": null).

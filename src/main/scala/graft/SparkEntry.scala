@@ -218,19 +218,28 @@ object SparkEntry {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val pin = new org.apache.hadoop.fs.Path(s"$root/_changes_from")
-      if (!fs.exists(pin)) {
-        val out = fs.create(pin, false)
-        try out.write(operators.ManifestTable.currentVersion(s, root).get
-          .toString.getBytes("UTF-8"))
-        finally out.close()
-      }
-      val vFrom = {
-        val in = fs.open(pin)
-        try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          new String(buf, 0, n, "UTF-8").trim.toLong
-        } finally in.close()
+      // Hadoop streams may return PARTIAL reads, and a crash between
+      // fs.create and out.write leaves an EMPTY pin — so read with a full
+      // drain loop and treat an empty/unparsable pin as absent (rewrite it
+      // with the current version) rather than throwing on every later run.
+      def pinnedFrom(): Option[Long] =
+        if (!fs.exists(pin)) None
+        else {
+          val in = fs.open(pin)
+          val txt = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64)
+            var n = in.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            new String(bos.toByteArray, "UTF-8").trim
+          } finally in.close()
+          if (txt.nonEmpty && txt.forall(_.isDigit)) Some(txt.toLong) else None
+        }
+      val vFrom = pinnedFrom().getOrElse {
+        val v = operators.ManifestTable.currentVersion(s, root).get
+        val out = fs.create(pin, true) // overwrite a corrupt/empty leftover
+        try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+        v
       }
       operators.CorpusStore.tick(docs.filter(col("doc_id") % 3 === 2), root,
         tickId = Some("wave2"), retainSnapshots = 10)

@@ -307,9 +307,10 @@ object CorpusStore {
 
   /** The single column a kind's files can be index-pruned BY (bucket dir +
     * Bloom sidecar agree on it) — what [[graft.plans.StorePruneRule]] keys
-    * its literal-predicate extraction on. The band kind is excluded: its
-    * bucket is a (band_id, band_val) compound, so a band_val literal alone
-    * cannot resolve a directory.
+    * its literal-predicate extraction on. The band kind is excluded HERE
+    * because its bucket is a (band_id, band_val) compound — a band_val
+    * literal alone cannot resolve a directory; the rule handles it through
+    * its own two-column extraction routed via [[bandBucketForKey]].
     */
   private[graft] def bloomKeyOf(kind: String): Option[String] =
     if (kind == "band") None else BloomKeyOf.get(kind)
@@ -516,13 +517,23 @@ object CorpusStore {
     require(ManifestTable.currentVersion(spark, root).nonEmpty,
       s"no committed snapshot at $root")
     val live = ManifestTable.liveFiles(spark, root)
-    require(live.isEmpty || live.exists(_.startsWith("p_kind=")),
-      s"live files at $root carry no p_kind= partitions — not a CorpusStore " +
-        "layout (or one from an incompatible format version); refusing to " +
-        "read it as an empty store")
+    requireStoreLayout(root, live)
     readKindFiles(spark, root, kindFiles(spark, root, "doc"), docSchema,
       pruneTags(root, "doc", layoutOf(spark, root)))
   }
+
+  /** Format-boundary guard shared by [[read]], [[readAt]] and
+    * [[changesBetween]]: a non-empty file set with no `p_kind=` prefix was
+    * written by something other than this store (a plain [[ManifestTable]],
+    * or an incompatible format version). Silently treating it as an empty
+    * snapshot would make an incremental consumer on a mistyped root
+    * conclude "no documents / no changes" — so it throws instead.
+    */
+  private def requireStoreLayout(root: String, files: Seq[String]): Unit =
+    require(files.isEmpty || files.exists(_.startsWith("p_kind=")),
+      s"files at $root carry no p_kind= partitions — not a CorpusStore " +
+        "layout (or one from an incompatible format version); refusing to " +
+        "read it as an empty store")
 
   /** The kept documents of the latest snapshot — the frame [[manifest]]
     * and any downstream analysis consume (column-pruned scan).
@@ -530,6 +541,21 @@ object CorpusStore {
   def docs(spark: SparkSession, root: String): DataFrame =
     read(spark, root).select(col("doc_id"), col("lang"), col("source"),
       col("text"))
+
+  /** The live band postings (doc_id, band_id, band_val) — the
+    * investigative "which documents share this band" surface. Tagged for
+    * [[graft.plans.StorePruneRule]]: with the rule installed, a query
+    * pinning BOTH `band_id` and `band_val` to literals plans over the
+    * compound band bucket's pruned files only (bucket dir +
+    * band_val Bloom probes), not the whole band kind.
+    */
+  def bands(spark: SparkSession, root: String): DataFrame = {
+    require(ManifestTable.currentVersion(spark, root).nonEmpty,
+      s"no committed snapshot at $root")
+    requireStoreLayout(root, ManifestTable.liveFiles(spark, root))
+    readKindFiles(spark, root, kindFiles(spark, root, "band"), bandSchema,
+      pruneTags(root, "band", layoutOf(spark, root)))
+  }
 
   /** Tick ids that have committed (one FS listing — observability; the
     * per-tick replay check uses an O(1) `exists` on the single marker).
@@ -708,6 +734,50 @@ object CorpusStore {
                              retainSnapshots: Int = ManifestTable.RetainSnapshots,
                              layoutIfNew: Option[StoreLayout] = None)
       : (TickReport, Array[Long]) = {
+    // OPTIMISTIC CONCURRENCY — two genuinely concurrent ticks both land.
+    // A tick is an optimistic transaction: it reads snapshot N, computes
+    // its keepers against N, and commits CONDITIONED on the store still
+    // being at N (ManifestTable's expected-version check + the conditional
+    // manifest install). A tick that loses — another writer committed
+    // while it computed — throws CommitConflictException, and this loop
+    // re-reads and RECOMPUTES the whole tick against the new snapshot:
+    // the winner's keepers must be deduped against, so retrying just the
+    // commit would be wrong. Replay markers and the md5/tombstone
+    // semantics make re-running safe by construction; the lost attempt's
+    // published files are deleted at the conflict site. Bounded: ticks
+    // are seconds long, so starvation means pathological writer counts —
+    // serialize those deployments instead.
+    val maxRetries = 5
+    var attempt = 0
+    var last: CommitConflictException = null
+    while (attempt <= maxRetries) {
+      try return tickAttempt(rawBatch, root, tickId, minQuality, threshold,
+        cap, collectKeeperIds, retainSnapshots, layoutIfNew)
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          last = e
+          logInfo(s"tick lost commit race $attempt/$maxRetries at $root — " +
+            "recomputing against the new snapshot")
+      }
+    }
+    throw new IllegalStateException(
+      s"tick lost $maxRetries consecutive commit races at $root — " +
+        "pathological writer contention; serialize these writers", last)
+  }
+
+  private def logInfo(msg: String): Unit =
+    System.err.println(s"[graft.CorpusStore] $msg")
+
+  private def tickAttempt(rawBatch: DataFrame, root: String,
+                          tickId: Option[String],
+                          minQuality: Double,
+                          threshold: Double,
+                          cap: Int,
+                          collectKeeperIds: Boolean,
+                          retainSnapshots: Int,
+                          layoutIfNew: Option[StoreLayout])
+      : (TickReport, Array[Long]) = {
     val spark = rawBatch.sparkSession
     tickId.foreach(id => require(id.matches("[A-Za-z0-9._-]+"),
       s"unsafe tick id: $id"))
@@ -865,8 +935,28 @@ object CorpusStore {
           // overwrites (layout)
           writeKindBlooms(spark, root, byKind)
           writeLayoutFor(spark, root, prev.getOrElse(0L) + 1, layout)
-          val v = ManifestTable.commitReplace(spark, root, Seq.empty,
-            byKind.flatMap(_._2))
+          val v =
+            try ManifestTable.commitReplace(spark, root, Seq.empty,
+              byKind.flatMap(_._2),
+              expectedVersion = Some(prev.getOrElse(0L)))
+            catch {
+              case e: CommitConflictException =>
+                // lost the race after publishing: this attempt's data
+                // files are orphans no manifest references — delete them
+                // (and their bloom sidecars) so the retry loop doesn't
+                // accumulate junk for the deep vacuum to find. The retry
+                // recomputes and re-stages from scratch.
+                val fs = fsOf(spark, root)
+                byKind.flatMap(_._2).foreach { rel =>
+                  try {
+                    fs.delete(new org.apache.hadoop.fs.Path(
+                      s"${ManifestTable.dataDir(root)}/$rel"), false)
+                    fs.delete(new org.apache.hadoop.fs.Path(
+                      s"$root/_blooms/$rel.bloom"), false)
+                  } catch { case scala.util.control.NonFatal(_) => () }
+                }
+                throw e
+            }
           // cheap tier only: per-tick reclamation is manifest arithmetic;
           // the deep orphan sweep (a recursive listing) runs at compact
           // time, not once per batch
@@ -1113,7 +1203,8 @@ object CorpusStore {
     *     as every commit). Run a purge, then let retention lapse (or
     *     compact + deep-vacuum) for hard deletion.
     *   - Vector-index postings written by [[tickWithIndex]] are NOT
-    *     touched here — purge the IVF side via its own rebuild.
+    *     touched here — [[forgetWithIndex]] composes this purge with
+    *     [[IvfStore.forget]] for stores that run the platform tick.
     *   - Idempotent: re-running with the same md5s finds no victims and
     *     no new tombstones and commits nothing.
     *
@@ -1268,6 +1359,44 @@ object CorpusStore {
     }
   }
 
+  /** [[forget]] composed with the vector index [[tickWithIndex]] maintains
+    * — the platform store's complete right-to-be-forgotten: the victims'
+    * IVF postings leave the index FIRST (while their doc rows still exist
+    * to resolve md5 → doc_id through the doc-kind two-level index), then
+    * the corpus purge runs. After both, neither [[read]] nor
+    * [[IvfStore.annIvf]] can ever return the purged content.
+    *
+    * Ordering is the crash-safety: a retry after a crash anywhere finds
+    * the doc rows still present (the corpus purge hadn't run), re-resolves
+    * the SAME victim ids, re-runs the idempotent index purge (a no-op if
+    * it landed), and completes the corpus purge. The reverse order would
+    * strand the postings forever — once the doc rows are gone, md5s no
+    * longer resolve to vec_ids. Same housekeeping contract (single writer)
+    * and retention semantics as [[forget]].
+    */
+  def forgetWithIndex(spark: SparkSession, root: String, ivfRoot: String,
+                      md5s: Seq[String],
+                      retainSnapshots: Int = ManifestTable.RetainSnapshots)
+      : ForgetReport = {
+    val keys = md5s.map(_.toLowerCase).distinct
+    require(keys.nonEmpty, "forget of an empty md5 set")
+    keys.foreach(k => require(k.matches("[0-9a-f]{32}"),
+      s"not an md5 hex digest: $k"))
+    if (ManifestTable.currentVersion(spark, root).nonEmpty) {
+      val layout = layoutOf(spark, root)
+      val docShort = pruneRelFiles(spark, root, "doc", layout,
+        kindFiles(spark, root, "doc"), keys)
+        .getOrElse(kindFiles(spark, root, "doc"))
+      val victimIds =
+        if (docShort.isEmpty) Seq.empty[Long]
+        else readKindFiles(spark, root, docShort, docSchema)
+          .filter(col("text_md5").isin(keys: _*))
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      if (victimIds.nonEmpty) IvfStore.forget(spark, ivfRoot, victimIds)
+    }
+    forget(spark, root, md5s, retainSnapshots)
+  }
+
   /** The packed (shard, bin) training manifest over the accumulated
     * keepers — [[Corpus.corpusPipeline]]'s stage 2–7 tail off the store
     * (identical output to the all-at-once incremental build when the
@@ -1376,10 +1505,12 @@ object CorpusStore {
     * version with no doc files (e.g. a tomb-only first commit) reads as a
     * correctly typed empty frame.
     */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val files = ManifestTable.filesOf(spark, root, version)
+    requireStoreLayout(root, files)
     readKindFiles(spark, root,
-      ManifestTable.filesOf(spark, root, version)
-        .filter(_.startsWith("p_kind=doc/")), docSchema)
+      files.filter(_.startsWith("p_kind=doc/")), docSchema)
+  }
 
   /** Change data feed between two retained snapshots: the document-level
     * inserts and deletes that move `fromVersion`'s kept-document view to
@@ -1409,9 +1540,11 @@ object CorpusStore {
                      fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    def docFiles(v: Long): Set[String] =
-      ManifestTable.filesOf(spark, root, v)
-        .filter(_.startsWith("p_kind=doc/")).toSet
+    def docFiles(v: Long): Set[String] = {
+      val files = ManifestTable.filesOf(spark, root, v)
+      requireStoreLayout(root, files)
+      files.filter(_.startsWith("p_kind=doc/")).toSet
+    }
     val fromF = docFiles(fromVersion)
     val toF = docFiles(toVersion)
     def changedRows(own: Set[String], other: Set[String], tag: String) =

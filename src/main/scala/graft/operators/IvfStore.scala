@@ -167,6 +167,109 @@ object IvfStore {
     v
   }
 
+  /** What [[forget]] did: the committed postings version (unchanged when
+    * no victim posting existed), postings purged, files rewritten.
+    */
+  case class IvfForgetReport(version: Long, nPurged: Long,
+                             nFilesRewritten: Int)
+
+  /** INDEX PURGE — the vector-index half of right-to-be-forgotten
+    * ([[CorpusStore.forgetWithIndex]] composes it with the corpus purge):
+    * remove every posting whose `vec_id` is in `vecIds` from the live
+    * postings snapshot, so [[annIvf]] can never again return a purged
+    * document's embedding.
+    *
+    * SCALE: the manifest's per-file vec_id min/max stats shortlist the
+    * files that might hold a victim, the shortlist is narrowed to files
+    * that actually DO, and only those are rewritten without the victim
+    * rows (cell layout preserved) — ONE atomic file-level commit
+    * ([[ManifestTable.commitRewriteFiles]]), O(touched files), never a
+    * postings scan or an index rebuild. The new snapshot pairs with the
+    * SAME model version (a pure row removal changes no assignment; the
+    * `_model` sidecar carries the ref forward). The centroids themselves
+    * are untouched: a k-means mean over many vectors is an aggregate, not
+    * retrievable content, and the next refresh/build washes the purged
+    * vector's residual out. Physical deletion follows the usual retention
+    * lapse ([[ManifestTable.vacuum]] window), like the corpus purge.
+    *
+    * Idempotent: re-running with the same ids finds no victim postings and
+    * commits nothing. A store with no postings snapshot is a no-op.
+    */
+  def forget(spark: SparkSession, root: String,
+             vecIds: Seq[Long]): IvfForgetReport = {
+    import spark.implicits._
+    val pr = postingsRoot(root)
+    val cur = ManifestTable.currentVersion(spark, pr)
+    val ids = vecIds.distinct.sorted.toArray
+    if (cur.isEmpty || ids.isEmpty)
+      return IvfForgetReport(cur.getOrElse(0L), 0L, 0)
+    require(ids.length <= 100000,
+      s"forget batch too large (${ids.length}); split into <=100000-id calls")
+    val pv = cur.get
+    // level 1: files whose vec_id range can hold a victim (stats prune —
+    // the anyPosted shortlist rule; stat-less files are always candidates)
+    val candidates = ManifestTable.entriesOf(spark, pr, pv)
+      .filter(_.stats.get("vec_id").forall { case (mn, mx) =>
+        val i = java.util.Arrays.binarySearch(ids, mn)
+        val at = if (i >= 0) i else -i - 1
+        at < ids.length && ids(at) <= mx
+      }).map(_.path)
+    if (candidates.isEmpty) return IvfForgetReport(pv, 0L, 0)
+    val dd = ManifestTable.dataDir(pr)
+    def relName(abs: String): String = {
+      val i = abs.lastIndexOf("p_cell=")
+      require(i >= 0, s"not a postings data file: $abs")
+      abs.substring(i)
+    }
+    val idsDf = broadcast(ids.toSeq.toDF("vec_id"))
+    def readRel(files: Seq[String]): DataFrame =
+      spark.read.option("basePath", dd).parquet(files.map(f => s"$dd/$f"): _*)
+    // level 2: of the candidates, the files that actually hold a victim
+    val victimFiles = readRel(candidates)
+      .join(idsDf, Seq("vec_id"), "left_semi")
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => relName(r.getString(0))).toSeq.sorted
+    if (victimFiles.isEmpty) return IvfForgetReport(pv, 0L, 0)
+    val touched = readRel(victimFiles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nPurged = touched.join(idsDf, Seq("vec_id"), "left_semi").count()
+      val staging = s"$pr/_staging/${UUID.randomUUID()}"
+      val survivors = touched.join(idsDf, Seq("vec_id"), "left_anti")
+      val nSurvivors = survivors.count()
+      survivors.repartition(col("p_cell"))
+        .write.partitionBy("p_cell").mode(SaveMode.Overwrite).parquet(staging)
+      val added = ManifestTable.publishFiles(spark, pr, staging)
+      // publish integrity (the corpus purge's contract): staged survivor
+      // rows must all arrive — silently dropping NON-victim postings would
+      // be index corruption wearing a compliance hat
+      val nPub = if (added.isEmpty) 0L else readRel(added).count()
+      require(nPub == nSurvivors,
+        s"index purge published $nPub surviving postings, expected " +
+          s"$nSurvivors — staged files vanished before publish; is another " +
+          "writer's housekeeping running?")
+      val entries = ManifestTable.footerMeta(spark, dd, added, Seq("vec_id"))
+        .map(_._1)
+      // the rewrite changes no assignment, so the new snapshot pairs with
+      // the SAME model — written before the commit, like every postings
+      // sidecar
+      val mv = modelVersionOf(spark, root, pv)
+      Seq((mv, null: String)).toDF("model_version", "tick_id")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(modelRefPath(root, pv + 1))
+      val v = ManifestTable.commitRewriteFiles(spark, pr, victimFiles, entries)
+      require(v == pv + 1 && modelVersionOf(spark, root, v) == mv,
+        s"concurrent writer detected: purge committed v$v, planned ${pv + 1}")
+      ManifestTable.vacuum(spark, pr)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ManifestTable.pruneVersionDirs(fs,
+        new org.apache.hadoop.fs.Path(s"$pr/_model"),
+        ManifestTable.versions(spark, pr).toSet)
+      IvfForgetReport(v, nPurged, victimFiles.size)
+    } finally touched.unpersist()
+  }
+
   /** The model version postings snapshot `postingsVersion` was assigned
     * under.
     */

@@ -8,6 +8,16 @@ import scala.collection.mutable.ListBuffer
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** A commit lost its race: the target manifest version was taken (or the
+  * store moved past the version the commit was planned against). The
+  * CONTRACT, not a failure of it — the loser re-reads the new current
+  * snapshot and retries ([[CorpusStore.tick]]'s bounded loop does exactly
+  * that). Subtypes `IllegalStateException` so pre-existing catch sites
+  * keep working.
+  */
+final class CommitConflictException(msg: String)
+  extends IllegalStateException(msg)
+
 /** A minimal snapshot-manifest table format: the dependency-free analog of
   * the single-statement transactional upserts the reference gets from
   * Postgres (`aggregators/base.py:155-238` — one INSERT .. ON CONFLICT is
@@ -580,8 +590,10 @@ object ManifestTable {
     */
   def commitReplace(spark: SparkSession, root: String,
                     replacedPartitions: Seq[String],
-                    addedFiles: Seq[String]): Long =
-    commitEntries(spark, root, replacedPartitions, addedFiles.map(FileEntry(_)))
+                    addedFiles: Seq[String],
+                    expectedVersion: Option[Long] = None): Long =
+    commitEntries(spark, root, replacedPartitions,
+      addedFiles.map(FileEntry(_)), expectedVersion)
 
   /** How a commit installs its written temp manifest as the version-numbered
     * target — the format's single LogStore-style seam (the role Delta's
@@ -593,19 +605,46 @@ object ManifestTable {
     *   - local paths: a POSIX hard link (atomic, fails with EEXIST) then
     *     unlink of the temp — this CLOSES the exists()+rename window
     *     entirely, because link(2) is create-exclusive at the kernel;
-    *   - everything else: exists() + rename, which HDFS makes conditional
-    *     (rename onto an existing file returns false) but object stores do
-    *     NOT — plug a conditional-write/lock implementation here (the
-    *     Delta-on-S3 LogStore approach) for true multi-writer safety there.
+    *   - object-store schemes (s3/s3a/gs/abfs/…, where rename is a fake —
+    *     a copy that silently replaces the target): the lease-lock
+    *     publisher ([[leaseCommitPublish]] — the Delta-on-S3 LogStore
+    *     role), selected by URI scheme;
+    *   - everything else (HDFS and rename-atomic filesystems): exists() +
+    *     rename, which HDFS makes conditional (rename onto an existing
+    *     file returns false).
     */
   @volatile var commitPublisher: (FileSystem, Path, Path) => Unit =
     defaultCommitPublish
 
+  /** URI schemes whose `rename` is copy-based and NOT conditional on the
+    * target (and whose `create` ignores overwrite flags) — the filesystems
+    * that need the lease publisher. Extendable per-deployment via the
+    * hadoop conf key `graft.commit.nonatomic.schemes` (comma-separated) —
+    * which is also how the race spec routes its simulated object-store FS
+    * here.
+    */
+  private val NonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "oss", "swift", "wasb", "wasbs", "abfs",
+    "abfss", "cosn")
+
+  private def isNonAtomicRenameFs(fs: FileSystem): Boolean = {
+    val scheme = Option(fs.getUri).flatMap(u => Option(u.getScheme))
+      .map(_.toLowerCase).getOrElse("")
+    NonAtomicRenameSchemes.contains(scheme) ||
+      fs.getConf.get("graft.commit.nonatomic.schemes", "")
+        .split(",").map(_.trim.toLowerCase).contains(scheme)
+  }
+
   private[graft] def defaultCommitPublish(fs: FileSystem, tmp: Path,
                                           target: Path): Unit = {
-    def conflict(): Nothing = throw new IllegalStateException(
+    def conflict(): Nothing = throw new CommitConflictException(
       s"commit conflict: $target already exists (racing committer)")
     fs match {
+      // the EXPLICIT non-atomic dispatch must win: an object-store-like FS
+      // can subclass a local one (exactly how the race harness simulates
+      // S3 semantics), and the scheme declaration is the operator's intent
+      case _ if isNonAtomicRenameFs(fs) =>
+        leaseCommitPublish(fs, tmp, target)
       case _: org.apache.hadoop.fs.LocalFileSystem |
            _: org.apache.hadoop.fs.RawLocalFileSystem =>
         val src = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
@@ -619,6 +658,124 @@ object ManifestTable {
         if (fs.exists(target)) conflict()
         if (!fs.rename(tmp, target)) conflict()
     }
+  }
+
+  /** The OBJECT-STORE conditional install: a lease-lock protocol over
+    * nothing but last-writer-wins PUT + strongly-consistent read (what
+    * S3/GCS/ABFS provide today) — the role Delta's S3 LogStore plays for
+    * `_delta_log`, without the external coordination table.
+    *
+    * Protocol, per target version (locks of different versions never
+    * contend):
+    *   1. CLAIM `target.lock` by overwriting it with a unique owner token
+    *      + wall-clock stamp, wait one settle window, read back: the
+    *      claimant that survives the last-writer-wins overwrite owns the
+    *      lease; the other reads a foreign token and loops.
+    *   2. Under the lease: re-check the target is absent (a finished
+    *      committer → loud [[CommitConflictException]]), RE-VERIFY the
+    *      lease right before the PUT, write the manifest, and read it back
+    *      — a foreign read-back means the bytes lost an overwrite race and
+    *      the commit conflicts rather than silently succeeding.
+    *   3. Release the lock (only if still owned); a crashed holder's lock
+    *      EXPIRES after `graft.commit.lease.ms` (default 60 s) and is
+    *      broken by the next claimant.
+    *
+    * Honest limits: without a conditional PUT there is no true CAS — the
+    * residual window is two claimants interleaving within one settle
+    * window AND passing all three re-checks within the same microseconds.
+    * The layered checks shrink the round-12 "every commit races" window to
+    * that sliver; a store offering conditional writes (S3 If-None-Match,
+    * GCS preconditions) should plug a putIfAbsent [[commitPublisher]]
+    * instead and get the real thing. Lease expiry assumes committer clocks
+    * agree to within the lease duration (the standard lease caveat).
+    *
+    * Assumed store semantics (true of S3/GCS/ABFS, asserted by the race
+    * harness): PUTs are ATOMIC-AT-CLOSE — an object is either absent or
+    * fully present, never partially visible (a reader of the committed
+    * manifest must see all its lines; a partial read would silently shrink
+    * the next commit's kept set), and reads are strongly consistent.
+    *
+    * Tuning (hadoop conf): `graft.commit.lease.ms` (expiry, 60000),
+    * `graft.commit.lease.settle.ms` (claim settle window, 100),
+    * `graft.commit.lease.timeout.ms` (acquire budget, 600000).
+    */
+  private[graft] def leaseCommitPublish(fs: FileSystem, tmp: Path,
+                                        target: Path): Unit = {
+    val conf = fs.getConf
+    val leaseMs = conf.getLong("graft.commit.lease.ms", 60000L)
+    val settleMs = conf.getLong("graft.commit.lease.settle.ms", 100L)
+    val timeoutMs = conf.getLong("graft.commit.lease.timeout.ms", 600000L)
+    val me = UUID.randomUUID().toString
+    val lock = new Path(target.getParent, target.getName + ".lock")
+    val bytes = readAllBytes(fs, tmp)
+    def conflict(): Nothing = throw new CommitConflictException(
+      s"commit conflict: $target already exists (racing committer)")
+    // a torn/unparsable read counts as absent: the settle-verify loop, not
+    // the parse, is what arbitrates ownership
+    def lockOwner(): Option[(String, Long)] =
+      try {
+        if (!fs.exists(lock)) None
+        else {
+          val txt = new String(readAllBytes(fs, lock), StandardCharsets.UTF_8)
+          txt.split("\n") match {
+            case Array(o, s) => Some((o.trim, s.trim.toLong))
+            case _           => None
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def writeLock(): Unit = {
+      val out = fs.create(lock, true) // PUT: last writer wins by design
+      try out.write(s"$me\n${System.currentTimeMillis()}"
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var owned = false
+    while (!owned) {
+      if (fs.exists(target)) conflict()
+      val now = System.currentTimeMillis()
+      val blocked = lockOwner().exists { case (o, stamp) =>
+        o != me && now - stamp <= leaseMs
+      }
+      if (!blocked) {
+        writeLock()
+        if (settleMs > 0) Thread.sleep(settleMs)
+        owned = lockOwner().exists(_._1 == me)
+      }
+      if (!owned) {
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"commit lease at $lock not acquired within ${timeoutMs}ms — " +
+              "holder crashed with a future clock, or the store is " +
+              "overcommitted; raise graft.commit.lease.timeout.ms or " +
+              "clear the lock once its writer is provably dead")
+        Thread.sleep(math.max(settleMs, 10L))
+      }
+    }
+    try {
+      if (fs.exists(target)) conflict()
+      // final ownership check narrows the claim race to the PUT itself
+      if (!lockOwner().exists(_._1 == me)) conflict()
+      val out = fs.create(target, true)
+      try out.write(bytes) finally out.close()
+      if (!java.util.Arrays.equals(readAllBytes(fs, target), bytes))
+        conflict() // lost a same-version overwrite race after the PUT
+      fs.delete(tmp, false)
+    } finally {
+      if (lockOwner().exists(_._1 == me)) fs.delete(lock, false)
+    }
+  }
+
+  /** Full drain read (Hadoop streams may return partial reads). */
+  private def readAllBytes(fs: FileSystem, f: Path): Array[Byte] = {
+    val in = fs.open(f)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
   }
 
   /** [[commitReplace]] with pruning stats attached to the added files (see
@@ -635,10 +792,11 @@ object ManifestTable {
     */
   def commitEntries(spark: SparkSession, root: String,
                     replacedPartitions: Seq[String],
-                    added: Seq[FileEntry]): Long =
+                    added: Seq[FileEntry],
+                    expectedVersion: Option[Long] = None): Long =
     commitDropping(spark, root,
       f => replacedPartitions.exists(p => p.isEmpty || f.startsWith(p + "/")),
-      added)
+      added, expectedVersion)
 
   /** Commit the next snapshot = previous live files minus EXACTLY the named
     * files, plus `added` — the file-level rewrite commit (a purge or
@@ -662,9 +820,23 @@ object ManifestTable {
 
   private def commitDropping(spark: SparkSession, root: String,
                              drop: String => Boolean,
-                             added: Seq[FileEntry]): Long = {
+                             added: Seq[FileEntry],
+                             expectedVersion: Option[Long] = None): Long = {
     val fs = fsOf(spark, root)
     val prev = currentVersion(spark, root)
+    // optimistic-transaction check (version 0 = empty store): a caller that
+    // COMPUTED its commit against snapshot N must not build on a snapshot
+    // that moved to N+1 meanwhile — without this, two overlapping ticks
+    // both commit "successfully" but the later one's dedup never saw the
+    // earlier one's keepers. Losing here is loud and cheap (nothing
+    // written yet); the caller re-reads and recomputes.
+    expectedVersion.foreach { e =>
+      val cur = prev.getOrElse(0L)
+      if (cur != e)
+        throw new CommitConflictException(
+          s"commit conflict at $root: planned against version $e but the " +
+            s"store is at $cur (racing committer) — re-read and retry")
+    }
     val kept = prev.map(rawLinesOf(spark, root, _)).getOrElse(Seq.empty)
       .filterNot(line => drop(parseEntry(line).path))
     val next = prev.getOrElse(0L) + 1

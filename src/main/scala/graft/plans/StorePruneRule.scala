@@ -60,21 +60,59 @@ class StorePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val kind = hfs.options("graft.store.kind")
       val layout = CorpusStore.parseLayout(hfs.options("graft.store.layout"),
         s"relation tag at $root")
-      CorpusStore.bloomKeyOf(kind).flatMap(keysOf(cond, _)) match {
-        case Some(keys) if keys.nonEmpty && keys.size <= MaxKeys =>
-          val byRel: Map[String, String] = hfs.location.inputFiles.toSeq
-            .flatMap(abs => relOf(abs).map(_ -> abs)).toMap
-          CorpusStore.pruneRelFiles(spark, root, kind, layout,
-            byRel.keys.toSeq, keys.toSeq) match {
-            case Some(kept) if kept.size < byRel.size =>
-              if (kept.isEmpty) Filter(cond, LocalRelation(rel.output))
-              else Filter(cond, rel.copy(relation = rebuilt(hfs,
-                kept.sorted.map(byRel))))
-            case _ => f // no reduction (or unprunable keys): leave as-is
+      val byRel: Map[String, String] = hfs.location.inputFiles.toSeq
+        .flatMap(abs => relOf(abs).map(_ -> abs)).toMap
+      val pruned: Option[Seq[String]] = CorpusStore.bloomKeyOf(kind) match {
+        case Some(keyCol) =>
+          keysOf(cond, keyCol) match {
+            case Some(keys) if keys.nonEmpty && keys.size <= MaxKeys =>
+              CorpusStore.pruneRelFiles(spark, root, kind, layout,
+                byRel.keys.toSeq, keys.toSeq)
+            case _ => None
           }
-        case _ => f
+        case None if kind == "band" => bandPrune(cond, root, layout, byRel)
+        case _ => None
+      }
+      pruned match {
+        case Some(kept) if kept.size < byRel.size =>
+          if (kept.isEmpty) Filter(cond, LocalRelation(rel.output))
+          else Filter(cond, rel.copy(relation = rebuilt(hfs,
+            kept.sorted.map(byRel))))
+        case _ => f // no reduction (or unprunable keys): leave as-is
       }
   }
+
+  /** The band kind's COMPOUND prune: its bucket is a (band_id, band_val)
+    * pair, so a plan restricting BOTH columns to literal sets — the
+    * "which documents share this band" investigative query — prunes
+    * through the cross product of the two sets routed via
+    * [[CorpusStore.bandBucketForKey]] (bucket dirs) with the band_vals as
+    * per-bucket Bloom probes. The cross product over-approximates the
+    * plan's actual pairs, so the prune stays sound: every file holding a
+    * matching (id, val) row is in a kept bucket with its val probed.
+    * Either column unrestricted → no prune (a band_val alone cannot
+    * resolve a bucket dir).
+    */
+  private def bandPrune(cond: Expression, root: String,
+                        layout: CorpusStore.StoreLayout,
+                        byRel: Map[String, String]): Option[Seq[String]] =
+    (keysOf(cond, "band_id"), keysOf(cond, "band_val")) match {
+      case (Some(is), Some(vs)) if is.nonEmpty && vs.nonEmpty &&
+          is.size * vs.size <= MaxKeys =>
+        // a non-numeric band_id literal (or a bucket-eval failure on a
+        // garbage band_val) voids the prune, never guesses — the
+        // pruneRelFiles total-extraction rule
+        try {
+          val byBucket = (for { i <- is.toSeq.map(_.toInt); v <- vs.toSeq }
+            yield (i, v))
+            .groupBy { case (i, v) =>
+              CorpusStore.bandBucketForKey(i, v, layout) }
+            .map { case (b, kvs) => b -> kvs.map(_._2).distinct }
+          Some(CorpusStore.pruneRelFilesByBucket(spark, root,
+            byRel.keys.toSeq, byBucket))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
 
   /** The relation's store tags, if it is an UNPRUNED tagged snapshot scan. */
   private def taggedRelation(rel: LogicalRelation): Option[HadoopFsRelation] =

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the bench's quiet-window gate (`Bench.awaitQuiet`) — the
+  * mechanism that keeps mid-run host drift from certifying phantom
+  * regression flags (round 12: three flags survived an isolated retry that
+  * ran inside a ~1.4x drift window the old 1.5x gate waved through). The
+  * probe and sleep are injected, so these tests simulate bursts without a
+  * SparkSession or wall-clock waits.
+  */
+class BenchQuietSpec extends AnyFunSuite {
+  private val floor = 0.30
+
+  /** A probe that reads `burst` for the first `len` calls, then `quiet`. */
+  private def burstProbe(len: Int, burst: Double = 0.9, quiet: Double = 0.31): () => Double = {
+    var calls = 0
+    () => { calls += 1; if (calls <= len) burst else quiet }
+  }
+
+  test("immediately quiet probe consumes no waits") {
+    val budget = Array(5)
+    val (cal, quiet) =
+      Bench.awaitQuiet(() => 0.31, floor, 1.15, budget, 0L, "t")
+    assert(quiet && cal == 0.31 && budget(0) == 5)
+  }
+
+  test("wait outlasts a finite burst and certifies quiet") {
+    val budget = Array(5)
+    val (cal, quiet) =
+      Bench.awaitQuiet(burstProbe(3), floor, 1.15, budget, 0L, "t")
+    assert(quiet, "gate must wait out a 3-probe burst within a 5-wait budget")
+    assert(cal == 0.31)
+    assert(budget(0) == 2, "exactly 3 waits consumed")
+  }
+
+  test("sustained burst exhausts the budget and reports NOT quiet") {
+    val budget = Array(4)
+    val (cal, quiet) =
+      Bench.awaitQuiet(burstProbe(100), floor, 1.15, budget, 0L, "t")
+    assert(!quiet, "a burst longer than the budget must not certify quiet")
+    assert(cal > 1.15 * floor && budget(0) == 0)
+  }
+
+  test("the 1.15x bar rejects the drift band the old 1.5x gate accepted") {
+    // round 12's failure mode: probe steady at ~1.4x the floor — under the
+    // old 1.5x retry gate, over the new 1.15x one
+    val drift = 1.4 * floor
+    val budget = Array(3)
+    val (_, quiet) =
+      Bench.awaitQuiet(() => drift, floor, 1.15, budget, 0L, "t")
+    assert(!quiet && budget(0) == 0)
+    val (_, oldGate) =
+      Bench.awaitQuiet(() => drift, floor, 1.5, Array(3), 0L, "t")
+    assert(oldGate, "sanity: the legacy threshold would have certified it")
+  }
+
+  test("wait budget is shared across sequential call sites") {
+    // per-retried-query calls draw from ONE pool: a sustained burst must
+    // exhaust the phase, not get a fresh allowance per query
+    val budget = Array(5)
+    val probe = burstProbe(100)
+    val (_, q1) = Bench.awaitQuiet(probe, floor, 1.15, budget, 0L, "q1")
+    assert(!q1 && budget(0) == 0)
+    val (_, q2) = Bench.awaitQuiet(probe, floor, 1.15, budget, 0L, "q2")
+    assert(!q2, "second site gets no new waits once the pool is drained")
+    assert(budget(0) == 0)
+  }
+
+  test("a burst ending mid-phase leaves later queries a quiet window") {
+    // first query's waits cover the burst tail; the second query's probe is
+    // already quiet and costs nothing — the per-query re-probe is what lets
+    // flags raised early in a burst clear once it passes
+    val budget = Array(10)
+    val probe = burstProbe(4)
+    val (_, q1) = Bench.awaitQuiet(probe, floor, 1.15, budget, 0L, "q1")
+    val (_, q2) = Bench.awaitQuiet(probe, floor, 1.15, budget, 0L, "q2")
+    assert(q1 && q2 && budget(0) == 6)
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.operators.{CommitConflictException, ManifestTable}
+
+/** The object-store conditional commit ([[ManifestTable.leaseCommitPublish]]
+  * — the Delta-on-S3 LogStore role). Everything runs over `objfs:`, a
+  * filesystem whose rename SILENTLY REPLACES the target and whose create
+  * ignores the overwrite flag ([[NonAtomicStoreFs]]) — on it, the legacy
+  * exists()+rename publisher loses manifests to every same-version race,
+  * so these tests prove the scheme-dispatched lease path actually engages
+  * and actually serializes.
+  */
+class ObjectStoreCommitSpec extends SparkSpec {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def objRoot(prefix: String): String = {
+    conf.set("fs.objfs.impl", classOf[NonAtomicStoreFs].getName)
+    conf.set("graft.commit.nonatomic.schemes", "objfs")
+    conf.setLong("graft.commit.lease.settle.ms", 25L)
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    s"objfs:$dir"
+  }
+
+  private def readAll(fs: org.apache.hadoop.fs.FileSystem,
+                      p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  test("sanity: objfs rename really does clobber its target silently") {
+    val root = objRoot("graft_objfs_sanity")
+    val fs = new Path(root).getFileSystem(conf)
+    assert(fs.isInstanceOf[NonAtomicStoreFs], "objfs scheme not registered")
+    def put(p: Path, s: String): Unit = {
+      val out = fs.create(p, false)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    put(new Path(s"$root/a"), "A")
+    put(new Path(s"$root/b"), "B")
+    assert(fs.rename(new Path(s"$root/a"), new Path(s"$root/b")),
+      "objfs rename refused an existing target — harness is NOT " +
+        "object-store-like and these tests prove nothing")
+    assert(new String(readAll(fs, new Path(s"$root/b")), "UTF-8") == "A",
+      "clobbering rename did not move the bytes")
+  }
+
+  test("same-version race on objfs: the loser throws and the winner's " +
+    "manifest survives byte-for-byte") {
+    val root = objRoot("graft_objrace1")
+    val fs = new Path(root).getFileSystem(conf)
+    ManifestTable.commitReplace(spark, root, Seq.empty, Seq("w/base.parquet"))
+    ManifestTable.commitReplace(spark, root, Seq.empty, Seq("w/winner.parquet"))
+    val tmp = new Path(s"$root/_manifests/.tmp-race-loser")
+    val out = fs.create(tmp, false)
+    try out.write("#token=loser\nw/loser.parquet\n".getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(s"$root/_manifests/v${"%020d".format(2L)}.manifest")
+    val winnerBytes = readAll(fs, target)
+    intercept[CommitConflictException] {
+      ManifestTable.defaultCommitPublish(fs, tmp, target)
+    }
+    assert(java.util.Arrays.equals(winnerBytes, readAll(fs, target)),
+      "losing committer mutated the winner's manifest — on a clobbering " +
+        "rename FS this means the lease path did not engage")
+    assert(ManifestTable.liveFiles(spark, root).toSet ==
+      Set("w/base.parquet", "w/winner.parquet"))
+  }
+
+  test("concurrent retrying committers on objfs lose no update and leave " +
+    "no lock or temp behind") {
+    val root = objRoot("graft_objrace2")
+    val nThreads = 3
+    val perThread = 3
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          (0 until perThread).foreach { c =>
+            var committed = false
+            var attempts = 0
+            while (!committed) {
+              attempts += 1
+              require(attempts <= 200, "livelocked committer")
+              try {
+                ManifestTable.commitReplace(spark, root, Seq.empty,
+                  Seq(s"w/t${t}_c$c.parquet"))
+                committed = true
+              } catch { case _: CommitConflictException => () }
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"committer thread died: ${errors.peek()}")
+    val expected = (for (t <- 0 until nThreads; c <- 0 until perThread)
+      yield s"w/t${t}_c$c.parquet").toSet
+    assert(ManifestTable.liveFiles(spark, root).toSet == expected,
+      "an update was lost under concurrent commits on the object store")
+    assert(ManifestTable.versions(spark, root) ==
+      (1L to (nThreads * perThread).toLong),
+      "committed versions are not contiguous")
+    val fs = new Path(root).getFileSystem(conf)
+    val leftovers = fs.listStatus(new Path(s"$root/_manifests")).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(".tmp-") || n.endsWith(".lock"))
+    assert(leftovers.isEmpty,
+      s"commits leaked temp manifests or lock files: $leftovers")
+  }
+
+  test("a crashed committer's expired lease is broken; a live foreign " +
+    "lease blocks until the acquire budget expires") {
+    val root = objRoot("graft_objlease")
+    val fs = new Path(root).getFileSystem(conf)
+    ManifestTable.commitReplace(spark, root, Seq.empty, Seq("w/v1.parquet"))
+    val target2 = new Path(s"$root/_manifests/v${"%020d".format(2L)}.manifest")
+    val lock = new Path(target2.getParent, target2.getName + ".lock")
+    def plantLock(ageMs: Long): Unit = {
+      val out = fs.create(lock, true)
+      try out.write(
+        s"dead-committer\n${System.currentTimeMillis() - ageMs}"
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+    // expired (default lease 60 s, stamp 10 min old): broken and committed
+    plantLock(600000L)
+    val v = ManifestTable.commitReplace(spark, root, Seq.empty,
+      Seq("w/v2.parquet"))
+    assert(v == 2L && !fs.exists(lock), "expired lease not broken/released")
+    // live foreign lease on v3: the committer must wait, then give up
+    // loudly once the (shrunk) acquire budget runs out
+    val lock3 = new Path(s"$root/_manifests/" +
+      s"v${"%020d".format(3L)}.manifest.lock")
+    val out = fs.create(lock3, true)
+    try out.write(s"live-holder\n${System.currentTimeMillis()}"
+      .getBytes("UTF-8"))
+    finally out.close()
+    conf.setLong("graft.commit.lease.timeout.ms", 300L)
+    try {
+      val e = intercept[IllegalStateException] {
+        ManifestTable.commitReplace(spark, root, Seq.empty,
+          Seq("w/v3.parquet"))
+      }
+      assert(e.getMessage.contains("lease"),
+        s"expected a lease-timeout failure, got: ${e.getMessage}")
+      assert(ManifestTable.currentVersion(spark, root).contains(2L),
+        "a blocked committer moved the version anyway")
+    } finally conf.setLong("graft.commit.lease.timeout.ms", 600000L)
+  }
+}

@@ -164,4 +164,55 @@ class StorePruneRuleSpec extends SparkSpec {
     assert(CorpusStore.read(spark, root)
       .filter(col("doc_id") === 900001L).count() === 1L)
   }
+
+  test("band compound lookup: band_id AND band_val literals prune to the " +
+    "compound bucket with identical results; band_val alone does not prune") {
+    val lay = CorpusStore.layoutOf(spark, root)
+    val bands = CorpusStore.bands(spark, root)
+    val all = bands.collect()
+    assert(all.nonEmpty, "fixture store has no band postings")
+    // pick a band value that at least two docs share when one exists (the
+    // investigative query's real shape), else any present pair
+    val byKey = all.groupBy(r =>
+      (r.getAs[Int]("band_id"), r.getAs[String]("band_val")))
+    val (bid, bval) = byKey.maxBy(_._2.length)._1
+    val expected = byKey((bid, bval)).map(_.getAs[Long]("doc_id")).sorted.toSeq
+
+    val q = bands.filter(col("band_id") === bid && col("band_val") === bval)
+      .select(col("doc_id"))
+    val full = relNames(scanFiles(bands))
+    val pruned = relNames(scanFiles(q))
+    val bucket = CorpusStore.bandBucketForKey(bid, bval, lay)
+    assert(pruned.nonEmpty && pruned.size < full.size,
+      s"band lookup did not prune: ${pruned.size} of ${full.size} files")
+    assert(pruned.forall(_.startsWith(s"p_kind=band/p_b=$bucket/")),
+      s"band prune left the compound bucket: $pruned")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === expected,
+      "pruned band lookup diverged from the full scan")
+
+    // half a compound key resolves no bucket: band_val alone must not
+    // prune (and an IN pair on both columns must)
+    val qVal = bands.filter(col("band_val") === bval)
+    assert(relNames(scanFiles(qVal)).size === full.size,
+      "band_val-only filter must not prune")
+    val (bid2, bval2) = byKey.keys.toSeq.sortBy(_.toString())
+      .find(_ != (bid, bval)).getOrElse((bid, bval))
+    val qIn = bands.filter(col("band_id").isin(bid, bid2) &&
+      col("band_val").isin(bval, bval2)).select(col("doc_id"))
+    val prunedIn = relNames(scanFiles(qIn)).toSet
+    val buckets = Set(bucket,
+      CorpusStore.bandBucketForKey(bid, bval2, lay),
+      CorpusStore.bandBucketForKey(bid2, bval, lay),
+      CorpusStore.bandBucketForKey(bid2, bval2, lay))
+    assert(prunedIn.nonEmpty && prunedIn.size < full.size,
+      "IN-pair band lookup did not prune")
+    assert(prunedIn.forall(f =>
+      buckets.exists(b => f.startsWith(s"p_kind=band/p_b=$b/"))),
+      "IN-pair prune left the cross product's buckets")
+    val expectedIn = all.filter { r =>
+      Set(bid, bid2).contains(r.getAs[Int]("band_id")) &&
+        Set(bval, bval2).contains(r.getAs[String]("band_val"))
+    }.map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(qIn.collect().map(_.getLong(0)).sorted.toSeq === expectedIn)
+  }
 }
