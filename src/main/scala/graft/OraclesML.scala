@@ -66,12 +66,16 @@ object OraclesML {
        |FROM g""".stripMargin
   }
 
-  /** 3-word shingles of the token array (matches Shingles.shingles(w, 3)). */
-  private val shinglesCte: String =
+  /** 3-word shingles of the token array (matches Shingles.shingles(w, 3)),
+    * over any doc-shaped relation (the store oracles shingle SURVIVORS).
+    */
+  private def shinglesCteFrom(table: String): String =
     s"""shingled AS (
        |  SELECT doc_id, text,
        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS s
-       |  FROM (SELECT doc_id, text, $W AS w FROM documents))""".stripMargin
+       |  FROM (SELECT doc_id, text, $W AS w FROM $table))""".stripMargin
+
+  private val shinglesCte: String = shinglesCteFrom("documents")
 
   val fingerprintSql: String =
     s"""WITH $shinglesCte
@@ -1572,6 +1576,35 @@ object OraclesML {
        |SELECT s.doc_id, s.lang, s.source FROM survivors s
        |WHERE md5(s.text) NOT IN (
        |  SELECT md5(text) FROM documents WHERE doc_id IN (5, 17))""".stripMargin
+
+  /** Mirrors `q_store_band_lookup` — the docs sharing LSH band 0 with the
+    * lowest-doc_id banded survivor ("which documents share this band", the
+    * investigative read the optimizer rule index-prunes). The oracle
+    * recomputes the survivors' band-0 hash with the SAME md5-over-sigs
+    * expression the signature oracle pins byte-identical cross-engine
+    * (`q_minhash_signatures` is full-hash green), so the collision group
+    * is exact, not merely isomorphic.
+    */
+  val storeBandLookupSql: String = {
+    val rows = Dedup.NumHashes / Dedup.NumBands
+    val sigs = (0 until rows).map(j => s"${sigExpr(j)} AS sig_$j")
+      .mkString(",\n    ")
+    s"""WITH $incrementalSurvivorCtes,
+       |${shinglesCteFrom("survivors")},
+       |$distinctShinglesCte,
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM dsh),
+       |banded AS (
+       |  SELECT doc_id, ${bandExpr(0, rows)} AS band_val FROM sigs),
+       |nn AS (SELECT * FROM banded WHERE band_val IS NOT NULL),
+       |probe AS (
+       |  SELECT band_val FROM nn
+       |  WHERE doc_id = (SELECT min(doc_id) FROM nn))
+       |SELECT nn.doc_id FROM nn
+       |WHERE nn.band_val = (SELECT band_val FROM probe)""".stripMargin
+  }
 
   /** Mirrors `q_store_changes` — the change data feed between the
     * waves-0/1 snapshot and the final snapshot (wave 2 ingested, then the

@@ -178,6 +178,31 @@ object SparkEntry {
         .filter(col("text_md5").isin(md5s: _*))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // Band-kind index read through the optimizer: "which documents share
+    // this LSH band" — the investigative query the compound-bucket prune
+    // path serves. Probe = the lowest-doc_id banded survivor's band-0
+    // value, read from the store itself (driver-side, 1 row); the main
+    // scan then filters the TAGGED band snapshot by (band_id, band_val)
+    // literals, which StorePruneRule routes through bandBucketForKey +
+    // the band_val Bloom sidecars. Shares q_corpus_store_manifest's store
+    // root (replay markers make the build ticks idempotent).
+    "q_store_band_lookup" -> ((s, dir) => {
+      val root = corpusStoreRoot(dir)
+      val docs = Tables.documents(s, dir)
+      (0 until 3).foreach { i =>
+        operators.CorpusStore.tick(
+          docs.filter(col("doc_id") % 3 === i), root,
+          tickId = Some(s"wave$i"))
+      }
+      graft.plans.GraftExtensions.install(s)
+      val bands = operators.CorpusStore.bands(s, root)
+      val probe = bands.filter(col("band_id") === 0)
+        .select(org.apache.spark.sql.functions.min_by(
+          col("band_val"), col("doc_id")))
+        .collect().head.getString(0)
+      bands.filter(col("band_id") === 0 && col("band_val") === probe)
+        .select(col("doc_id"))
+    }),
     // Content purge (right-to-be-forgotten): forget the texts of two fixed
     // documents from a store built on its own root, then read the full
     // remaining document set. Idempotent across bench iterations — the
@@ -413,6 +438,7 @@ object SparkEntry {
     // build (CorpusStoreSpec) — the oracle is shared verbatim
     "q_corpus_store_manifest" -> OraclesML.corpusPipelineIncrementalSql,
     "q_store_lookup" -> OraclesML.storeLookupSql,
+    "q_store_band_lookup" -> OraclesML.storeBandLookupSql,
     "q_store_forget" -> OraclesML.storeForgetSql,
     "q_store_changes" -> OraclesML.storeChangesSql,
     "q_corpus_funnel" -> OraclesML.corpusFunnelSql,

@@ -1535,16 +1535,26 @@ object CorpusStore {
     * Both versions must still be retained (an unretained version's
     * manifest is gone and the read fails loudly — raise [[tick]]'s
     * `retainSnapshots` to the consumer's maximum refresh lag).
+    * `fromVersion = 0` is the EMPTY store: the bootstrap full export
+    * (every kept doc as an insert). Streaming surface:
+    * [[graft.streaming.StoreChangesSource]] serves exactly these windows
+    * as micro-batches with store versions as offsets.
     */
   def changesBetween(spark: SparkSession, root: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    def docFiles(v: Long): Set[String] = {
-      val files = ManifestTable.filesOf(spark, root, v)
-      requireStoreLayout(root, files)
-      files.filter(_.startsWith("p_kind=doc/")).toSet
-    }
+    // version 0 = the EMPTY store: changesBetween(0, v) is the bootstrap
+    // diff — every kept document as an insert — which is what lets a CDF
+    // consumer (graft.streaming.StoreChangesSource) start from nothing
+    // and stay incremental afterwards
+    def docFiles(v: Long): Set[String] =
+      if (v == 0L) Set.empty
+      else {
+        val files = ManifestTable.filesOf(spark, root, v)
+        requireStoreLayout(root, files)
+        files.filter(_.startsWith("p_kind=doc/")).toSet
+      }
     val fromF = docFiles(fromVersion)
     val toF = docFiles(toVersion)
     def changedRows(own: Set[String], other: Set[String], tag: String) =
