@@ -55,10 +55,16 @@ import scala.util.control.NonFatal
   * at the end of the run; only flags that survive isolation are reported.
   * The retry itself is gated on a GENUINELY quiet probe (1.15x of the
   * end-phase floor, re-checked before every retried query, from a shared
-  * 2x wait budget): a surviving flag whose retry never saw a quiet probe
-  * is emitted under `"unconfirmed"` rather than `"regressions"` — round
-  * 12's three phantom flags were exactly flags retried inside a ~1.4x
-  * drift window that the old 1.5x gate waved through.
+  * 2x wait budget), and the phase ends with a DATA-PATH window check —
+  * the three fastest unflagged baseline queries re-timed against their
+  * same-environment mins, since the CPU probe cannot see disk/memory
+  * contention. A surviving flag whose retry never saw a quiet CPU probe,
+  * or whose retry phase measured the reference queries uniformly over
+  * 1.3x their floors, is emitted under `"unconfirmed"` rather than
+  * `"regressions"` — round 12's three phantom flags were exactly flags
+  * retried inside a ~1.4x drift window that the old 1.5x gate waved
+  * through, and round 13's first runs reproduced the same shape with a
+  * quiet CPU probe and a degraded data path.
   * The reported per-query numbers stay MEDIANS (the honest typical cost);
   * `mins` is emitted alongside for the tripwire. Re-record the baseline by
   * running this main and copying the JSON line into
@@ -97,6 +103,14 @@ object Bench {
       cal = probe()
     }
     (cal, cal <= ratio * floor)
+  }
+
+  /** Median of reading/floor over the reference samples — the retry
+    * phase's DATA-PATH window assessment (pure; unit-tested).
+    */
+  private[graft] def refWindowRatio(samples: Seq[(Double, Double)]): Option[Double] = {
+    val rs = samples.collect { case (t, fl) if t > 0 && fl > 0 => t / fl }
+    if (rs.isEmpty) None else Some(rs.sorted.apply(rs.size / 2))
   }
 
   /** Fixed CPU-bound probe (~1 s quiet on 32 threads): inflates with
@@ -312,6 +326,44 @@ object Bench {
             }.filter(_ >= 0)
             times.minOption.map(m => name -> math.min(m, mins0(name)))
           }.toMap
+          // DATA-PATH window assessment: the CPU probe is blind to disk/
+          // memory-bandwidth contention (observed: a mid-run degraded
+          // window read cpu-quiet while every sub-second query sat at
+          // 1.6-2.2x its same-environment floor, and two heavy flags
+          // survived a "quiet" retry). Time the three fastest UNFLAGGED
+          // baseline queries once each: in a genuinely quiet window they
+          // read ~1.0-1.2x their mins; uniform elevation beyond 1.3x means
+          // the WINDOW is degraded, so surviving flags route to
+          // `unconfirmed` rather than certifying — the uniform-vs-
+          // concentrated test a human runs on the artifact, automated at
+          // retry time. Trade, documented: a regression in a truly GLOBAL
+          // path (one that slows the references too) defers to the totals
+          // and the next quiet window rather than certifying here.
+          val refSamples = baseMins.toSeq
+            .filter { case (n, fl) =>
+              fl > 0.2 && !flagged.contains(n) && queries.contains(n) }
+            .sortBy(_._2).take(3)
+            .map { case (n, fl) =>
+              val t0 = System.nanoTime()
+              val t = try {
+                queries(n)(spark, sfDir).write.format("noop")
+                  .mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              }
+              catch { case NonFatal(_) => -1.0 }
+              finally spark.catalog.clearCache()
+              (t, fl)
+            }
+          refWindowRatio(refSamples).foreach { r =>
+            if (r > 1.3) {
+              System.err.println(
+                f"[bench] retry-phase reference queries read $r%.2fx their " +
+                  "baseline mins — data-path window degraded; surviving " +
+                  "flags are reported unconfirmed")
+              noisy ++= flagged
+            } else System.err.println(
+              f"[bench] retry-phase reference window ratio $r%.2fx (quiet)")
+          }
           (retried, noisy.toSet)
       }
     val finalMins = mins0 ++ retriedMins

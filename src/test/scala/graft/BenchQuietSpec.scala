@@ -67,6 +67,24 @@ class BenchQuietSpec extends AnyFunSuite {
     assert(budget(0) == 0)
   }
 
+  test("reference-window ratio: median of reading/floor, failed samples " +
+    "dropped, empty -> None") {
+    // quiet window: references at ~1.0-1.2x certify
+    assert(Bench.refWindowRatio(Seq((0.33, 0.30), (0.35, 0.31), (0.36, 0.33)))
+      .exists(_ < 1.3))
+    // degraded data path (the round-13 shape): uniform ~1.8x rejects
+    assert(Bench.refWindowRatio(Seq((0.54, 0.30), (0.56, 0.31), (0.60, 0.33)))
+      .exists(_ > 1.3))
+    // one outlier does not flip the median verdict
+    assert(Bench.refWindowRatio(Seq((0.33, 0.30), (2.0, 0.31), (0.36, 0.33)))
+      .exists(_ < 1.3))
+    // failed samples (-1) are dropped; all-failed -> None (no assessment)
+    assert(Bench.refWindowRatio(Seq((-1.0, 0.30), (0.35, 0.31), (-1.0, 0.33)))
+      .exists(r => r > 1.0 && r < 1.3))
+    assert(Bench.refWindowRatio(Seq((-1.0, 0.30))).isEmpty)
+    assert(Bench.refWindowRatio(Seq.empty).isEmpty)
+  }
+
   test("a burst ending mid-phase leaves later queries a quiet window") {
     // first query's waits cover the burst tail; the second query's probe is
     // already quiet and costs nothing — the per-query re-probe is what lets
