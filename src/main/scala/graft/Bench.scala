@@ -64,7 +64,13 @@ import scala.util.control.NonFatal
   * `"regressions"` — round 12's three phantom flags were exactly flags
   * retried inside a ~1.4x drift window that the old 1.5x gate waved
   * through, and round 13's first runs reproduced the same shape with a
-  * quiet CPU probe and a degraded data path.
+  * quiet CPU probe and a degraded data path. `unconfirmed` is NOT an
+  * indefinite escape hatch: full-suite untainted runs record which queries
+  * flagged in `scripts/bench_flags.json`, and a flag unconfirmed in this
+  * run that also flagged in the immediately-preceding recorded run
+  * ESCALATES to a certified regression (see [[escalateFlags]]); under
+  * SPARK_GRAFT_BENCH_STRICT=1 even a first-time unconfirmed flag exits
+  * non-zero (code 4).
   * The reported per-query numbers stay MEDIANS (the honest typical cost);
   * `mins` is emitted alongside for the tripwire. Re-record the baseline by
   * running this main and copying the JSON line into
@@ -103,6 +109,24 @@ object Bench {
       cal = probe()
     }
     (cal, cal <= ratio * floor)
+  }
+
+  /** The cross-run flag-escalation rule (pure; unit-tested): given the
+    * ledger of consecutive flagged runs, an `unconfirmed` flag whose query
+    * already flagged in the immediately-preceding run escalates to
+    * certified — two consecutive appearances are no longer window luck.
+    * Returns (escalated, still-unconfirmed, next ledger). The next ledger
+    * keeps ONLY queries flagged this run (anything that cleared resets to
+    * zero by omission).
+    */
+  private[graft] def escalateFlags(prevStreak: Map[String, Int],
+                                   confirmed: Seq[String],
+                                   unconfirmed: Seq[String])
+      : (Seq[String], Seq[String], Map[String, Int]) = {
+    val escalated = unconfirmed.filter(n => prevStreak.getOrElse(n, 0) >= 1)
+    val next = (confirmed ++ unconfirmed)
+      .map(n => n -> (prevStreak.getOrElse(n, 0) + 1)).toMap
+    (escalated, unconfirmed.filterNot(escalated.contains), next)
   }
 
   /** Median of reading/floor over the reference samples — the retry
@@ -384,12 +408,46 @@ object Bench {
     // A surviving flag is only CERTIFIED as a regression when its isolated
     // retry ran against a quiet probe; otherwise it is reported as
     // unconfirmed — loud enough to investigate, not strong enough to stamp.
-    val (confirmedFlags, unconfirmedFlags) =
+    val (confirmedFlags, rawUnconfirmed) =
       if (tainted) (Seq.empty[String], Seq.empty[String])
       else flaggedIn(finalMins).partition(n => !noisyRetries.contains(n))
+    // Cross-run escalation ledger: `unconfirmed` must not be a channel a
+    // real regression can ride indefinitely by always landing in noisy
+    // retry windows (round 13's q_corpus_funnel_incremental shape). Each
+    // FULL-suite untainted run records which queries flagged
+    // (scripts/bench_flags.json: name -> consecutive flagged runs); a flag
+    // unconfirmed in THIS run whose ledger already shows a consecutive
+    // prior flag escalates to a certified regression — two runs in a row
+    // is no longer window luck, whatever the windows read. Narrowed runs
+    // (explicit query args) neither read nor write the ledger: local
+    // single-query iteration must not pre-charge the official record.
+    val flagLedger = new java.io.File("scripts/bench_flags.json")
+    val fullRun = only.isEmpty
+    val prevStreak: Map[String, Int] =
+      if (!fullRun || !flagLedger.isFile) Map.empty
+      else "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*(\\d+)".r
+        .findAllMatchIn(scala.io.Source.fromFile(flagLedger).mkString)
+        .map(m => m.group(1) -> m.group(2).toInt).toMap
+    val (escalated, unconfirmedFlags, streaks) =
+      escalateFlags(prevStreak, confirmedFlags, rawUnconfirmed)
+    if (fullRun && !tainted) {
+      // tainted runs observed nothing; they must neither extend nor reset
+      try {
+        val w = new java.io.PrintWriter(flagLedger, "UTF-8")
+        try w.println(streaks.toSeq.sortBy(_._1)
+          .map { case (n, c) => "\"" + n + "\":" + c }
+          .mkString("{", ",", "}"))
+        finally w.close()
+      } catch {
+        case NonFatal(e) =>
+          System.err.println(s"[bench] flag-ledger write failed (non-fatal): ${e.getMessage}")
+      }
+    }
     def describe(name: String): String =
       f"$name: ${baseMins(name)}%.2fs -> ${finalMins(name)}%.2fs (min-vs-min, retried)"
-    val regressions: Seq[String] = confirmedFlags.map(describe)
+    val regressions: Seq[String] = confirmedFlags.map(describe) ++
+      escalated.map(n => describe(n) +
+        s" [escalated: flagged ${prevStreak(n) + 1} consecutive runs]")
     val unconfirmed: Seq[String] = unconfirmedFlags.map(describe)
     regressions.foreach(r => System.err.println(s"[bench] REGRESSION $r"))
     unconfirmed.foreach(r =>
@@ -425,7 +483,11 @@ object Bench {
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
       sys.exit(3)
     }
-    if (regressions.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
-      sys.exit(2)
+    if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1")) {
+      if (regressions.nonEmpty) sys.exit(2)
+      // strict mode treats even an unconfirmed flag as failure: deferral
+      // is for the default reporting path, not for a gate someone armed
+      if (unconfirmed.nonEmpty) sys.exit(4)
+    }
   }
 }

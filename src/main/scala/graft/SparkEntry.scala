@@ -178,6 +178,28 @@ object SparkEntry {
         .filter(col("text_md5").isin(md5s: _*))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    // The SAME point lookup with ZERO driver-side collect: the probe keys
+    // stay a DataFrame and the scan is filtered BY JOIN — the rule's
+    // DPP-style path evaluates the small probe in the planner and routes
+    // its keys through the bucket+Bloom prune, so user code never calls
+    // collect() to build an isin list. Same oracle as q_store_lookup
+    // (identical result set by construction).
+    "q_store_lookup_join" -> ((s, dir) => {
+      val root = corpusStoreRoot(dir)
+      val docs = Tables.documents(s, dir)
+      (0 until 3).foreach { i =>
+        operators.CorpusStore.tick(
+          docs.filter(col("doc_id") % 3 === i), root,
+          tickId = Some(s"wave$i"))
+      }
+      graft.plans.GraftExtensions.install(s)
+      val probe = docs.filter(col("doc_id").isin(5L, 17L, 40L))
+        .select(org.apache.spark.sql.functions.md5(col("text"))
+          .as("text_md5")).distinct()
+      operators.CorpusStore.read(s, root)
+        .join(probe, Seq("text_md5"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     // Band-kind index read through the optimizer: "which documents share
     // this LSH band" — the investigative query the compound-bucket prune
     // path serves. Probe = the lowest-doc_id banded survivor's band-0
@@ -438,6 +460,10 @@ object SparkEntry {
     // build (CorpusStoreSpec) — the oracle is shared verbatim
     "q_corpus_store_manifest" -> OraclesML.corpusPipelineIncrementalSql,
     "q_store_lookup" -> OraclesML.storeLookupSql,
+    // identical result set by construction: the join form differs only in
+    // HOW the probe keys reach the prune (planner-evaluated frame vs
+    // driver-collected literals)
+    "q_store_lookup_join" -> OraclesML.storeLookupSql,
     "q_store_band_lookup" -> OraclesML.storeBandLookupSql,
     "q_store_forget" -> OraclesML.storeForgetSql,
     "q_store_changes" -> OraclesML.storeChangesSql,

@@ -162,7 +162,15 @@ object CorpusStore {
   /** Write the layout sidecar for `version`. Runs BEFORE the manifest
     * commit (a committed snapshot must always find its sidecar; an orphan
     * from a crashed commit is simply overwritten by the next writer at the
-    * same version — single-writer, the manifest's own assumption).
+    * same version). The sidecar is the LEGACY/staging form: every commit
+    * also carries its layout as `#meta:layout=` INSIDE the manifest
+    * ([[ManifestTable.commitMeta]]), which readers prefer — the meta is
+    * atomic with the commit, so a racing loser that overwrites this
+    * sidecar after the winner committed ([[ManifestTable
+    * .CommitConflictException]] cleanup paths) can no longer corrupt the
+    * committed version's governing layout. The sidecar remains the ONLY
+    * channel for the pre-creation staged choice (a zero-commit creation
+    * tick's v1), where no manifest exists to carry meta.
     */
   private def writeLayoutFor(spark: SparkSession, root: String,
                              version: Long, l: StoreLayout): Unit = {
@@ -216,11 +224,22 @@ object CorpusStore {
     */
   private def latestLayoutAt(spark: SparkSession, root: String,
                              version: Long): Option[StoreLayout] =
-    readLayoutAt(spark, root, version).orElse {
-      ManifestTable.versionDirs(fsOf(spark, root), layoutDir(root))
-        .filter(_._1 < version).lastOption
-        .flatMap { case (v, _) => readLayoutAt(spark, root, v) }
-    }
+    metaLayoutAt(spark, root, version)
+      .orElse(readLayoutAt(spark, root, version))
+      .orElse {
+        ManifestTable.versionDirs(fsOf(spark, root), layoutDir(root))
+          .filter(_._1 < version).lastOption
+          .flatMap { case (v, _) => readLayoutAt(spark, root, v) }
+      }
+
+  /** The layout recorded in `version`'s own commit meta — the atomic,
+    * clobber-proof channel every commit writes; absent only for pre-meta
+    * stores (whose sidecars remain authoritative).
+    */
+  private def metaLayoutAt(spark: SparkSession, root: String,
+                           version: Long): Option[StoreLayout] =
+    ManifestTable.commitMeta(spark, root, version).get("layout")
+      .map(parseLayout(_, s"$root manifest v$version #meta:layout"))
 
   /** The layout governing the CURRENT snapshot — what every tick and
     * pruned read resolves (never a compile-time constant). A store from
@@ -938,7 +957,8 @@ object CorpusStore {
           val v =
             try ManifestTable.commitReplace(spark, root, Seq.empty,
               byKind.flatMap(_._2),
-              expectedVersion = Some(prev.getOrElse(0L)))
+              expectedVersion = Some(prev.getOrElse(0L)),
+              meta = Map("layout" -> layout.render))
             catch {
               case e: CommitConflictException =>
                 // lost the race after publishing: this attempt's data
@@ -1165,7 +1185,8 @@ object CorpusStore {
     // the atomic rename, like the tick's)
     writeLayoutFor(spark, root, prev.get + 1, target)
     ManifestTable.commitReplace(spark, root,
-      if (rebucket) Seq("") else replacedDirs, added)
+      if (rebucket) Seq("") else replacedDirs, added,
+      meta = Map("layout" -> target.render))
     // deep on purpose: compaction is the store's maintenance pass, so it
     // also sweeps crash orphans the per-tick cheap vacuums leave behind
     ManifestTable.vacuum(spark, root, deep = true)
@@ -1348,7 +1369,8 @@ object CorpusStore {
       writeLayoutFor(spark, root, prev + 1, layout)
       val removed = (docVictimFiles ++ shVictimFiles ++ bandVictimFiles).distinct
       val v = ManifestTable.commitRewriteFiles(spark, root, removed,
-        byKind.flatMap(_._2).map(ManifestTable.FileEntry(_)))
+        byKind.flatMap(_._2).map(ManifestTable.FileEntry(_)),
+        meta = Map("layout" -> layout.render))
       ManifestTable.vacuum(spark, root, retainSnapshots, deep = false)
       ManifestTable.pruneVersionDirs(fsOf(spark, root), layoutDir(root),
         ManifestTable.versions(spark, root).toSet)

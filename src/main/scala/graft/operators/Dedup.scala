@@ -646,10 +646,24 @@ object Dedup {
     *
     * Scale: each tick's keepers are persisted and the store is their union,
     * so tick i re-reads cached signature partitions, never recomputes the
-    * history. The disk-backed production form of the same loop is
-    * [[SignatureStore.ingestBatch]] (store = a staged snapshot, each tick
-    * appends); this in-memory form exists for single-plan use and as the
-    * oracle-checkable contract the store-backed loop is spec-tested against.
+    * history. Each wave persists ITS OWN signature slice (measured
+    * deliberately: a single all-waves signature cache re-scanned by every
+    * per-wave reference read slower at sf0.1 than per-wave slices — the
+    * slice cache is what each tick's 3–4 references actually touch).
+    * Keeper lineage truncation is `localCheckpoint` (eager, cut to cached
+    * blocks), not a durable checkpoint: the fold is a single-plan
+    * in-memory loop whose keepers are metadata-sized, and the per-wave
+    * durable write+re-read was pure fixed cost. EVERY wave truncates,
+    * including the last — the keepers union is replicated across each
+    * downstream consumer's plan (a funnel repeats it once per stage), and
+    * one untruncated ingest DAG embedded there multiplies plan-STRING
+    * rendering (listener events, AQE re-planning) into minutes of driver
+    * CPU at sf0.1; measured, not hypothetical. The crash-tolerant
+    * production form of the same loop is [[SignatureStore.ingestBatch]]
+    * (store = a staged snapshot, each tick appends — durable by
+    * construction); this in-memory form exists for single-plan use and as
+    * the oracle-checkable contract the store-backed loop is spec-tested
+    * against.
     */
   def sequentialIngest(docs: DataFrame, nBatches: Int = 3,
                        threshold: Double = 0.5,
@@ -661,12 +675,7 @@ object Dedup {
       val batchSigs = shingleSignatures(
         docs.filter(col("doc_id") % nBatches === i))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // checkpoint, not just persist: wave i's keepers feed wave i+1's
-      // store, so without lineage truncation each wave's plan embeds every
-      // previous wave's full DAG — analysis/codegen cost grows
-      // quadratically with the wave count even though the data is cached
-      // (the same trap the connectedComponents loop checkpoints against)
-      val keep = ingestTick(batchSigs, store, threshold, cap).checkpoint()
+      val keep = ingestTick(batchSigs, store, threshold, cap).localCheckpoint()
       store = Some(store.map(_.union(keep)).getOrElse(keep))
       keep.select(col("doc_id"), lit(i.toLong).as("batch_id"))
     }

@@ -22,30 +22,69 @@ import org.apache.spark.sql.functions._
   */
 object GapRepair {
 
+  /** Slots per block for [[gapRanges]]'s partitioned first pass: at minute
+    * granularity one block is a day. The choice only affects parallelism,
+    * never output — blocks split islands at fixed boundaries and the
+    * metadata-scale second pass re-merges exactly the adjacent ones.
+    */
+  val BlockSlots = 1440L
+
   /** Gaps-and-islands: coalesce missing timestamps (one row per missing
     * `stepMs` slot) into contiguous `[start_ms, end_ms)` ranges.
     * Consecutive slots have equal `slot − row_number`, so that difference
     * is the island key.
+    *
+    * TWO-LEVEL, for the 100× case: a multi-month outage at minute
+    * granularity is tens of millions of missing-slot rows, which a single
+    * global-ordering window would pull through ONE task. Level 1 runs the
+    * islands window PARTITIONED by a fixed slot block (`blockSlots` slots,
+    * default one day of minutes) — every block's slots coalesce in
+    * parallel, emitting one range per (block, island). Level 2 re-merges
+    * ranges that touch across block boundaries (`start_ms` equal to the
+    * predecessor's `end_ms`) with a global window over the RANGES — rows
+    * bounded by #outages + #blocks-spanned, genuine operator metadata
+    * (one row per outage-day, not per missing minute). Output is
+    * bit-identical to the single-window form (`GapRepairSpec` pins
+    * partitioned ≡ global on a multi-block synthetic outage).
     */
-  def gapRanges(missing: DataFrame, tsCol: String, stepMs: Long): DataFrame = {
-    // global window: input is one row per missing slot — outage metadata,
-    // bounded — not a data-volume path
-    val w = Window.orderBy(col("__ms"))
-    missing
+  def gapRanges(missing: DataFrame, tsCol: String, stepMs: Long,
+                blockSlots: Long = BlockSlots): DataFrame = {
+    require(blockSlots >= 1, s"blockSlots must be >= 1, got $blockSlots")
+    // exact integer FLOOR slot index. Integer-only: long/long `/` is
+    // floating-point division, and rounding on slots not aligned to exact
+    // stepMs multiples would fragment one outage into several ranges.
+    // pmod-then-div rather than bare `div`: `div` truncates toward zero,
+    // so pre-1970 (negative-ms) slots straddling zero would merge into one
+    // island; subtracting the non-negative pmod first makes the numerator
+    // an exact floor multiple, giving true floor semantics for any sign.
+    val slotIdx = expr(s"(__ms - pmod(__ms, $stepMs)) div $stepMs")
+    val wBlk = Window.partitionBy(col("__blk")).orderBy(col("__ms"))
+    val blockRanges = missing
       .select(((col(tsCol).cast("double") * 1000).cast("long")).as("__ms"))
       .distinct()
-      // exact integer FLOOR slot index. Integer-only: long/long `/` is
-      // floating-point division, and rounding on slots not aligned to exact
-      // stepMs multiples would fragment one outage into several ranges.
-      // pmod-then-div rather than bare `div`: `div` truncates toward zero,
-      // so pre-1970 (negative-ms) slots straddling zero would merge into one
-      // island; subtracting the non-negative pmod first makes the numerator
-      // an exact floor multiple, giving true floor semantics for any sign.
-      .withColumn("__island",
-        expr(s"(__ms - pmod(__ms, $stepMs)) div $stepMs") - row_number().over(w))
-      .groupBy(col("__island"))
+      .withColumn("__slot", slotIdx)
+      .withColumn("__blk",
+        expr(s"(__slot - pmod(__slot, $blockSlots)) div $blockSlots"))
+      // within one block the classic trick: consecutive slots share
+      // `slot − row_number`; keyed by (block, island) so island ids never
+      // collide across blocks
+      .withColumn("__island", col("__slot") - row_number().over(wBlk))
+      .groupBy(col("__blk"), col("__island"))
       .agg(min(col("__ms")).as("start_ms"),
         (max(col("__ms")) + lit(stepMs)).as("end_ms"))
+    // level 2 — metadata-scale: merge range CHAINS that touch end-to-start
+    // (exactly the islands a block boundary split). Global ordering is
+    // safe here: one row per (outage × touched block).
+    val wg = Window.orderBy(col("start_ms"))
+    val wgRun = wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blockRanges
+      .withColumn("__new",
+        when(lag(col("end_ms"), 1).over(wg) === col("start_ms"), 0)
+          .otherwise(1))
+      .withColumn("__grp", sum(col("__new")).over(wgRun))
+      .groupBy(col("__grp"))
+      .agg(min(col("start_ms")).as("start_ms"),
+        max(col("end_ms")).as("end_ms"))
       .select(col("start_ms"), col("end_ms"))
       .orderBy(col("start_ms"))
   }

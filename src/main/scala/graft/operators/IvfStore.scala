@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * The model lives in a nested [[CentroidStore]] (atomic versioned
   * commits, mini-batch refresh), and MODEL/POSTINGS PAIRING is explicit:
   * each postings snapshot records the model version its assignments were
-  * computed under (a `_model/v{N}` sidecar written before the commit, the
-  * [[QuantStore]] versioned-bounds pattern), and every search resolves
+  * computed under — as `#meta:` lines INSIDE the postings manifest commit
+  * ([[ManifestTable.commitMeta]]), atomic with the snapshot, with a
+  * read-side fallback to the legacy pre-commit `_model/v{N}` parquet
+  * sidecar of older stores — and every search resolves
   * ONE postings version and probes with exactly that version's centroids
   * — a search racing a rebuild can never probe new-model cells against
   * old-model postings (cell ids mean different voronoi regions across
@@ -141,21 +143,24 @@ object IvfStore {
                              postings: DataFrame, modelVersion: Long,
                              replaced: Seq[String],
                              tick: Option[String] = None): Long = {
-    import spark.implicits._
-    val vNext = ManifestTable.currentVersion(spark, postingsRoot(root))
-      .getOrElse(0L) + 1L
-    Seq((modelVersion, tick.orNull))
-      .toDF("model_version", "tick_id")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(modelRefPath(root, vNext))
+    val prev = ManifestTable.currentVersion(spark, postingsRoot(root))
+      .getOrElse(0L)
     val staging = s"${postingsRoot(root)}/_staging/${UUID.randomUUID()}"
     postings.withColumn("p_cell", col("centroid_id"))
       .write.partitionBy("p_cell").mode(SaveMode.Overwrite).parquet(staging)
     val added = ManifestTable.publishFiles(spark, postingsRoot(root), staging)
     val entries = ManifestTable.footerMeta(spark,
       ManifestTable.dataDir(postingsRoot(root)), added, Seq("vec_id")).map(_._1)
-    val v = ManifestTable.commitEntries(spark, postingsRoot(root), replaced, entries)
-    require(v == vNext && modelVersionOf(spark, root, v) == modelVersion,
+    // the model↔postings pairing rides INSIDE the manifest commit (atomic
+    // with the snapshot through the conditional publisher — no separately
+    // written sidecar a racing committer could clobber), and the
+    // expected-version CAS rejects a concurrent postings writer BEFORE
+    // anything is committed
+    val v = ManifestTable.commitEntries(spark, postingsRoot(root), replaced,
+      entries, expectedVersion = Some(prev),
+      meta = Map("model_version" -> modelVersion.toString) ++
+        tick.map("tick_id" -> _))
+    require(v == prev + 1 && modelVersionOf(spark, root, v) == modelVersion,
       s"concurrent build detected: postings v$v not paired with model v$modelVersion")
     ManifestTable.vacuum(spark, postingsRoot(root))
     // drop model refs of vacuumed postings versions (QuantStore.pruneBounds)
@@ -251,13 +256,13 @@ object IvfStore {
       val entries = ManifestTable.footerMeta(spark, dd, added, Seq("vec_id"))
         .map(_._1)
       // the rewrite changes no assignment, so the new snapshot pairs with
-      // the SAME model — written before the commit, like every postings
-      // sidecar
+      // the SAME model — the ref rides the commit's own meta lines (atomic
+      // with the snapshot), and the expected-version CAS rejects a racing
+      // tickWithIndex BEFORE this commit lands, never after (round-13's
+      // post-commit require left an unresolvable committed snapshot)
       val mv = modelVersionOf(spark, root, pv)
-      Seq((mv, null: String)).toDF("model_version", "tick_id")
-        .coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(modelRefPath(root, pv + 1))
-      val v = ManifestTable.commitRewriteFiles(spark, pr, victimFiles, entries)
+      val v = ManifestTable.commitRewriteFiles(spark, pr, victimFiles, entries,
+        expectedVersion = Some(pv), meta = Map("model_version" -> mv.toString))
       require(v == pv + 1 && modelVersionOf(spark, root, v) == mv,
         s"concurrent writer detected: purge committed v$v, planned ${pv + 1}")
       ManifestTable.vacuum(spark, pr)
@@ -275,8 +280,11 @@ object IvfStore {
     */
   def modelVersionOf(spark: SparkSession, root: String,
                      postingsVersion: Long): Long =
-    spark.read.parquet(modelRefPath(root, postingsVersion))
-      .select(col("model_version")).collect().head.getLong(0)
+    ManifestTable.commitMeta(spark, postingsRoot(root), postingsVersion)
+      .get("model_version").map(_.toLong)
+      .getOrElse( // pre-meta store: the legacy `_model/v{N}` sidecar
+        spark.read.parquet(modelRefPath(root, postingsVersion))
+          .select(col("model_version")).collect().head.getLong(0))
 
   /** The tick id postings snapshot `postingsVersion` was committed under,
     * if any — the [[ingestBatch]] replay marker. Tolerates pre-tick
@@ -284,9 +292,18 @@ object IvfStore {
     */
   private def postingsTickOf(spark: SparkSession, root: String,
                              postingsVersion: Long): Option[String] = {
-    val ref = spark.read.parquet(modelRefPath(root, postingsVersion))
-    if (!ref.columns.contains("tick_id")) None
-    else Option(ref.select(col("tick_id")).collect().head.getString(0))
+    val meta = ManifestTable.commitMeta(spark, postingsRoot(root),
+      postingsVersion)
+    // a meta-bearing postings commit always records its model version, so
+    // its presence marks the commit new-style: tick_id comes from the meta
+    // (absent = an untracked commit, e.g. a purge). Only pre-meta commits
+    // fall back to the legacy sidecar.
+    if (meta.contains("model_version")) meta.get("tick_id")
+    else {
+      val ref = spark.read.parquet(modelRefPath(root, postingsVersion))
+      if (!ref.columns.contains("tick_id")) None
+      else Option(ref.select(col("tick_id")).collect().head.getString(0))
+    }
   }
 
   /** Whether ANY of `ids` is already posted — the replay backstop for

@@ -363,6 +363,27 @@ object ManifestTable {
     allLinesOf(spark, root, version).filterNot(_.startsWith("#"))
 
   private val TokenPrefix = "#token="
+  private val MetaPrefix = "#meta:"
+
+  /** Per-commit key=value metadata recorded INSIDE `version`'s manifest
+    * file (`#meta:` header lines, written by the commit that created the
+    * version). Because the lines ride the manifest bytes through the same
+    * conditional [[commitPublisher]] install, the metadata is ATOMIC with
+    * the snapshot — the mechanism version-paired state (e.g. [[IvfStore]]'s
+    * model↔postings ref) uses so no separately-written sidecar can be
+    * clobbered by a racing committer. Commits that wrote no meta (and
+    * pre-meta manifests) yield an empty map.
+    */
+  def commitMeta(spark: SparkSession, root: String,
+                 version: Long): Map[String, String] =
+    allLinesOf(spark, root, version)
+      .filter(_.startsWith(MetaPrefix))
+      .map { l =>
+        val kv = l.substring(MetaPrefix.length)
+        val i = kv.indexOf('=')
+        require(i > 0, s"malformed manifest meta line: $l")
+        kv.substring(0, i) -> kv.substring(i + 1)
+      }.toMap
 
   /** The commit token of `version`'s manifest header, by reading ONLY the
     * first line — the cheap identity probe [[entriesOf]] validates its
@@ -591,9 +612,10 @@ object ManifestTable {
   def commitReplace(spark: SparkSession, root: String,
                     replacedPartitions: Seq[String],
                     addedFiles: Seq[String],
-                    expectedVersion: Option[Long] = None): Long =
+                    expectedVersion: Option[Long] = None,
+                    meta: Map[String, String] = Map.empty): Long =
     commitEntries(spark, root, replacedPartitions,
-      addedFiles.map(FileEntry(_)), expectedVersion)
+      addedFiles.map(FileEntry(_)), expectedVersion, meta)
 
   /** How a commit installs its written temp manifest as the version-numbered
     * target — the format's single LogStore-style seam (the role Delta's
@@ -635,14 +657,79 @@ object ManifestTable {
         .split(",").map(_.trim.toLowerCase).contains(scheme)
   }
 
+  /** Whether this filesystem's `create(path, overwrite = false)` is a TRUE
+    * conditional write — one atomic create-if-absent arbitrated AT THE
+    * STORE (S3 If-None-Match through a conditional-write-enabled
+    * connector, GCS generation-0 preconditions, ABFS ETag creates), not a
+    * client-side exists()+create. Declared per deployment via the hadoop
+    * conf key `graft.commit.conditional.schemes` (comma-separated): the
+    * operator's assertion that the connector is configured for conditional
+    * creates. A declared scheme takes the [[putIfAbsentCommitPublish]]
+    * path even when it is also listed rename-non-atomic — conditional
+    * create is strictly stronger than the lease protocol (no settle
+    * window, no committer-clock assumption), so it wins the dispatch.
+    */
+  private def isConditionalCreateFs(fs: FileSystem): Boolean = {
+    val scheme = Option(fs.getUri).flatMap(u => Option(u.getScheme))
+      .map(_.toLowerCase).getOrElse("")
+    fs.getConf.get("graft.commit.conditional.schemes", "")
+      .split(",").map(_.trim.toLowerCase).contains(scheme)
+  }
+
+  /** The conditional-PUT manifest install — the [[leaseCommitPublish]]
+    * scaladoc's endgame, for stores with native write preconditions: ONE
+    * create-exclusive PUT of the manifest bytes, arbitrated by the store
+    * itself. Of two racing committers of the same version exactly one
+    * create succeeds and the other throws [[CommitConflictException]] —
+    * no lock object, no settle window, and NO clock assumption (the lease
+    * protocol's residual caveats). A read-back verifies the committed
+    * bytes are ours, turning any connector that silently last-writer-wins
+    * despite the declared precondition into a loud conflict rather than a
+    * lost manifest.
+    */
+  private[graft] def putIfAbsentCommitPublish(fs: FileSystem, tmp: Path,
+                                              target: Path): Unit = {
+    def conflict(): Nothing = throw new CommitConflictException(
+      s"commit conflict: $target already exists (racing committer)")
+    val bytes = readAllBytes(fs, tmp)
+    val out =
+      try fs.create(target, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => conflict()
+        case _: java.nio.file.FileAlreadyExistsException => conflict()
+        case e: java.io.IOException
+          if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+          conflict()
+      }
+    // object PUTs materialize at close — a precondition failure may surface
+    // there instead of at create
+    try { try out.write(bytes) finally out.close() }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => conflict()
+      case _: java.nio.file.FileAlreadyExistsException => conflict()
+      case e: java.io.IOException
+        if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+        conflict()
+    }
+    if (!java.util.Arrays.equals(readAllBytes(fs, target), bytes))
+      conflict() // the "conditional" create was not: bytes lost an overwrite
+    fs.delete(tmp, false)
+  }
+
   private[graft] def defaultCommitPublish(fs: FileSystem, tmp: Path,
                                           target: Path): Unit = {
     def conflict(): Nothing = throw new CommitConflictException(
       s"commit conflict: $target already exists (racing committer)")
     fs match {
-      // the EXPLICIT non-atomic dispatch must win: an object-store-like FS
-      // can subclass a local one (exactly how the race harness simulates
-      // S3 semantics), and the scheme declaration is the operator's intent
+      // a declared conditional-create scheme wins outright: the store's
+      // own precondition is strictly stronger than both the lease protocol
+      // and any rename path
+      case _ if isConditionalCreateFs(fs) =>
+        putIfAbsentCommitPublish(fs, tmp, target)
+      // the EXPLICIT non-atomic dispatch must win over the local/rename
+      // arms: an object-store-like FS can subclass a local one (exactly how
+      // the race harness simulates S3 semantics), and the scheme
+      // declaration is the operator's intent
       case _ if isNonAtomicRenameFs(fs) =>
         leaseCommitPublish(fs, tmp, target)
       case _: org.apache.hadoop.fs.LocalFileSystem |
@@ -793,10 +880,11 @@ object ManifestTable {
   def commitEntries(spark: SparkSession, root: String,
                     replacedPartitions: Seq[String],
                     added: Seq[FileEntry],
-                    expectedVersion: Option[Long] = None): Long =
+                    expectedVersion: Option[Long] = None,
+                    meta: Map[String, String] = Map.empty): Long =
     commitDropping(spark, root,
       f => replacedPartitions.exists(p => p.isEmpty || f.startsWith(p + "/")),
-      added, expectedVersion)
+      added, expectedVersion, meta)
 
   /** Commit the next snapshot = previous live files minus EXACTLY the named
     * files, plus `added` — the file-level rewrite commit (a purge or
@@ -808,20 +896,23 @@ object ManifestTable {
     */
   def commitRewriteFiles(spark: SparkSession, root: String,
                          removedFiles: Seq[String],
-                         added: Seq[FileEntry]): Long = {
+                         added: Seq[FileEntry],
+                         expectedVersion: Option[Long] = None,
+                         meta: Map[String, String] = Map.empty): Long = {
     val live = liveFiles(spark, root).toSet
     val missing = removedFiles.filterNot(live.contains)
     require(missing.isEmpty,
       s"rewrite commit removes files not in the live snapshot " +
         s"(planned against a moved store?): ${missing.take(5).mkString(",")}")
     val doomed = removedFiles.toSet
-    commitDropping(spark, root, doomed.contains, added)
+    commitDropping(spark, root, doomed.contains, added, expectedVersion, meta)
   }
 
   private def commitDropping(spark: SparkSession, root: String,
                              drop: String => Boolean,
                              added: Seq[FileEntry],
-                             expectedVersion: Option[Long] = None): Long = {
+                             expectedVersion: Option[Long] = None,
+                             meta: Map[String, String] = Map.empty): Long = {
     val fs = fsOf(spark, root)
     val prev = currentVersion(spark, root)
     // optimistic-transaction check (version 0 = empty store): a caller that
@@ -843,10 +934,19 @@ object ManifestTable {
     val tmp = new Path(s"$root/$ManifestDirName/.tmp-${UUID.randomUUID()}")
     fs.mkdirs(tmp.getParent)
     val out = fs.create(tmp, false)
-    // the header token is this commit's identity: unique per commit, never
-    // carried forward, what entriesOf validates its cache against (and the
-    // only `#` metadata line; entry parsing skips the prefix)
-    try out.write(((s"$TokenPrefix${UUID.randomUUID()}" +: (kept ++ added.map(renderEntry)))
+    // header lines: the commit token (this commit's identity: unique per
+    // commit, never carried forward, what entriesOf validates its cache
+    // against) then the caller's per-commit metadata. Both are `#` lines
+    // that entry parsing skips and rawLinesOf never carries forward — meta
+    // describes ONE commit, not the snapshot lineage.
+    meta.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains('=') && !k.contains('\n'),
+        s"commit meta key must be non-empty and '='/newline-free: '$k'")
+      require(!v.contains('\n'), s"commit meta value for '$k' contains a newline")
+    }
+    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"$MetaPrefix$k=$v" }
+    try out.write(((s"$TokenPrefix${UUID.randomUUID()}" +: metaLines
+      ++: (kept ++ added.map(renderEntry)))
       .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val target = manifestPath(root, next)

@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, In, InSet, Literal, Or}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, In, InSet, Literal, Or}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 import org.apache.spark.unsafe.types.UTF8String
@@ -80,6 +81,114 @@ class StorePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
             kept.sorted.map(byRel))))
         case _ => f // no reduction (or unprunable keys): leave as-is
       }
+
+    // filter-by-JOIN point reads: a semi/inner join of the tagged scan
+    // against a SMALL keys frame on the kind's index column — the shape a
+    // user writes when the probe keys come from another query instead of
+    // literals. See [[joinPrune]].
+    case j @ Join(left, right, jt, Some(cond), _)
+        if (jt == LeftSemi || jt == Inner) &&
+          (firstTagged(left).nonEmpty || firstTagged(right).nonEmpty) =>
+      joinPrune(j).getOrElse(j)
+  }
+
+  /** The DPP-style prune for joins (the round-13 gap: point reads whose
+    * probe keys come from a query still collected them driver-side,
+    * because only literal predicates pruned). When one side of a
+    * semi/inner equi-join contains the tagged snapshot scan and the OTHER
+    * side — the probe — is estimated under the broadcast threshold, the
+    * probe's distinct keys are evaluated here in the planner (exactly the
+    * subquery execution dynamic partition pruning performs) and routed
+    * through the same two-level file prune as literal keys. USER CODE
+    * COLLECTS NOTHING; soundness is unchanged — pruning only removes
+    * files whose bucket+Bloom provably hold none of the probe's keys, and
+    * the join itself stays in the plan to do the exact matching. A probe
+    * over [[MaxKeys]] distinct keys abandons the prune (the scan-side
+    * join out-filters driver probe work at that size); a FAILED probe
+    * evaluation abandons it too, never guesses.
+    */
+  private def joinPrune(j: Join): Option[LogicalPlan] = {
+    val Join(left, right, jt, Some(cond), _) = j: @unchecked
+    val (scanSide, probeSide, taggedIn) = firstTagged(left) match {
+      case Some(t) => (left, right, t)
+      case None    => (right, left, firstTagged(right).get)
+    }
+    // an inner join multiplies rows, but file pruning stays sound for it:
+    // a pruned-away file holds no row matching ANY probe key, so it can
+    // contribute no join output. LeftSemi additionally requires the scan
+    // on the LEFT (Spark's semi shape) — enforced by the match above
+    // having found the tagged side.
+    if (jt == LeftSemi && !firstTagged(left).contains(taggedIn)) return None
+    val (rel, hfs) = taggedIn
+    val kind = hfs.options("graft.store.kind")
+    val keyCol = CorpusStore.bloomKeyOf(kind).getOrElse(return None)
+    // the equi-conjunct pairing the scan's key column with a probe column
+    val probeAttr: Attribute = conjuncts(cond).collectFirst {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name == keyCol && rel.outputSet.contains(a) &&
+            probeSide.outputSet.contains(b) => b
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if a.name == keyCol && rel.outputSet.contains(a) &&
+            probeSide.outputSet.contains(b) => b
+    }.getOrElse(return None)
+    // "small frame" = the broadcast-side estimate, the same bar a
+    // broadcast join uses; a disabled threshold (<= 0) falls back to 10MB
+    val bc = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val limit = if (bc > 0) bc else 10L << 20
+    if (probeSide.stats.sizeInBytes > limit) return None
+    val keys =
+      try {
+        val probePlan = Distinct(Project(Seq(probeAttr), probeSide))
+        StorePruneRule.planToDf(spark, probePlan)
+          .limit(MaxKeys + 1).collect()
+          .flatMap(r => Option(r.get(0)).map(_.toString)).toSeq
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    if (keys.size > MaxKeys) return None
+    val root = hfs.options("graft.store.root")
+    val layout = CorpusStore.parseLayout(hfs.options("graft.store.layout"),
+      s"relation tag at $root")
+    val byRel: Map[String, String] = hfs.location.inputFiles.toSeq
+      .flatMap(abs => relOf(abs).map(_ -> abs)).toMap
+    // zero probe keys: the equi-join can match nothing — empty scan
+    if (keys.isEmpty)
+      return Some(j.copy(
+        left = if (scanSide eq left) replaceRel(left, rel, None) else left,
+        right = if (scanSide eq right) replaceRel(right, rel, None) else right))
+    CorpusStore.pruneRelFiles(spark, root, kind, layout,
+      byRel.keys.toSeq, keys) match {
+      case Some(kept) if kept.size < byRel.size =>
+        val newHfs =
+          if (kept.isEmpty) None
+          else Some(rebuilt(hfs, kept.sorted.map(byRel)))
+        val rebuiltSide = replaceRel(scanSide, rel, newHfs)
+        Some(j.copy(
+          left = if (scanSide eq left) rebuiltSide else left,
+          right = if (scanSide eq right) rebuiltSide else right))
+      case _ => None
+    }
+  }
+
+  /** Swap `rel` inside `side` for the pruned relation (None = provably
+    * empty → an empty LocalRelation with the same output attributes).
+    */
+  private def replaceRel(side: LogicalPlan, rel: LogicalRelation,
+                         newHfs: Option[HadoopFsRelation]): LogicalPlan =
+    side.transform {
+      case lr: LogicalRelation if lr eq rel =>
+        newHfs match {
+          case Some(h) => rel.copy(relation = h)
+          case None    => LocalRelation(rel.output)
+        }
+    }
+
+  /** The single tagged unpruned scan inside `side`, if exactly one. */
+  private def firstTagged(side: LogicalPlan)
+      : Option[(LogicalRelation, HadoopFsRelation)] = {
+    val tagged = side.collect {
+      case lr: LogicalRelation if taggedRelation(lr).nonEmpty =>
+        (lr, taggedRelation(lr).get)
+    }
+    if (tagged.size == 1) tagged.headOption else None
   }
 
   /** The band kind's COMPOUND prune: its bucket is a (band_id, band_val)
@@ -199,6 +308,38 @@ class StorePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case s: Short      => Some(s.toString)
     case b: Byte       => Some(b.toString)
     case _             => None
+  }
+}
+
+object StorePruneRule {
+  /** `Dataset.ofRows` — the LogicalPlan→DataFrame constructor every
+    * planner-time subquery evaluation in Spark itself uses — is
+    * `private[sql]` (public at the bytecode level), so [[joinPrune]]'s
+    * probe evaluation resolves it reflectively ONCE here, failing loudly
+    * and actionably at class init on a Spark that moved the seam (the
+    * [[graft.streaming.StoreChangesSource]] hardening discipline).
+    */
+  private val ofRows: java.lang.reflect.Method =
+    try {
+      val cls = Class.forName("org.apache.spark.sql.classic.Dataset$")
+      cls.getMethod("ofRows",
+        Class.forName("org.apache.spark.sql.classic.SparkSession"),
+        classOf[LogicalPlan])
+    } catch {
+      case e: ReflectiveOperationException =>
+        throw new IllegalStateException(
+          "org.apache.spark.sql.classic.Dataset.ofRows(SparkSession, " +
+            "LogicalPlan) is not resolvable on this Spark version — " +
+            "update StorePruneRule.planToDf to this version's " +
+            "LogicalPlan->DataFrame seam.", e)
+    }
+
+  private[plans] def planToDf(spark: SparkSession,
+                              plan: LogicalPlan): org.apache.spark.sql.DataFrame = {
+    val module = Class.forName("org.apache.spark.sql.classic.Dataset$")
+      .getField("MODULE$").get(null)
+    ofRows.invoke(module, spark, plan)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
   }
 }
 

@@ -67,6 +67,29 @@ object StoreChangesSource {
     StructField("source", StringType),
     StructField("text_md5", StringType),
     StructField("change", StringType)))
+
+  /** Resolve the `internalCreateDataFrame` seam (see [[StoreChangesSource
+    * .asStreaming]]) against the session class — called at SOURCE
+    * CONSTRUCTION, so a Spark upgrade that renames or re-signatures the
+    * method fails the stream at `readStream...load()`/start with an
+    * actionable message, never mid-stream at an arbitrary micro-batch.
+    */
+  private[graft] def resolveInternalCreate(
+      sessionClass: Class[_]): java.lang.reflect.Method =
+    try sessionClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
+      java.lang.Boolean.TYPE)
+    catch {
+      case e: NoSuchMethodException =>
+        throw new IllegalStateException(
+          s"${sessionClass.getName} no longer exposes " +
+            "internalCreateDataFrame(RDD, StructType, boolean) — the " +
+            "private[sql] constructor KafkaSource/DeltaSource use to mark " +
+            "a V1 Source batch isStreaming=true. This Spark version moved " +
+            "the seam: update StoreChangesSource.asStreaming to this " +
+            "version's equivalent (or move the class into a " +
+            "org.apache.spark.sql shim package).", e)
+    }
 }
 
 class StoreChangesSource(sqlContext: SQLContext,
@@ -130,15 +153,19 @@ class StoreChangesSource(sqlContext: SQLContext,
     * — public at the bytecode level, and exactly the call KafkaSource /
     * DeltaSource make from inside the `org.apache.spark.sql` namespace —
     * so it is invoked reflectively here rather than squatting a class in
-    * Spark's package. The plan boundary is `queryExecution.toRdd`, the
+    * Spark's package. Resolution happens ONCE in [[internalCreate]] (at
+    * source construction — a loud start-time failure on a Spark that
+    * moved the seam); the plan boundary is `queryExecution.toRdd`, the
     * same materialization those sources hand the engine.
     */
-  private def asStreaming(df: DataFrame): DataFrame = {
-    val cs = df.sparkSession
-    val m = cs.getClass.getMethod("internalCreateDataFrame",
-      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
-      java.lang.Boolean.TYPE)
-    m.invoke(cs, df.queryExecution.toRdd, df.schema, java.lang.Boolean.TRUE)
+  private def asStreaming(df: DataFrame): DataFrame =
+    internalCreate.invoke(df.sparkSession,
+      df.queryExecution.toRdd, df.schema, java.lang.Boolean.TRUE)
       .asInstanceOf[DataFrame]
-  }
+
+  /** Resolved eagerly at construction — see
+    * [[StoreChangesSource.resolveInternalCreate]].
+    */
+  private val internalCreate =
+    StoreChangesSource.resolveInternalCreate(spark.getClass)
 }

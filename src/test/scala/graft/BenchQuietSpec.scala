@@ -95,4 +95,41 @@ class BenchQuietSpec extends AnyFunSuite {
     val (_, q2) = Bench.awaitQuiet(probe, floor, 1.15, budget, 0L, "q2")
     assert(q1 && q2 && budget(0) == 6)
   }
+
+  // ---- cross-run flag escalation (Bench.escalateFlags) ----
+
+  test("a first-time unconfirmed flag stays unconfirmed and opens a streak") {
+    val (esc, unconf, next) =
+      Bench.escalateFlags(Map.empty, Seq.empty, Seq("q_a"))
+    assert(esc.isEmpty && unconf == Seq("q_a") && next == Map("q_a" -> 1))
+  }
+
+  test("the second consecutive unconfirmed flag escalates to certified — " +
+    "the channel cannot be ridden indefinitely") {
+    val (esc, unconf, next) =
+      Bench.escalateFlags(Map("q_a" -> 1), Seq.empty, Seq("q_a"))
+    assert(esc == Seq("q_a") && unconf.isEmpty && next == Map("q_a" -> 2))
+  }
+
+  test("a cleared query resets its streak by omission; an unrelated flag " +
+    "does not inherit another's history") {
+    // q_a flagged last run but cleared this run; q_b flags for the first time
+    val (esc, unconf, next) =
+      Bench.escalateFlags(Map("q_a" -> 2), Seq.empty, Seq("q_b"))
+    assert(esc.isEmpty && unconf == Seq("q_b") && next == Map("q_b" -> 1))
+    // the reset is real: q_a flagging again later is a FIRST offense
+    val (esc2, _, _) = Bench.escalateFlags(next, Seq.empty, Seq("q_a"))
+    assert(esc2.isEmpty)
+  }
+
+  test("a confirmed regression also extends the streak, so a later noisy " +
+    "window cannot demote a repeat offender to unconfirmed") {
+    val (_, _, afterConfirmed) =
+      Bench.escalateFlags(Map.empty, Seq("q_a"), Seq.empty)
+    assert(afterConfirmed == Map("q_a" -> 1))
+    val (esc, unconf, _) =
+      Bench.escalateFlags(afterConfirmed, Seq.empty, Seq("q_a"))
+    assert(esc == Seq("q_a") && unconf.isEmpty,
+      "confirmed-then-noisy must escalate on the second appearance")
+  }
 }

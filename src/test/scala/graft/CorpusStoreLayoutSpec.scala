@@ -231,30 +231,47 @@ class CorpusStoreLayoutSpec extends SparkSpec {
 
       // foreign expression version: reading it would file-prune against
       // wrong directories, so open throws with the migration instruction.
+      // The AUTHORITATIVE channel is the commit's own #meta:layout line
+      // (atomic with the snapshot), so that is what gets tampered first.
       // Rewrite through the hadoop FS (keeps the local-FS crc sidecar in
       // step — a raw java.nio edit would fail the checksum, not the parse)
       val hfs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val sidecar = new org.apache.hadoop.fs.Path(s"$root/_layout/v$v")
-      val orig = {
-        val in = hfs.open(sidecar)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      def rewrite(p: org.apache.hadoop.fs.Path)(f: String => String): Unit = {
+        val in = hfs.open(p)
+        val orig = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+        val out = hfs.create(p, true)
+        try out.write(f(orig).getBytes("UTF-8")) finally out.close()
       }
-      val out = hfs.create(sidecar, true)
-      try out.write(orig.replace("\"exprVersion\":1", "\"exprVersion\":2")
-        .getBytes("UTF-8"))
-      finally out.close()
+      val manifest = new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/v${"%020d".format(v)}.manifest")
+      rewrite(manifest)(
+        _.replace("\"exprVersion\":1", "\"exprVersion\":2"))
       val ex = intercept[IllegalStateException] {
         CorpusStore.layoutOf(spark, root)
       }
       assert(ex.getMessage.contains("bucket-expression version")
         && ex.getMessage.contains("rebucket"), ex.getMessage)
 
-      // missing sidecar = a pre-sidecar store, necessarily written at the
-      // then-constant 16/16/16. PINNED: if DefaultLayout ever changes,
-      // this assertion is the tripwire that the legacy fallback would
-      // silently corrupt old stores.
+      // PRE-META store (the legacy form): strip the meta line entirely —
+      // resolution falls back to the `_layout/v{N}` sidecar, whose foreign
+      // expression version must throw the same way
+      rewrite(manifest)(_.split("\n")
+        .filterNot(_.startsWith("#meta:")).mkString("\n") + "\n")
+      val sidecar = new org.apache.hadoop.fs.Path(s"$root/_layout/v$v")
+      rewrite(sidecar)(
+        _.replace("\"exprVersion\":1", "\"exprVersion\":2"))
+      val ex1b = intercept[IllegalStateException] {
+        CorpusStore.layoutOf(spark, root)
+      }
+      assert(ex1b.getMessage.contains("bucket-expression version"),
+        ex1b.getMessage)
+
+      // missing sidecar on a pre-meta store = a pre-sidecar store,
+      // necessarily written at the then-constant 16/16/16. PINNED: if
+      // DefaultLayout ever changes, this assertion is the tripwire that
+      // the legacy fallback would silently corrupt old stores.
       hfs.delete(new org.apache.hadoop.fs.Path(s"$root/_layout"), true)
       assert(CorpusStore.DefaultLayout == StoreLayout(16, 16, 16),
         "DefaultLayout changed: pre-sidecar stores were written at " +

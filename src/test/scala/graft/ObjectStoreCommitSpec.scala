@@ -157,4 +157,104 @@ class ObjectStoreCommitSpec extends SparkSpec {
         "a blocked committer moved the version anyway")
     } finally conf.setLong("graft.commit.lease.timeout.ms", 600000L)
   }
+
+  // ---- the putIfAbsent publisher ([[ConditionalStoreFs]], `condfs:`) ----
+
+  /** `condfs:` root. The scheme is ALSO declared rename-non-atomic, and
+    * the lease settle window is set to ten minutes: if the lease path
+    * engaged anywhere, these tests would hang — finishing fast IS the
+    * proof that the conditional-create dispatch wins and that no clock or
+    * settle-window assumption is involved.
+    */
+  private def condRoot(prefix: String): String = {
+    conf.set("fs.condfs.impl", classOf[ConditionalStoreFs].getName)
+    conf.set("graft.commit.conditional.schemes", "condfs")
+    conf.set("graft.commit.nonatomic.schemes", "objfs,condfs")
+    conf.setLong("graft.commit.lease.settle.ms", 600000L)
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    s"condfs:$dir"
+  }
+
+  private def noLocksEver(fs: org.apache.hadoop.fs.FileSystem,
+                          root: String): Unit = {
+    val leftovers = fs.listStatus(new Path(s"$root/_manifests")).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(".tmp-") || n.endsWith(".lock") ||
+        n.startsWith(".put-"))
+    assert(leftovers.isEmpty,
+      s"conditional commits left locks/temps behind (lease path engaged?): " +
+        leftovers)
+  }
+
+  test("condfs same-version race: exactly one PUT wins at the store's " +
+    "precondition, the loser throws, no lock object is ever created") {
+    val root = condRoot("graft_cond1")
+    val fs = new Path(root).getFileSystem(conf)
+    assert(fs.isInstanceOf[ConditionalStoreFs], "condfs scheme not registered")
+    ManifestTable.commitReplace(spark, root, Seq.empty, Seq("w/base.parquet"))
+    ManifestTable.commitReplace(spark, root, Seq.empty, Seq("w/winner.parquet"))
+    val tmp = new Path(s"$root/_manifests/.tmp-race-loser")
+    val out = fs.create(tmp, true)
+    try out.write("#token=loser\nw/loser.parquet\n".getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(s"$root/_manifests/v${"%020d".format(2L)}.manifest")
+    val winnerBytes = readAll(fs, target)
+    intercept[CommitConflictException] {
+      ManifestTable.defaultCommitPublish(fs, tmp, target)
+    }
+    assert(java.util.Arrays.equals(winnerBytes, readAll(fs, target)),
+      "losing committer mutated the winner's manifest through the " +
+        "conditional PUT")
+    assert(ManifestTable.liveFiles(spark, root).toSet ==
+      Set("w/base.parquet", "w/winner.parquet"))
+    // the hand-staged loser temp is OURS to clean (commitDropping owns temp
+    // cleanup in the real flow — the concurrent test below proves it);
+    // what must never exist on condfs is a lock or an in-flight PUT
+    fs.delete(tmp, false)
+    noLocksEver(fs, root)
+  }
+
+  test("condfs concurrent retrying committers lose no update, leave no " +
+    "lock, and never consult a clock or settle window") {
+    val root = condRoot("graft_cond2")
+    val started = System.nanoTime()
+    val nThreads = 3
+    val perThread = 3
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          (0 until perThread).foreach { c =>
+            var committed = false
+            var attempts = 0
+            while (!committed) {
+              attempts += 1
+              require(attempts <= 200, "livelocked committer")
+              try {
+                ManifestTable.commitReplace(spark, root, Seq.empty,
+                  Seq(s"w/t${t}_c$c.parquet"))
+                committed = true
+              } catch { case _: CommitConflictException => () }
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"committer thread died: ${errors.peek()}")
+    val expected = (for (t <- 0 until nThreads; c <- 0 until perThread)
+      yield s"w/t${t}_c$c.parquet").toSet
+    assert(ManifestTable.liveFiles(spark, root).toSet == expected,
+      "an update was lost under concurrent conditional commits")
+    assert(ManifestTable.versions(spark, root) ==
+      (1L to (nThreads * perThread).toLong),
+      "committed versions are not contiguous")
+    val fs = new Path(root).getFileSystem(conf)
+    noLocksEver(fs, root)
+    // 9 commits under a 600 s settle window: a single lease engagement
+    // would alone exceed this bound
+    assert((System.nanoTime() - started) < 300L * 1e9,
+      "conditional commits took so long the lease path must have engaged")
+  }
 }

@@ -107,4 +107,23 @@ class StoreChangesStreamSpec extends SparkSpec {
         .map(_.getAs[Long]("doc_id")).sorted.toSeq,
       "bootstrap diff is not the full kept-document set")
   }
+
+  test("the internalCreateDataFrame seam resolves at source construction " +
+    "and fails LOUDLY and actionably on a Spark that moved it") {
+    // the real session class carries the seam (what construction resolves)
+    val m = graft.streaming.StoreChangesSource
+      .resolveInternalCreate(spark.getClass)
+    assert(m.getName == "internalCreateDataFrame")
+    // a class without it — the shape of a Spark upgrade that renamed or
+    // re-signatured the private[sql] constructor — must fail with the
+    // actionable message, not a bare NoSuchMethodException mid-stream
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StoreChangesSource
+        .resolveInternalCreate(classOf[java.lang.Object])
+    }
+    assert(e.getMessage.contains("internalCreateDataFrame") &&
+      e.getMessage.contains("StoreChangesSource"),
+      s"failure message is not actionable: ${e.getMessage}")
+    assert(e.getCause.isInstanceOf[NoSuchMethodException])
+  }
 }

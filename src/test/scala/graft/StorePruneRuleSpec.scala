@@ -215,4 +215,68 @@ class StorePruneRuleSpec extends SparkSpec {
     }.map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(qIn.collect().map(_.getLong(0)).sorted.toSeq === expectedIn)
   }
+
+  /** Store-side file names of the optimized plan (the probe's own parquet
+    * relation filtered out).
+    */
+  private def storeScanFiles(df: DataFrame): Seq[String] =
+    relNames(scanFiles(df).filter(_.contains("p_kind=")))
+
+  test("filter-by-JOIN prunes: a semi-join against a small keys FRAME " +
+    "(not literals) shrinks the scan with zero collect in user code") {
+    val lay = CorpusStore.layoutOf(spark, root)
+    val all = store.collect()
+    // expectation bookkeeping only — the QUERY UNDER TEST collects nothing
+    val ks = all.map(_.getAs[String]("text_md5")).distinct.sorted.take(2)
+    val buckets = ks.map(CorpusStore.bucketForKey("doc", lay, _)).toSet
+    val pdir = java.nio.file.Files
+      .createTempDirectory("graft_prune_probe").toString
+    import spark.implicits._
+    ks.toSeq.toDF("text_md5").write.mode("overwrite").parquet(pdir)
+    val probe = spark.read.parquet(pdir)
+    val full = relNames(scanFiles(store))
+
+    val qSemi = store.join(probe, Seq("text_md5"), "left_semi")
+      .select(col("doc_id"))
+    val prunedSemi = storeScanFiles(qSemi)
+    assert(prunedSemi.nonEmpty && prunedSemi.size < full.size,
+      s"semi-join did not prune: ${prunedSemi.size} of ${full.size} files")
+    assert(prunedSemi.forall(f =>
+      buckets.exists(b => f.startsWith(s"p_kind=doc/p_b=$b/"))),
+      s"semi-join prune left the probe keys' buckets: $prunedSemi")
+    val expected = all.filter(r => ks.contains(r.getAs[String]("text_md5")))
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(qSemi.collect().map(_.getLong(0)).sorted.toSeq === expected,
+      "pruned semi-join diverged from the full scan")
+
+    // inner join: same prune, and the probe's columns still come through
+    val qInner = store.join(probe, Seq("text_md5")).select(col("doc_id"))
+    val prunedInner = storeScanFiles(qInner)
+    assert(prunedInner.nonEmpty && prunedInner.size < full.size,
+      "inner join did not prune")
+    assert(qInner.collect().map(_.getLong(0)).sorted.toSeq === expected)
+
+    // an EMPTY probe prunes the scan to an empty relation (no file reads)
+    val emptyDir = java.nio.file.Files
+      .createTempDirectory("graft_prune_empty").toString
+    ks.toSeq.toDF("text_md5").limit(0).write.mode("overwrite").parquet(emptyDir)
+    val qEmpty = store.join(spark.read.parquet(emptyDir),
+      Seq("text_md5"), "left_semi")
+    assert(qEmpty.count() === 0L)
+    assert(storeScanFiles(qEmpty).isEmpty,
+      "an empty probe should leave no store files in the plan")
+
+    // a probe estimated OVER the broadcast bar must not trigger
+    // planner-time evaluation: join the store against itself (stats =
+    // full store size, far over a 1-byte threshold)
+    val was = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val qBig = store.join(store.select(col("text_md5")),
+        Seq("text_md5"), "left_semi")
+      assert(storeScanFiles(qBig).size >= full.size,
+        "an over-threshold probe must not prune (planner would execute " +
+          "an arbitrarily large subquery)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
+  }
 }
