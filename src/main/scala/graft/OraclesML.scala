@@ -1565,6 +1565,19 @@ object OraclesML {
        |WHERE md5(s.text) IN (
        |  SELECT md5(text) FROM documents WHERE doc_id IN (5, 17, 40))""".stripMargin
 
+  /** Mirrors `q_store_mirror` — the CDF consumer's downstream mirror
+    * after applying the bootstrap window (version 0 → current): exactly
+    * the store's kept-document set, i.e. the arrival-order survivors.
+    * The Spark side goes store → `changesBetween(0, cur)` →
+    * [[graft.streaming.StoreChangesMirror.applyBatch]] → mirror read; the
+    * oracle recomputes the survivor set directly — equal because the
+    * bootstrap diff IS every kept doc as an insert and the keyed upsert
+    * is the identity on an empty mirror (and idempotent on replays).
+    */
+  val storeMirrorSql: String =
+    s"""WITH $incrementalSurvivorCtes
+       |SELECT s.doc_id, s.lang, s.source FROM survivors s""".stripMargin
+
   /** Mirrors `q_store_forget` — the store's kept documents after purging
     * two probe texts: exactly the survivor set minus any doc whose text
     * matches a probe (the purge removes the keeper rows; near-dup/exact

@@ -225,6 +225,28 @@ object SparkEntry {
       bands.filter(col("band_id") === 0 && col("band_val") === probe)
         .select(col("doc_id"))
     }),
+    // The CDF CONSUMER end-to-end: the store's bootstrap change window
+    // (version 0 -> current = every kept doc as an insert) applied to a
+    // downstream mirror through StoreChangesMirror's keyed idempotent
+    // upsert, then the mirror read back. Idempotent across bench
+    // iterations by the upsert's own contract (re-applying a delivered
+    // window reproduces the mirror — the at-least-once crash path,
+    // exercised here on every iteration after the first).
+    "q_store_mirror" -> ((s, dir) => {
+      val root = corpusStoreRoot(dir)
+      val docs = Tables.documents(s, dir)
+      (0 until 3).foreach { i =>
+        operators.CorpusStore.tick(
+          docs.filter(col("doc_id") % 3 === i), root,
+          tickId = Some(s"wave$i"))
+      }
+      val mirror = root + "_mirror"
+      val cur = operators.ManifestTable.currentVersion(s, root).get
+      graft.streaming.StoreChangesMirror.applyBatch(
+        operators.CorpusStore.changesBetween(s, root, 0L, cur), mirror)
+      graft.streaming.StoreChangesMirror.read(s, mirror)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     // Content purge (right-to-be-forgotten): forget the texts of two fixed
     // documents from a store built on its own root, then read the full
     // remaining document set. Idempotent across bench iterations — the
@@ -465,6 +487,7 @@ object SparkEntry {
     // driver-collected literals)
     "q_store_lookup_join" -> OraclesML.storeLookupSql,
     "q_store_band_lookup" -> OraclesML.storeBandLookupSql,
+    "q_store_mirror" -> OraclesML.storeMirrorSql,
     "q_store_forget" -> OraclesML.storeForgetSql,
     "q_store_changes" -> OraclesML.storeChangesSql,
     "q_corpus_funnel" -> OraclesML.corpusFunnelSql,
