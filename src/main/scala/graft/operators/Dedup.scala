@@ -658,7 +658,12 @@ object Dedup {
     * downstream consumer's plan (a funnel repeats it once per stage), and
     * one untruncated ingest DAG embedded there multiplies plan-STRING
     * rendering (listener events, AQE re-planning) into minutes of driver
-    * CPU at sf0.1; measured, not hypothetical. The crash-tolerant
+    * CPU at sf0.1; measured, not hypothetical. FAULT-TOLERANCE TRADE,
+    * explicit: localCheckpoint blocks live executor-local with lineage
+    * truncated, so an executor loss (decommission, dynamic allocation,
+    * spot preemption) makes them unrecoverable and fails the ingest job
+    * instead of recomputing — this in-memory form must not run with
+    * dynamic allocation or preemptible executors. The crash-tolerant
     * production form of the same loop is [[SignatureStore.ingestBatch]]
     * (store = a staged snapshot, each tick appends — durable by
     * construction); this in-memory form exists for single-plan use and as

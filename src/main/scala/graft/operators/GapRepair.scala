@@ -71,15 +71,22 @@ object GapRepair {
       .withColumn("__island", col("__slot") - row_number().over(wBlk))
       .groupBy(col("__blk"), col("__island"))
       .agg(min(col("__ms")).as("start_ms"),
-        (max(col("__ms")) + lit(stepMs)).as("end_ms"))
-    // level 2 — metadata-scale: merge range CHAINS that touch end-to-start
-    // (exactly the islands a block boundary split). Global ordering is
-    // safe here: one row per (outage × touched block).
+        (max(col("__ms")) + lit(stepMs)).as("end_ms"),
+        min(col("__slot")).as("__slot_start"),
+        max(col("__slot")).as("__slot_end"))
+    // level 2 — metadata-scale: merge range CHAINS the block boundary
+    // split. Adjacency is judged on SLOT INDICES (lag(slot_end)+1 ==
+    // slot_start), exactly the consecutiveness the single-window island
+    // trick uses — raw-ms adjacency (lag(end_ms) == start_ms) only holds
+    // when boundary-straddling slots differ by exactly stepMs, so slots
+    // with inconsistent sub-step offsets would stay split here while the
+    // global form coalesces them. Global ordering is safe here: one row
+    // per (outage × touched block).
     val wg = Window.orderBy(col("start_ms"))
     val wgRun = wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     blockRanges
       .withColumn("__new",
-        when(lag(col("end_ms"), 1).over(wg) === col("start_ms"), 0)
+        when(lag(col("__slot_end"), 1).over(wg) + 1 === col("__slot_start"), 0)
           .otherwise(1))
       .withColumn("__grp", sum(col("__new")).over(wgRun))
       .groupBy(col("__grp"))

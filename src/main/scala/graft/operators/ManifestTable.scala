@@ -692,6 +692,24 @@ object ManifestTable {
     def conflict(): Nothing = throw new CommitConflictException(
       s"commit conflict: $target already exists (racing committer)")
     val bytes = readAllBytes(fs, tmp)
+    // An IOException whose message merely CONTAINS "exist" is AMBIGUOUS —
+    // "does not exist" / "no such file exists" match too, and a transport
+    // error after the object actually materialized would have classified a
+    // COMMITTED manifest as a conflict (whose handler then deletes this
+    // attempt's data files — a committed manifest referencing deleted
+    // files). Probe the target instead of guessing: absent → the failure
+    // was something else entirely, rethrow it verbatim; present with our
+    // bytes → the PUT materialized before the error surfaced, success;
+    // present with foreign bytes → a real conflict. Returns true iff our
+    // bytes are committed.
+    def resolveAmbiguous(e: java.io.IOException): Boolean = {
+      val exists =
+        try fs.exists(target)
+        catch { case scala.util.control.NonFatal(_) => throw e }
+      if (!exists) throw e
+      if (java.util.Arrays.equals(readAllBytes(fs, target), bytes)) true
+      else conflict()
+    }
     val out =
       try fs.create(target, false)
       catch {
@@ -699,7 +717,9 @@ object ManifestTable {
         case _: java.nio.file.FileAlreadyExistsException => conflict()
         case e: java.io.IOException
           if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
-          conflict()
+          resolveAmbiguous(e) // our bytes already committed (crashed retry)
+          fs.delete(tmp, false)
+          return
       }
     // object PUTs materialize at close — a precondition failure may surface
     // there instead of at create
@@ -709,7 +729,7 @@ object ManifestTable {
       case _: java.nio.file.FileAlreadyExistsException => conflict()
       case e: java.io.IOException
         if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
-        conflict()
+        resolveAmbiguous(e) // our bytes committed → fall through as success
     }
     if (!java.util.Arrays.equals(readAllBytes(fs, target), bytes))
       conflict() // the "conditional" create was not: bytes lost an overwrite

@@ -120,6 +120,13 @@ class StorePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // having found the tagged side.
     if (jt == LeftSemi && !firstTagged(left).contains(taggedIn)) return None
     val (rel, hfs) = taggedIn
+    // file pruning is only sound when every node between the join and the
+    // tagged scan is pushdown-transparent (Project/Filter — the same
+    // condition Spark's DPP enforces): a Limit, Window, or Sample in
+    // between picks DIFFERENT rows once files are dropped (e.g.
+    // store.read.limit(10).join(probe) returns a different 10 rows), so
+    // the pruned plan would not be bit-identical to the unpruned one
+    if (!pruneTransparent(scanSide, rel)) return None
     val kind = hfs.options("graft.store.kind")
     val keyCol = CorpusStore.bloomKeyOf(kind).getOrElse(return None)
     // the equi-conjunct pairing the scan's key column with a probe column
@@ -131,6 +138,15 @@ class StorePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if a.name == keyCol && rel.outputSet.contains(a) &&
             probeSide.outputSet.contains(b) => b
     }.getOrElse(return None)
+    // the probe is executed TWICE — once here at plan time (to collect the
+    // prune keys) and again at runtime by the join that stays in the plan.
+    // A nondeterministic probe (rand()/uuid()) or a streaming source could
+    // produce DIFFERENT runtime keys than the plan-time keys used to drop
+    // files, silently losing matching rows — the same determinism bar
+    // Spark's DPP places on reused subqueries. Bail, never guess.
+    if (probeSide.isStreaming ||
+        probeSide.exists(p => p.expressions.exists(e => !e.deterministic)))
+      return None
     // "small frame" = the broadcast-side estimate, the same bar a
     // broadcast join uses; a disabled threshold (<= 0) falls back to 10MB
     val bc = spark.sessionState.conf.autoBroadcastJoinThreshold
@@ -180,6 +196,23 @@ class StorePruneRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case None    => LocalRelation(rel.output)
         }
     }
+
+  /** True when the path from `side`'s root down to `rel` crosses only
+    * Project/Filter nodes — the pushdown-transparency condition under
+    * which removing provably-non-matching files from the scan cannot
+    * change the side's surviving row set (Project/Filter act row-wise;
+    * anything order- or count-sensitive in between voids the prune).
+    */
+  private def pruneTransparent(side: LogicalPlan,
+                               rel: LogicalRelation): Boolean = {
+    def walk(p: LogicalPlan): Boolean = p match {
+      case lr: LogicalRelation  => lr eq rel
+      case Project(_, child)    => walk(child)
+      case Filter(_, child)     => walk(child)
+      case _                    => false
+    }
+    walk(side)
+  }
 
   /** The single tagged unpruned scan inside `side`, if exactly one. */
   private def firstTagged(side: LogicalPlan)

@@ -78,6 +78,24 @@ class GapRepairSpec extends SparkSpec {
     assert(want.contains((100L * step, 102L * step)))
   }
 
+  test("sub-step slot offsets across a block boundary still merge (slot-" +
+    "index adjacency, not raw-ms adjacency)") {
+    // two adjacent slots straddling the day-block boundary, each with a
+    // DIFFERENT sub-step offset: raw-ms adjacency (lag(end_ms) == start_ms)
+    // does not hold between them, slot-index adjacency does — the global
+    // single-window form coalesces them, so the partitioned form must too
+    val b = GapRepair.BlockSlots
+    val msVals = Seq(b * step - step + 7L, b * step + 13L) // slots b-1, b
+    import spark.implicits._
+    val missing = msVals.toDF("ms")
+      .select((col("ms") / 1000).cast("timestamp").as("missing_minute"))
+    val got = ranges(missing, b)
+    assert(got == globalRanges(missing),
+      s"offset slots across the boundary diverged from the global form: $got")
+    assert(got.size == 1,
+      s"boundary-straddling offset slots stayed split: $got")
+  }
+
   test("the heavy level-1 window is PARTITIONED (the one-task global sort " +
     "is gone); only the metadata-scale merge window is global") {
     val df = GapRepair.gapRanges(missingOf(Seq((0L, 10L))), "missing_minute",

@@ -257,4 +257,104 @@ class ObjectStoreCommitSpec extends SparkSpec {
     assert((System.nanoTime() - started) < 300L * 1e9,
       "conditional commits took so long the lease path must have engaged")
   }
+
+  test("ambiguous 'exist' IOExceptions are resolved by probing the target, " +
+    "never guessed: absent → rethrown, ours → success, foreign → conflict") {
+    import java.io.IOException
+    import org.apache.hadoop.fs.{FSDataOutputStream, RawLocalFileSystem}
+    import org.apache.hadoop.fs.permission.FsPermission
+    import org.apache.hadoop.util.Progressable
+    val base = new Path(
+      java.nio.file.Files.createTempDirectory("graft_condamb").toString)
+    // a connector whose conditional create fails with a message that merely
+    // CONTAINS "exist" — the three shapes the substring match used to
+    // misclassify as conflicts
+    def fsWith(behavior: String): org.apache.hadoop.fs.FileSystem = {
+      val fs = new RawLocalFileSystem() {
+        // both create entry points (the ConditionalStoreFs lesson: the
+        // non-permission variant is a sibling, not a delegate)
+        override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                            replication: Short, blockSize: Long,
+                            progress: Progressable): FSDataOutputStream =
+          if (!overwrite && f.getName.endsWith(".manifest"))
+            flaky(f, () => super.create(f, overwrite, bufferSize,
+              replication, blockSize, progress))
+          else super.create(f, overwrite, bufferSize, replication,
+            blockSize, progress)
+        override def create(f: Path, permission: FsPermission,
+                            overwrite: Boolean, bufferSize: Int,
+                            replication: Short, blockSize: Long,
+                            progress: Progressable): FSDataOutputStream =
+          if (!overwrite && f.getName.endsWith(".manifest"))
+            flaky(f, () => super.create(f, permission, overwrite, bufferSize,
+              replication, blockSize, progress))
+          else super.create(f, permission, overwrite, bufferSize,
+            replication, blockSize, progress)
+        private def flaky(f: Path,
+                          real: () => FSDataOutputStream): FSDataOutputStream =
+          behavior match {
+            case "absent-error" => // transport error, nothing materialized
+              throw new IOException(s"parent of $f does not exist")
+            case "error-after-put" => // PUT lands, THEN the error surfaces
+              val out = real()
+              new FSDataOutputStream(new java.io.OutputStream {
+                override def write(b: Int): Unit = out.write(b)
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  out.write(b, off, len)
+                override def close(): Unit = {
+                  out.close()
+                  throw new IOException(
+                    "connector retry noticed the object already exists")
+                }
+              }, null)
+            case "foreign-exists" => // a rival's manifest really is there
+              throw new IOException("key exists check failed")
+          }
+      }
+      fs.initialize(java.net.URI.create("file:///"), conf)
+      fs
+    }
+    def stage(fs: org.apache.hadoop.fs.FileSystem, name: String,
+              bytes: String): Path = {
+      val p = new Path(base, name)
+      val out = fs.create(p, true)
+      try out.write(bytes.getBytes("UTF-8")) finally out.close()
+      p
+    }
+
+    // (a) target ABSENT: the "does not exist" error is not a conflict —
+    // rethrow it verbatim (a conflict here would make the tick's handler
+    // delete this attempt's data files on no evidence)
+    val fsA = fsWith("absent-error")
+    val tmpA = stage(fsA, ".tmp-a", "#token=a\nw/a.parquet\n")
+    val tgtA = new Path(base, "va.manifest")
+    val eA = intercept[IOException] {
+      ManifestTable.putIfAbsentCommitPublish(fsA, tmpA, tgtA)
+    }
+    assert(!eA.isInstanceOf[CommitConflictException] &&
+      eA.getMessage.contains("does not exist"),
+      s"absent-target error was reclassified: $eA")
+    assert(!fsA.exists(tgtA))
+
+    // (b) the PUT materialized OUR bytes before the error surfaced: the
+    // commit happened — success, not a conflict (which would delete data
+    // files a committed manifest references)
+    val fsB = fsWith("error-after-put")
+    val tmpB = stage(fsB, ".tmp-b", "#token=b\nw/b.parquet\n")
+    val tgtB = new Path(base, "vb.manifest")
+    ManifestTable.putIfAbsentCommitPublish(fsB, tmpB, tgtB)
+    assert(new String(readAll(fsB, tgtB), "UTF-8")
+      .contains("w/b.parquet"), "committed bytes are not ours")
+    assert(!fsB.exists(tmpB), "temp not cleaned after resolved success")
+
+    // (c) a FOREIGN manifest is really there: conflict, rival untouched
+    val fsC = fsWith("foreign-exists")
+    val tmpC = stage(fsC, ".tmp-c", "#token=c\nw/c.parquet\n")
+    val tgtC = stage(fsC, "vc.manifest", "#token=rival\nw/rival.parquet\n")
+    intercept[CommitConflictException] {
+      ManifestTable.putIfAbsentCommitPublish(fsC, tmpC, tgtC)
+    }
+    assert(new String(readAll(fsC, tgtC), "UTF-8").contains("rival"),
+      "conflict resolution mutated the rival's manifest")
+  }
 }

@@ -279,4 +279,39 @@ class StorePruneRuleSpec extends SparkSpec {
           "an arbitrarily large subquery)")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", was)
   }
+
+  test("join prune is voided by a non-transparent path (limit between scan " +
+    "and join) and by a nondeterministic probe") {
+    val all = store.collect()
+    val ks = all.map(_.getAs[String]("text_md5")).distinct.sorted.take(2)
+    val pdir = java.nio.file.Files
+      .createTempDirectory("graft_prune_guard").toString
+    import spark.implicits._
+    ks.toSeq.toDF("text_md5").write.mode("overwrite").parquet(pdir)
+    val probe = spark.read.parquet(pdir)
+    val full = relNames(scanFiles(store))
+
+    // a LIMIT between the tagged scan and the join picks DIFFERENT rows
+    // once files are dropped — the rule must leave the file list alone
+    val qLimited = store.limit(5).join(probe, Seq("text_md5"), "left_semi")
+    assert(storeScanFiles(qLimited).size === full.size,
+      "a limit between the scan and the join must void the prune")
+
+    // a nondeterministic probe evaluates to different keys at plan time
+    // vs runtime — the rule must not collect it (rand >= 0.5: a provably-
+    // true bound like rand() >= 0.0 would be folded away by the optimizer
+    // before the rule ever sees it)
+    val ndProbe = probe.filter(org.apache.spark.sql.functions.rand(42) >= 0.5)
+    val qNd = store.join(ndProbe, Seq("text_md5"), "left_semi")
+    assert(storeScanFiles(qNd).size === full.size,
+      "a nondeterministic probe must void the prune")
+
+    // the transparent shapes still prune: Project/Filter between scan and
+    // join keep the rewrite live
+    val qOk = store.select(col("text_md5"), col("doc_id"))
+      .filter(col("doc_id") >= 0L)
+      .join(probe, Seq("text_md5"), "left_semi")
+    assert(storeScanFiles(qOk).size < full.size,
+      "Project/Filter between the scan and the join should keep the prune")
+  }
 }
