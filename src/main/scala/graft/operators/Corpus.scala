@@ -328,6 +328,31 @@ object Corpus {
                                 kept: DataFrame, manifest: DataFrame,
                                 models: TailModels)
 
+  /** Cache + PLAN-TRUNCATE a multiply-consumed stage frame: lazy
+    * `localCheckpoint` instead of a bare `persist`. The persist alone kept
+    * the data cached but left the LOGICAL plan intact, and the tail's plans
+    * compound multiplicatively — `gated` embeds `red` three times (the
+    * frame + both gate semi-joins), `decon` embeds `gated` ~four times,
+    * `kept` embeds `toks` three more — so the funnel/pipeline analyzed
+    * trees reached 7–15 MILLION formatted characters (measured, see the
+    * `_before.txt` captures under plans/r15). Analysis, cache-lookup
+    * `sameResult` probes,
+    * and listener plan-string rendering over that tree were per-action
+    * driver CPU. The lazy localCheckpoint truncates each stage to a
+    * LogicalRDD leaf (the optimization-guide §3.3 remedy), collapsing the
+    * downstream plans to ~100 KB, while the RDD itself stays cached
+    * (localCheckpoint persists MEMORY_AND_DISK) exactly like the persist
+    * it replaces. `eager = false` keeps materialization inside the first
+    * consuming action — nothing moves out of the benched region. Same
+    * fault-tolerance trade as the ingest fold's localCheckpoint
+    * ([[Dedup.sequentialIngest]]): truncated lineage is unrecoverable
+    * under executor loss — not for dynamic-allocation/preemptible
+    * clusters; cache lifecycle passes from the session's clearCache to
+    * GC + ContextCleaner (the sequentialIngest precedent).
+    */
+  private def stageCut(df: DataFrame): DataFrame =
+    df.localCheckpoint(false)
+
   private def tailStages(survivors: DataFrame,
                          perplexityThreshold: Double,
                          flagAt: Double,
@@ -339,11 +364,11 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val red = TextOps.scrubBoilerplate(survivors, passthrough = Seq("lang", "source"))
+    val red = stageCut(
+      TextOps.scrubBoilerplate(survivors, passthrough = Seq("lang", "source"))
       .filter(length(col("clean_text")) > 0)
       .select(col("doc_id"), col("lang"), col("source"),
-        TextOps.redactPii(col("clean_text")).as("text"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        TextOps.redactPii(col("clean_text")).as("text")))
     // the perplexity LM: staged (a versioned sidecar) or freshly trained on
     // the reference slice of the scrubbed corpus; fresh counts persist (cb
     // feeds both the score join and the continuation-total derivation)
@@ -356,10 +381,9 @@ object Corpus {
       .filter(col("keep")).select(col("doc_id"))
     val cKeep = TextOps.classifierScores(red).filter(col("label"))
       .select(col("doc_id"))
-    val gated = red
+    val gated = stageCut(red
       .join(pKeep, Seq("doc_id"), "left_semi")
-      .join(cKeep, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .join(cKeep, Seq("doc_id"), "left_semi"))
     // the TRAIN split continues; val/test docs leave the pipeline HERE, as
     // an explicit filter (contaminationScores only scores train docs — a
     // bare semi-join against it would drop the other splits as an invisible
@@ -376,10 +400,9 @@ object Corpus {
       contaminationScoresWith(gated, held, flagAt = flagAt)
         .filter(!col("flagged")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val toks = decon.select(col("source"), col("doc_id"),
+    val toks = stageCut(decon.select(col("source"), col("doc_id"),
       size(regexp_extract_all(col("text"), lit(TextOps.tokenPattern), lit(0)))
-        .cast("long").as("n_tokens"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        .cast("long").as("n_tokens")))
     val perSource = toks.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
     val total = perSource.agg(sum(col("src_tokens")).as("__t"))
@@ -395,14 +418,13 @@ object Corpus {
           * totalBudget).cast("long").as("budget"))
     val wCum = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    // persisted: both the rank stamp and the token join-back consume it,
-    // and an unpersisted reference would re-run the cumsum window (and the
-    // budget aggregate below it) once per consumer
-    val kept = toks
+    // cached + plan-cut: both the rank stamp and the token join-back
+    // consume it, and an uncached reference would re-run the cumsum window
+    // (and the budget aggregate below it) once per consumer
+    val kept = stageCut(toks
       .withColumn("__cum", sum(col("n_tokens")).over(wCum))
       .join(broadcast(budgets), Seq("source"))
-      .filter(col("__cum") - col("n_tokens") < col("budget"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(col("__cum") - col("n_tokens") < col("budget")))
     val ranked = Sampling.trainingOrder(kept.select(col("doc_id")), seed)
       .join(kept.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
       .withColumn("shard", col("train_rank") % nShards)
