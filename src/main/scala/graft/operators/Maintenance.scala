@@ -141,18 +141,32 @@ object Maintenance {
     // throws on a missing key.
     val monthMap = typedLit(monthNumbers)
     def g(i: Int) = regexp_extract(col("instrument_name"), pat, i)
+    // The parsed fields are staged behind an explode(array(struct(…)))
+    // GENERATE BARRIER: the impossible-date filter references derived
+    // columns, and predicate pushdown would otherwise inline their
+    // definitions below the staging projection — the measured formatted
+    // plan carried ~5 extra regexp_extract evaluations inside the pushed
+    // Filter (plus the projection's own 6), and because the filter also
+    // pushed below the caller's distinct(), the whole bundle ran once per
+    // RAW row instead of once per distinct name. A Generate's output
+    // attributes cannot be substituted below it, so the 6 extracts run
+    // exactly once per name; the cheap rlike validity filter stays a plain
+    // input-column predicate and still pushes below a caller's distinct.
     names
       .filter(col("instrument_name").rlike(pat))
-      .select(col("instrument_name"), g(1).as("underlying"),
-        g(2).cast("int").as("dd"), try_element_at(monthMap, g(3)).as("mm"),
-        (g(4).cast("int") + 2000).as("yy"),
-        g(5).cast("int").as("strike"), g(6).as("option_type"))
+      .select(col("instrument_name"),
+        explode(array(struct(
+          g(1).as("underlying"), g(2).cast("int").as("dd"),
+          try_element_at(monthMap, g(3)).as("mm"),
+          (g(4).cast("int") + 2000).as("yy"),
+          g(5).cast("int").as("strike"), g(6).as("option_type")))).as("__p"))
       // impossible dates (31FEB…) → dropped, like the reference's None path
       // (`deribit.py:47-50`); ANSI make_date would otherwise throw.
-      .filter(col("mm").isNotNull &&
-        col("dd") <= dayofmonth(last_day(make_date(col("yy"), col("mm"), lit(1)))))
-      .select(col("instrument_name"), col("underlying"),
-        make_date(col("yy"), col("mm"), col("dd")).as("expiry_date"),
-        col("strike"), col("option_type"))
+      .filter(col("__p.mm").isNotNull &&
+        col("__p.dd") <= dayofmonth(
+          last_day(make_date(col("__p.yy"), col("__p.mm"), lit(1)))))
+      .select(col("instrument_name"), col("__p.underlying").as("underlying"),
+        make_date(col("__p.yy"), col("__p.mm"), col("__p.dd")).as("expiry_date"),
+        col("__p.strike").as("strike"), col("__p.option_type").as("option_type"))
   }
 }

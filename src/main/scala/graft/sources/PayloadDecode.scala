@@ -77,8 +77,19 @@ object PayloadDecode {
     * typed OHLCV schema. Unparseable payloads → null array → dropped.
     */
   def decodeKlines(payloads: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    // explode(array(...)) is a PUSHDOWN BARRIER, not a transform: with a
+    // plain withColumn stage, predicate pushdown inlines the null-drop
+    // filter BELOW the staging projection, so from_json (and the whole
+    // payload expression under it) evaluated twice per row — once in the
+    // pushed Filter, once in the Project (the guide's duplicated-UDF
+    // shape, §4.4, for a JVM expression). A Generate's output attribute
+    // cannot be substituted below it, so the parse runs exactly once and
+    // the filter tests the materialized column. explode(array(x)) always
+    // emits exactly one row (array(null) contains one null element), so
+    // row semantics are identical.
     val parsed = payloads
-      .withColumn("__k", from_json(col(payloadCol), ArrayType(StringType)))
+      .select(explode(array(
+        from_json(col(payloadCol), ArrayType(StringType)))).as("__k"))
       .filter(col("__k").isNotNull)
     def f(i: Int) = element_at(col("__k"), i)
     parsed.select(
@@ -95,10 +106,16 @@ object PayloadDecode {
     * datetime, open, high, low, close). Unparseable payloads → dropped.
     */
   def decodeCandleSnapshot(payloads: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    // same Generate barrier as decodeKlines: the two-conjunct null-drop
+    // filter was pushed below the staging projection and re-evaluated
+    // from_json TWICE more per row (measured in the formatted plan — the
+    // Filter carried one full-schema and one t-pruned parse besides the
+    // Project's own), tripling the per-row parse cost
     val parsed = payloads
-      .withColumn("__c",
+      .select(explode(array(
         from_json(col(payloadCol),
-          StructType.fromDDL("t BIGINT, o STRING, h STRING, l STRING, c STRING")))
+          StructType.fromDDL("t BIGINT, o STRING, h STRING, l STRING, c STRING"))))
+        .as("__c"))
       .filter(col("__c").isNotNull && col("__c.t").isNotNull)
     parsed.select(
       timestamp_micros(col("__c.t") * 1000).as("datetime"),
