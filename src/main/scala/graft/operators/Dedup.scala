@@ -275,9 +275,14 @@ object Dedup {
     val spread = pairs.repartition(
       pairs.sparkSession.sparkContext.defaultParallelism,
       col("doc_a"), col("doc_b"))
-    spread.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("n_union", size(array_union(col("sa"), col("sb"))).cast("long"))
+    // the set counts are staged through [[Staged.once]]: with plain
+    // withColumns, the threshold filter folded into the JOIN CONDITION and
+    // re-evaluated array_union 3× / array_intersect 2× per candidate pair
+    // (measured in the formatted plan) — the heaviest per-pair work here
+    Staged.once(spread.join(sa, "doc_a").join(sb, "doc_b"),
+        Seq("doc_a", "doc_b"),
+        Seq("n_common" -> size(array_intersect(col("sa"), col("sb"))).cast("long"),
+          "n_union" -> size(array_union(col("sa"), col("sb"))).cast("long")))
       // n_union=0 (two shingle-less docs): guard the division (ANSI would
       // throw) and drop the pair on both engines (oracle has the same
       // n_union > 0 condition — DuckDB's 0.0/0 is NaN, which its >= keeps!)
@@ -571,9 +576,12 @@ object Dedup {
     val spread = candidates.repartition(
       candidates.sparkSession.sparkContext.defaultParallelism,
       col("new_id"), col("dup_of"))
-    spread.join(sn, "new_id").join(sc, "dup_of")
-      .withColumn("n_common", size(array_intersect(col("sn"), col("sc"))).cast("long"))
-      .withColumn("n_union", size(array_union(col("sn"), col("sc"))).cast("long"))
+    // Staged.once barrier — same joined-in filter duplication as
+    // [[verifyJaccard]], same fix
+    Staged.once(spread.join(sn, "new_id").join(sc, "dup_of"),
+        Seq("new_id", "dup_of"),
+        Seq("n_common" -> size(array_intersect(col("sn"), col("sc"))).cast("long"),
+          "n_union" -> size(array_union(col("sn"), col("sc"))).cast("long")))
       .withColumn("jaccard",
         when(col("n_union") > 0, col("n_common").cast("double") / col("n_union")))
       .filter(col("n_union") > 0 && col("jaccard") >= threshold)

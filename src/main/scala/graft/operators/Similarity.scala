@@ -364,8 +364,11 @@ object Similarity {
     // vectors) back per surviving pair, so the pair stream stays ids-only
     val va = bk.select(col("vec_id").as("vec_a"), col("bucket"), col("v").as("va"))
     val vb = bk.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    pairs.join(va, "vec_a").join(vb, "vec_b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+    // Staged.once barrier: the threshold filter otherwise folds into the
+    // join condition and the 64-dim dot runs twice per candidate pair
+    Staged.once(pairs.join(va, "vec_a").join(vb, "vec_b"),
+        Seq("vec_a", "vec_b", "bucket"),
+        Seq("cosine" -> cosine(col("va"), col("vb"))))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
   }
@@ -384,8 +387,11 @@ object Similarity {
     val pairs = Dedup.bandPairs(signBands(e), cap, "vec_a", "vec_b")
     val va = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
     val vb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    pairs.join(va, "vec_a").join(vb, "vec_b")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+    // Staged.once barrier — same join-condition dot duplication as
+    // [[lshNearDups]], same fix
+    Staged.once(pairs.join(va, "vec_a").join(vb, "vec_b"),
+        Seq("vec_a", "vec_b"),
+        Seq("cosine" -> cosine(col("va"), col("vb"))))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
@@ -442,8 +448,12 @@ object Similarity {
       .distinct()
     val va = nb.select(col("vec_id").as("new_id"), col("v").as("va"))
     val vb = cb.select(col("vec_id").as("dup_of"), col("v").as("vb"))
-    val verified = candidates.join(va, "new_id").join(vb, "dup_of")
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+    // Staged.once barrier — same join-condition dot duplication as
+    // [[lshNearDups]], same fix
+    val verified = Staged.once(
+        candidates.join(va, "new_id").join(vb, "dup_of"),
+        Seq("new_id", "dup_of"),
+        Seq("cosine" -> cosine(col("va"), col("vb"))))
       .filter(col("cosine") >= threshold)
     val best = org.apache.spark.sql.expressions.Window
       .partitionBy(col("new_id"))
