@@ -612,9 +612,11 @@ object Dedup {
     val rem = storeSigs match {
       case Some(store) =>
         // ids only — the best-match ranking of the public operator is
-        // wasted work here, any verified match disqualifies the doc
+        // wasted work here, any verified match disqualifies the doc. No
+        // distinct(): LEFT ANTI ignores probe-side duplicates, so the
+        // dedup exchange+aggregate was a wasted shuffle stage per wave
         val dupIds = incrementalVerified(batchSigs, store, threshold, cap)
-          .select(col("new_id").as("doc_id")).distinct()
+          .select(col("new_id").as("doc_id"))
         batchSigs.join(dupIds, Seq("doc_id"), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
       case None => batchSigs
@@ -688,7 +690,12 @@ object Dedup {
       val batchSigs = shingleSignatures(
         docs.filter(col("doc_id") % nBatches === i))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val keep = ingestTick(batchSigs, store, threshold, cap).localCheckpoint()
+      // LAZY localCheckpoint: the plan truncation (the point of the
+      // checkpoint — see the scaladoc) happens at construction either way;
+      // eager=false just folds the keeper materialization into the next
+      // consuming action instead of paying a dedicated job per wave
+      val keep = ingestTick(batchSigs, store, threshold, cap)
+        .localCheckpoint(false)
       store = Some(store.map(_.union(keep)).getOrElse(keep))
       keep.select(col("doc_id"), lit(i.toLong).as("batch_id"))
     }

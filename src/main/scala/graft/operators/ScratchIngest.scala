@@ -22,6 +22,22 @@ object ScratchIngest {
       println(f"INGEST $name%-36s ${(System.nanoTime() - s) / 1e9}%8.2f s")
       r
     }
+    // per-job wall times with stage counts — attribute the eager actions
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts =
+          scala.collection.concurrent.TrieMap.empty[Int, (Long, Int)]
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts(js.jobId) = (System.nanoTime(), js.stageInfos.size)
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          starts.remove(je.jobId).foreach { case (s, nst) =>
+            val ms = (System.nanoTime() - s) / 1e6
+            if (ms > 50)
+              println(f"  JOB ${je.jobId}%4d stages=$nst%3d ${ms / 1000}%7.3f s")
+          }
+      })
     // warm
     t("warm")(Dedup.sequentialIngest(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"))
