@@ -737,14 +737,20 @@ object Dedup {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
       .withColumn("h", md5(col("tok")))
+    // the 16 hex DIGITS are staged once per token row: inlined, each of
+    // the 64 per-bit aggregate children re-ran its own conv(substring(h))
+    // — 64 string slices + base conversions per token where 16 suffice
+    // (each digit feeds 4 bits; the remaining per-bit work is two integer
+    // ops). Same expressions semantically, same aggregate values.
+    val digits = toks.select(col("doc_id") +: (0 until 16).map(p =>
+      conv(substring(col("h"), p + 1, 1), 16, 10).cast("int").as(s"d_$p")): _*)
     val bitSums = (0 until 64).map { b =>
       val p = b / 4
       val j = 3 - b % 4
-      val d = conv(substring(col("h"), p + 1, 1), 16, 10).cast("int")
-      val bit = shiftright(d, j).bitwiseAND(1)
+      val bit = shiftright(col(s"d_$p"), j).bitwiseAND(1)
       sum(when(bit === 1, 1).otherwise(-1)).as(s"s_$b")
     }
-    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    digits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         concat((0 until 64).map(b =>
           when(col(s"s_$b") > 0, "1").otherwise("0")): _*).as("simhash_bits"))

@@ -42,14 +42,14 @@ object ScratchProfile {
       .join(groups, deduped("doc_id") === groups("node"), "left")
       .filter(col("node").isNull || col("component") === col("doc_id"))
       .drop("node", "component")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     t("A_survivors")(noop(survivors))
 
     val red = TextOps.scrubBoilerplate(survivors, passthrough = Seq("lang", "source"))
       .filter(length(col("clean_text")) > 0)
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.redactPii(col("clean_text")).as("text"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     t("B_scrub_redact")(noop(red))
 
     val (cb0, lmV) = TextOps.perplexityModel(red)
@@ -61,7 +61,7 @@ object ScratchProfile {
     val gated = red
       .join(pKeep, Seq("doc_id"), "left_semi")
       .join(cKeep, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     t("C_model_gates")(noop(gated))
 
     val train = gated.join(
@@ -79,7 +79,7 @@ object ScratchProfile {
     val toks = decon.select(col("source"), col("doc_id"),
       size(regexp_extract_all(col("text"), lit(TextOps.tokenPattern), lit(0)))
         .cast("long").as("n_tokens"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     t("F_decon_toks")(noop(toks))
 
     import org.apache.spark.sql.expressions.Window
@@ -99,7 +99,7 @@ object ScratchProfile {
       .withColumn("__cum", sum(col("n_tokens")).over(wCum))
       .join(broadcast(budgets), Seq("source"))
       .filter(col("__cum") - col("n_tokens") < col("budget"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     t("G_budget_kept")(noop(kept))
 
     val ranked = Sampling.trainingOrder(kept.select(col("doc_id")), "graft")
