@@ -142,11 +142,21 @@ object Bpe {
       else {
         // per-symbol maxima for bound 2 + the pair-bearing symbol set for
         // rule 3 — vocab-bounded metadata (chars + learned merges), the
-        // same driver-side scale class as the centroid collects
-        val maxIn = pairs.groupBy(col("r")).agg(max(col("cnt")).as("m"))
-          .collect().map(w => w.getString(0) -> w.getLong(1)).toMap
-        val maxOut = pairs.groupBy(col("l")).agg(max(col("cnt")).as("m"))
-          .collect().map(w => w.getString(0) -> w.getLong(1)).toMap
+        // same driver-side scale class as the centroid collects. BOTH
+        // maxima come from ONE exploded aggregate + ONE collect (they were
+        // two separate jobs over the same cached pair table — identical
+        // values, half the round's fixed action cost)
+        val mx = pairs.select(explode(array(
+            struct(lit("i").as("side"), col("r").as("sym"), col("cnt")),
+            struct(lit("o").as("side"), col("l").as("sym"), col("cnt"))))
+            .as("e"))
+          .groupBy(col("e.side").as("side"), col("e.sym").as("sym"))
+          .agg(max(col("e.cnt")).as("m"))
+          .collect()
+        val maxIn = mx.filter(_.getString(0) == "i")
+          .map(w => w.getString(1) -> w.getLong(2)).toMap
+        val maxOut = mx.filter(_.getString(0) == "o")
+          .map(w => w.getString(1) -> w.getLong(2)).toMap
         pairs.unpersist()
         val symbolSet = maxIn.keySet ++ maxOut.keySet
         var used = Set.empty[String]
