@@ -203,7 +203,7 @@ object Multimodal {
   def imageTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    mediaTable(docs).as[MediaRow].mapPartitions { rows =>
+    synthInput(docs).mapPartitions { rows =>
       rows.map { r =>
         val img = new java.awt.image.BufferedImage(
           r.width, r.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -306,7 +306,7 @@ object Multimodal {
   def audioTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    mediaTable(docs).as[MediaRow].mapPartitions { rows =>
+    synthInput(docs).mapPartitions { rows =>
       rows.map { r =>
         val n = r.width * 16
         val raw = new Array[Byte](n * 2)
@@ -366,6 +366,24 @@ object Multimodal {
       (col("n_chars") % 64 + 32).cast("int").as("width"),
       (col("n_chars") % 48 + 24).cast("int").as("height"),
       when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int").as("sample_rate"))
+
+  /** [[mediaTable]] with the payload BLANKED — the input the codec
+    * synthesizers ([[imageTable]]/[[audioTable]]/[[videoTable]]) map over.
+    * They derive their payload purely from (media_id, width, height) and
+    * overwrite `payload` in the row copy, so the text bytes the shared
+    * mediaTable carries were read from parquet and pushed through the
+    * Dataset encoder per row only to be thrown away; blanking the column
+    * lets column pruning drop `text` from the scan entirely. Output rows
+    * are identical — `payload` never survives the copy.
+    */
+  private def synthInput(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mediaTable(docs)
+      .withColumn("payload", lit(Array.empty[Byte]))
+      .as[MediaRow]
+  }
 
   /** Partition-wise decode + feature extraction (the mapInPandas analog in
     * Scala: one decoder per partition, rows streamed through it).
@@ -448,7 +466,7 @@ object Multimodal {
   def videoTable(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    mediaTable(docs).as[MediaRow].mapPartitions { rows =>
+    synthInput(docs).mapPartitions { rows =>
       rows.map { r =>
         val out = new java.io.ByteArrayOutputStream()
         (0 until VideoFrames).foreach(f => out.write(encodeBmpFrame(r.media_id, f)))
